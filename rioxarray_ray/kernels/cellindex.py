@@ -1,0 +1,119 @@
+"""Hierarchical spatial cell index (H3/S2 stand-in; the ``h3`` package is not
+available in this environment — SURVEY.md §7.1.1).
+
+A quadkey-style lon/lat grid: at resolution ``r`` the world is split into
+``2**r`` columns over lon in [-180, 180) and ``2**r`` rows over lat in
+[-90, 90] (row 0 at the NORTH pole, matching image row order).  Cell ids pack
+(res, row, col) into one int64:
+
+    cell_id = (res << 52) | (row << 26) | col        (res <= 25)
+
+This packing is deliberately simple arithmetic so a DuckDB oracle can
+reproduce it exactly:  ``res * 2**52 + row * 2**26 + col`` with
+``col = floor((lon+180)/360 * 2**res)``, ``row = floor((90-lat)/180 * 2**res)``.
+
+API mirrors the h3 operations the engine needs: point->cell, cell bounds,
+parent/children, k-ring neighborhoods, and bbox covering (used for clip_box
+cell-range pushdown, SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 25
+_ROW_SHIFT = 26
+_RES_SHIFT = 52
+_MASK = (1 << 26) - 1
+
+
+def cell(lon, lat, res: int):
+    """Vectorized (lon, lat) -> packed cell id (int64)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}]")
+    n = np.int64(1) << res
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    col = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    row = np.floor((90.0 - lat) / 180.0 * n).astype(np.int64)
+    col = np.clip(col, 0, n - 1)
+    row = np.clip(row, 0, n - 1)
+    return (np.int64(res) << _RES_SHIFT) | (row << _ROW_SHIFT) | col
+
+
+def unpack(cell_id):
+    """cell id -> (res, row, col), vectorized."""
+    c = np.asarray(cell_id, dtype=np.int64)
+    return (c >> _RES_SHIFT).astype(np.int64), (c >> _ROW_SHIFT) & _MASK, c & _MASK
+
+
+def pack(res, row, col):
+    res = np.asarray(res, dtype=np.int64)
+    row = np.asarray(row, dtype=np.int64)
+    col = np.asarray(col, dtype=np.int64)
+    return (res << _RES_SHIFT) | (row << _ROW_SHIFT) | col
+
+
+def cell_bounds(cell_id):
+    """(lon_min, lat_min, lon_max, lat_max) of a cell, vectorized."""
+    res, row, col = unpack(cell_id)
+    n = (np.int64(1) << res).astype(np.float64)
+    lon0 = col / n * 360.0 - 180.0
+    lon1 = (col + 1) / n * 360.0 - 180.0
+    lat1 = 90.0 - row / n * 180.0
+    lat0 = 90.0 - (row + 1) / n * 180.0
+    return lon0, lat0, lon1, lat1
+
+
+def parent(cell_id, parent_res: int):
+    res, row, col = unpack(cell_id)
+    shift = res - parent_res
+    if np.any(shift < 0):
+        raise ValueError("parent_res must be <= cell res")
+    return pack(parent_res, row >> shift, col >> shift)
+
+
+def children(cell_id: int) -> list[int]:
+    res, row, col = unpack(int(cell_id))
+    res, row, col = int(res), int(row), int(col)
+    return [
+        int(pack(res + 1, 2 * row + dr, 2 * col + dc))
+        for dr in (0, 1)
+        for dc in (0, 1)
+    ]
+
+
+def ring(cell_id: int, k: int) -> list[int]:
+    """All cells within Chebyshev distance k (the h3 ``grid_disk`` analogue;
+    used by kNN ring expansion, SURVEY.md §2.6). Lon wraps; lat clamps."""
+    res, row, col = unpack(int(cell_id))
+    res, row, col = int(res), int(row), int(col)
+    n = 1 << res
+    out = []
+    for dr in range(-k, k + 1):
+        r = row + dr
+        if r < 0 or r >= n:
+            continue
+        for dc in range(-k, k + 1):
+            out.append(int(pack(res, r, (col + dc) % n)))
+    return out
+
+
+def cells_for_bbox(
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int
+) -> np.ndarray:
+    """All cells intersecting a bbox (clip_box pushdown). No antimeridian wrap
+    (the reference raises on antimeridian boxes too,
+    /root/reference/rioxarray/raster_array.py:694-704)."""
+    n = 1 << res
+    eps = 1e-12
+    c0 = int(np.clip(np.floor((lon_min + 180.0) / 360.0 * n), 0, n - 1))
+    c1 = int(np.clip(np.floor((lon_max - eps + 180.0) / 360.0 * n), 0, n - 1))
+    r0 = int(np.clip(np.floor((90.0 - lat_max) / 180.0 * n), 0, n - 1))
+    r1 = int(np.clip(np.floor((90.0 - lat_min - eps) / 180.0 * n), 0, n - 1))
+    rows, cols = np.meshgrid(
+        np.arange(r0, r1 + 1, dtype=np.int64),
+        np.arange(c0, c1 + 1, dtype=np.int64),
+        indexing="ij",
+    )
+    return pack(np.int64(res), rows.ravel(), cols.ravel())

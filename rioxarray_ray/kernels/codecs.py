@@ -1,0 +1,140 @@
+"""Image codecs for the corpus ``fmt`` column (FIXTURES.md F1).
+
+The sandbox has no PIL/GDAL, so the corpus uses four self-defined formats:
+
+- ``raw16``: little-endian int16, band-major (band, row, col) C-order.
+- ``rawu8``: uint8, band-major.
+- ``pngz`` : lossless zlib-compressed scanline stream of the raw16 payload
+  (PNG-like in spirit: per-image zlib over row-major scanlines).
+- ``lq8``  : defined lossy quantization codec standing in for JPEG — per-band
+  affine quantization of int16 data to uint8 (code 255 reserved for nodata),
+  zlib-compressed.  PSNR >= 40 dB vs the pre-encode pixels is guaranteed for
+  the corpus's amplitude range and asserted in tests.
+
+Every payload starts with a 1-byte codec tag + band_count/h/w so decode is
+self-describing (decode also takes the row's w/h columns and validates them).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_MAGIC = {"raw16": b"\x01", "rawu8": b"\x02", "pngz": b"\x03", "lq8": b"\x04"}
+_HDR = struct.Struct("<cBHH")  # magic, bands, h, w
+
+FORMATS = tuple(_MAGIC)
+LOSSLESS = ("raw16", "rawu8", "pngz")
+NODATA_CODE = 255  # lq8 reserved code
+
+
+def dtype_for(fmt: str) -> np.dtype:
+    return np.dtype(np.uint8) if fmt == "rawu8" else np.dtype(np.int16)
+
+
+def encode(pixels: np.ndarray, fmt: str, nodata: float | None = None) -> bytes:
+    """Encode a (bands, h, w) array. ``nodata`` is needed for lq8 only."""
+    if pixels.ndim == 2:
+        pixels = pixels[None]
+    bands, h, w = pixels.shape
+    hdr = _HDR.pack(_MAGIC[fmt], bands, h, w)
+    if fmt == "raw16":
+        return hdr + np.ascontiguousarray(pixels, dtype="<i2").tobytes()
+    if fmt == "rawu8":
+        return hdr + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+    if fmt == "pngz":
+        return hdr + zlib.compress(
+            np.ascontiguousarray(pixels, dtype="<i2").tobytes(), 6
+        )
+    if fmt == "lq8":
+        arr = pixels.astype(np.float64)
+        valid = (
+            np.ones(arr.shape, dtype=bool) if nodata is None else pixels != nodata
+        )
+        body = bytearray()
+        codes = np.empty(arr.shape, dtype=np.uint8)
+        for b in range(bands):
+            v = arr[b][valid[b]]
+            lo = float(v.min()) if v.size else 0.0
+            hi = float(v.max()) if v.size else 1.0
+            if hi <= lo:
+                hi = lo + 1.0
+            step = (hi - lo) / 254.0
+            q = np.clip(np.rint((arr[b] - lo) / step), 0, 254).astype(np.uint8)
+            q[~valid[b]] = NODATA_CODE
+            codes[b] = q
+            body += struct.pack("<dd", lo, step)
+        nod = float(nodata) if nodata is not None else float("nan")
+        return hdr + struct.pack("<d", nod) + bytes(body) + zlib.compress(
+            codes.tobytes(), 6
+        )
+    raise ValueError(f"unknown fmt {fmt}")
+
+
+def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
+    """Decode to a (bands, h, w) numpy array (int16, or uint8 for rawu8).
+
+    For lq8 the dequantized value is rounded back to int16 and nodata codes
+    map back to the nodata value embedded in the payload header (exactly the
+    value the encoder was given), so nodata pixels round-trip losslessly.
+    """
+    magic, bands, h, w = _HDR.unpack_from(data, 0)
+    try:
+        tag = {v: k for k, v in _MAGIC.items()}[magic]
+    except KeyError:
+        raise ValueError(f"unknown payload tag {magic!r}") from None
+    if fmt is not None and fmt != tag:
+        raise ValueError(f"fmt column says {fmt} but payload is {tag}")
+    off = _HDR.size
+    if tag == "raw16":
+        return (
+            np.frombuffer(data, dtype="<i2", offset=off)
+            .reshape(bands, h, w)
+            .astype(np.int16)
+        )
+    if tag == "rawu8":
+        return (
+            np.frombuffer(data, dtype=np.uint8, offset=off)
+            .reshape(bands, h, w)
+            .copy()
+        )
+    if tag == "pngz":
+        raw = zlib.decompress(data[off:])
+        return np.frombuffer(raw, dtype="<i2").reshape(bands, h, w).astype(np.int16)
+    if tag == "lq8":
+        (nod,) = struct.unpack_from("<d", data, off)
+        off += 8
+        params = []
+        for _ in range(bands):
+            lo, step = struct.unpack_from("<dd", data, off)
+            params.append((lo, step))
+            off += 16
+        codes = np.frombuffer(zlib.decompress(data[off:]), dtype=np.uint8).reshape(
+            bands, h, w
+        )
+        out = np.empty((bands, h, w), dtype=np.int16)
+        nod_i = np.int16(nod) if nod == nod else np.int16(-32768)
+        for b, (lo, step) in enumerate(params):
+            vals = np.rint(lo + codes[b].astype(np.float64) * step)
+            band = np.clip(vals, -32768, 32767).astype(np.int16)
+            band[codes[b] == NODATA_CODE] = nod_i
+            out[b] = band
+        return out
+    raise ValueError(f"unknown payload tag {magic!r}")
+
+
+def psnr(reference: np.ndarray, decoded: np.ndarray, mask: np.ndarray | None = None):
+    """Peak signal-to-noise ratio in dB over valid pixels (inf when exact)."""
+    a = reference.astype(np.float64)
+    b = decoded.astype(np.float64)
+    if mask is not None:
+        a, b = a[mask], b[mask]
+    if a.size == 0:
+        return float("inf")
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    peak = float(np.max(np.abs(a))) or 1.0
+    return 10.0 * np.log10(peak * peak / mse)

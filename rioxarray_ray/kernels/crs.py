@@ -1,0 +1,344 @@
+"""Coordinate reference systems without pyproj/GDAL.
+
+The engine supports an explicit CRS whitelist (SURVEY.md §7.4) sufficient to
+cover the reference's test scenarios (geographic WGS84, Web Mercator, UTM
+zones, MODIS sinusoidal).  Forward/inverse math follows the standard public
+map-projection formulas (Snyder, "Map Projections — A Working Manual", USGS
+1987: Transverse Mercator eqs 8-9..8-25, Mercator eqs 7-1..7-5, Sinusoidal
+eqs 30-1..30-2), fully numpy-vectorized.
+
+Lenient parsing mirrors rioxarray.crs.crs_from_user_input
+(/root/reference/rioxarray/crs.py:12-45): accepts EPSG ints, "EPSG:n",
+proj4-ish strings, minimal WKT with an EPSG authority code, or a CRS object.
+``estimate_utm_crs`` reimplements the closed-form UTM zone pick
+(/root/reference/rioxarray/rioxarray.py:317-357).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+import numpy as np
+
+# WGS84 ellipsoid
+_A = 6378137.0
+_F = 1.0 / 298.257223563
+_E2 = _F * (2.0 - _F)
+_EP2 = _E2 / (1.0 - _E2)
+_K0 = 0.9996  # UTM scale factor
+_MERC_R = 6378137.0  # spherical web mercator radius
+_SINU_R = 6371007.181  # MODIS sinusoidal sphere radius
+
+_D2R = math.pi / 180.0
+_R2D = 180.0 / math.pi
+
+
+class CRSError(ValueError):
+    pass
+
+
+@dataclass(frozen=True)
+class CRS:
+    """A supported CRS. ``kind`` in {geographic, mercator, utm, sinusoidal}."""
+
+    kind: str
+    zone: int = 0  # UTM only
+    south: bool = False  # UTM only
+
+    # ---- identity / serialization -------------------------------------
+    @property
+    def is_geographic(self) -> bool:
+        return self.kind == "geographic"
+
+    @property
+    def is_projected(self) -> bool:
+        return not self.is_geographic
+
+    def to_epsg(self) -> int | None:
+        if self.kind == "geographic":
+            return 4326
+        if self.kind == "mercator":
+            return 3857
+        if self.kind == "utm":
+            return (32700 if self.south else 32600) + self.zone
+        return None  # sinusoidal has no EPSG
+
+    def to_string(self) -> str:
+        epsg = self.to_epsg()
+        if epsg is not None:
+            return f"EPSG:{epsg}"
+        return f"+proj=sinu +R={_SINU_R} +units=m +no_defs"
+
+    def to_wkt(self) -> str:
+        epsg = self.to_epsg()
+        if self.kind == "geographic":
+            return (
+                'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+                '6378137,298.257223563]],PRIMEM["Greenwich",0],'
+                'UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]'
+            )
+        name = {
+            "mercator": "WGS 84 / Pseudo-Mercator",
+            "utm": f"WGS 84 / UTM zone {self.zone}{'S' if self.south else 'N'}",
+            "sinusoidal": "MODIS Sinusoidal",
+        }[self.kind]
+        auth = f',AUTHORITY["EPSG","{epsg}"]' if epsg is not None else ""
+        return f'PROJCS["{name}",GEOGCS["WGS 84"],UNIT["metre",1]{auth}]'
+
+    def __str__(self) -> str:  # pragma: no cover - convenience
+        return self.to_string()
+
+    # ---- point transforms ---------------------------------------------
+    def forward(self, lon, lat):
+        """(lon, lat) degrees -> projected (x, y). Identity for geographic."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        if self.kind == "geographic":
+            return lon, lat
+        if self.kind == "mercator":
+            x = _MERC_R * lon * _D2R
+            lat_c = np.clip(lat, -89.9999, 89.9999)
+            y = _MERC_R * np.log(np.tan(math.pi / 4.0 + lat_c * _D2R / 2.0))
+            return x, y
+        if self.kind == "sinusoidal":
+            phi = lat * _D2R
+            x = _SINU_R * lon * _D2R * np.cos(phi)
+            y = _SINU_R * phi
+            return x, y
+        if self.kind == "utm":
+            return self._tm_forward(lon, lat)
+        raise CRSError(f"unknown kind {self.kind}")
+
+    def inverse(self, x, y):
+        """Projected (x, y) -> (lon, lat) degrees."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if self.kind == "geographic":
+            return x, y
+        if self.kind == "mercator":
+            lon = x / _MERC_R * _R2D
+            lat = (2.0 * np.arctan(np.exp(y / _MERC_R)) - math.pi / 2.0) * _R2D
+            return lon, lat
+        if self.kind == "sinusoidal":
+            phi = y / _SINU_R
+            cos_phi = np.cos(phi)
+            # guard poles where cos(phi) -> 0
+            lon = np.where(
+                np.abs(cos_phi) > 1e-12, x / (_SINU_R * cos_phi) * _R2D, 0.0
+            )
+            return lon, phi * _R2D
+        if self.kind == "utm":
+            return self._tm_inverse(x, y)
+        raise CRSError(f"unknown kind {self.kind}")
+
+    # ---- Transverse Mercator series (Snyder 1987 eqs 8-9..8-25) --------
+    @property
+    def _lon0(self) -> float:
+        return (self.zone - 1) * 6.0 - 180.0 + 3.0
+
+    def _tm_forward(self, lon, lat):
+        phi = np.asarray(lat, dtype=np.float64) * _D2R
+        lam = (np.asarray(lon, dtype=np.float64) - self._lon0) * _D2R
+        sin_p, cos_p = np.sin(phi), np.cos(phi)
+        tan_p = np.tan(phi)
+        N = _A / np.sqrt(1.0 - _E2 * sin_p**2)
+        T = tan_p**2
+        C = _EP2 * cos_p**2
+        Aa = lam * cos_p
+        e4, e6 = _E2**2, _E2**3
+        M = _A * (
+            (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+            - (3 * _E2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+            + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+            - (35 * e6 / 3072) * np.sin(6 * phi)
+        )
+        x = (
+            _K0
+            * N
+            * (
+                Aa
+                + (1 - T + C) * Aa**3 / 6
+                + (5 - 18 * T + T**2 + 72 * C - 58 * _EP2) * Aa**5 / 120
+            )
+            + 500000.0
+        )
+        y = _K0 * (
+            M
+            + N
+            * tan_p
+            * (
+                Aa**2 / 2
+                + (5 - T + 9 * C + 4 * C**2) * Aa**4 / 24
+                + (61 - 58 * T + T**2 + 600 * C - 330 * _EP2) * Aa**6 / 720
+            )
+        )
+        if self.south:
+            y = y + 10000000.0
+        return x, y
+
+    def _tm_inverse(self, x, y):
+        x = np.asarray(x, dtype=np.float64) - 500000.0
+        y = np.asarray(y, dtype=np.float64)
+        if self.south:
+            y = y - 10000000.0
+        e4, e6 = _E2**2, _E2**3
+        M = y / _K0
+        mu = M / (_A * (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
+        e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
+        phi1 = (
+            mu
+            + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+            + (151 * e1**3 / 96) * np.sin(6 * mu)
+            + (1097 * e1**4 / 512) * np.sin(8 * mu)
+        )
+        sin1, cos1 = np.sin(phi1), np.cos(phi1)
+        tan1 = np.tan(phi1)
+        C1 = _EP2 * cos1**2
+        T1 = tan1**2
+        N1 = _A / np.sqrt(1 - _E2 * sin1**2)
+        R1 = _A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
+        D = x / (N1 * _K0)
+        phi = phi1 - (N1 * tan1 / R1) * (
+            D**2 / 2
+            - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * _EP2) * D**4 / 24
+            + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * _EP2 - 3 * C1**2)
+            * D**6
+            / 720
+        )
+        lam = (
+            D
+            - (1 + 2 * T1 + C1) * D**3 / 6
+            + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * _EP2 + 24 * T1**2)
+            * D**5
+            / 120
+        ) / cos1
+        return self._lon0 + lam * _R2D, phi * _R2D
+
+
+GEOGRAPHIC = CRS("geographic")
+WEB_MERCATOR = CRS("mercator")
+SINUSOIDAL = CRS("sinusoidal")
+
+
+def utm(zone: int, south: bool = False) -> CRS:
+    if not 1 <= zone <= 60:
+        raise CRSError(f"invalid UTM zone {zone}")
+    return CRS("utm", zone=zone, south=south)
+
+
+def from_epsg(code: int) -> CRS:
+    if code == 4326:
+        return GEOGRAPHIC
+    if code == 3857:
+        return WEB_MERCATOR
+    if 32601 <= code <= 32660:
+        return utm(code - 32600, south=False)
+    if 32701 <= code <= 32760:
+        return utm(code - 32700, south=True)
+    raise CRSError(f"EPSG:{code} is outside the supported whitelist")
+
+
+def from_user_input(value) -> CRS:
+    """Lenient parse (semantics of /root/reference/rioxarray/crs.py:12-45)."""
+    if isinstance(value, CRS):
+        return value
+    if isinstance(value, int):
+        return from_epsg(value)
+    if hasattr(value, "to_string") and not isinstance(value, str):
+        value = value.to_string()
+    if not isinstance(value, str):
+        raise CRSError(f"cannot parse CRS from {type(value)}")
+    s = value.strip()
+    m = re.match(r"^(?:epsg|EPSG):(\d+)$", s)
+    if m:
+        return from_epsg(int(m.group(1)))
+    if s.isdigit():
+        return from_epsg(int(s))
+    if s.startswith("+") or " +" in s:  # proj4-ish
+        kv = dict(
+            (p.split("=", 1) + [None])[:2] for p in s.split() if p.startswith("+")
+        )
+        proj = (kv.get("+proj") or "").lower()
+        if proj in ("longlat", "latlong"):
+            return GEOGRAPHIC
+        if proj == "sinu":
+            return SINUSOIDAL
+        if proj in ("merc", "webmerc"):
+            return WEB_MERCATOR
+        if proj == "utm":
+            zone = int(kv.get("+zone", 0))
+            return utm(zone, south="+south" in s)
+        if proj == "tmerc":
+            lon0 = float(kv.get("+lon_0", 0))
+            zone = int(round((lon0 + 183.0) / 6.0))
+            return utm(zone, south=float(kv.get("+y_0", 0) or 0) > 0)
+        raise CRSError(f"unsupported proj4 string: {s}")
+    # minimal WKT: find the last EPSG authority/id code
+    codes = re.findall(r'(?:AUTHORITY|ID)\[\s*"?EPSG"?\s*,\s*"?(\d+)"?', s)
+    if codes:
+        return from_epsg(int(codes[-1]))
+    if "sinusoidal" in s.lower() or '"sinu' in s.lower():
+        return SINUSOIDAL
+    raise CRSError(f"cannot parse CRS: {s[:120]}")
+
+
+def crs_equal(a, b) -> bool:
+    return from_user_input(a) == from_user_input(b)
+
+
+def estimate_utm_crs(min_lon, min_lat, max_lon, max_lat) -> CRS:
+    """Closed-form UTM zone from the bbox center
+    (semantics of /root/reference/rioxarray/rioxarray.py:317-357)."""
+    lon = (float(min_lon) + float(max_lon)) / 2.0
+    lat = (float(min_lat) + float(max_lat)) / 2.0
+    zone = int(math.floor((lon + 180.0) / 6.0)) + 1
+    zone = min(max(zone, 1), 60)
+    return utm(zone, south=lat < 0)
+
+
+def transform_points(src: CRS, dst: CRS, xs, ys):
+    """Project points src -> dst (through lon/lat). Identity when src == dst."""
+    if src == dst:
+        return np.asarray(xs, dtype=np.float64), np.asarray(ys, dtype=np.float64)
+    lon, lat = src.inverse(xs, ys)
+    return dst.forward(lon, lat)
+
+
+def transform_bounds(
+    src: CRS,
+    dst: CRS,
+    left: float,
+    bottom: float,
+    right: float,
+    top: float,
+    densify_pts: int = 21,
+):
+    """Reproject bounds with edge densification (semantics of
+    rasterio.warp.transform_bounds as used at
+    /root/reference/rioxarray/rioxarray.py:951-980; densify_pts=21 default)."""
+    if densify_pts < 0:
+        raise ValueError("densify_pts must be >= 0")
+    n = densify_pts + 2
+    tx = np.linspace(left, right, n)
+    ty = np.linspace(bottom, top, n)
+    xs = np.concatenate([tx, np.full(n, right), tx[::-1], np.full(n, left)])
+    ys = np.concatenate([np.full(n, bottom), ty, np.full(n, top), ty[::-1]])
+    px, py = transform_points(src, dst, xs, ys)
+    return float(np.min(px)), float(np.min(py)), float(np.max(px)), float(np.max(py))
+
+
+def transform_geom(src: CRS, dst: CRS, rings: list) -> list:
+    """Reproject polygon rings (list of (N,2) vertex arrays) src -> dst.
+
+    Semantics of rasterio.warp.transform_geom as used by clip
+    (/root/reference/rioxarray/raster_array.py:829-831), without densification.
+    """
+    out = []
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        x, y = transform_points(src, dst, r[:, 0], r[:, 1])
+        out.append(np.stack([x, y], axis=1))
+    return out

@@ -1,0 +1,225 @@
+"""Affine warp / resample kernels (the from-scratch replacement for
+``rasterio.warp.reproject`` + ``calculate_default_transform`` used at
+/root/reference/rioxarray/raster_array.py:287-298 and
+/root/reference/rioxarray/_spatial_utils.py:380-420).
+
+Strategy: inverse mapping.  For every destination pixel CENTER, project
+dst -> lon/lat -> src CRS, convert to fractional src pixel coordinates via
+the inverse src affine, then gather with the chosen resampling kernel:
+
+- ``nearest``  : the src pixel containing the point (floor), exact on
+  aligned grids;
+- ``bilinear`` : 4-tap weighted gather in pixel-center space, nodata taps
+  excluded with weight renormalization (all-invalid -> nodata);
+- ``cubic``    : 16-tap Keys kernel (a = -0.5), same nodata policy.
+
+Bit-level parity with GDAL is explicitly NOT a goal (the reference itself
+forks its goldens by GDAL version — test_integration_rioxarray.py:64-66);
+correctness criteria are exactness for nearest on aligned grids and
+allclose/PSNR elsewhere (SURVEY.md §5, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import affine as aff
+from . import crs as crs_mod
+from .nodata import default_nodata, valid_mask
+
+RESAMPLING_NAMES = ("nearest", "bilinear", "cubic")
+# extra src pixels a dst pixel may need beyond the containing one (halo width
+# for tiled warps; SURVEY.md §7.4)
+KERNEL_MARGIN = {"nearest": 0, "bilinear": 1, "cubic": 2}
+
+
+def resolve_resampling(name) -> str:
+    """Parse a resampling name (semantics of _spatial_utils.py:307-323)."""
+    if isinstance(name, str):
+        low = name.lower()
+        if low in RESAMPLING_NAMES:
+            return low
+    raise ValueError(
+        f"resampling must be one of {RESAMPLING_NAMES}, got {name!r}"
+    )
+
+
+def calculate_default_transform(
+    src_crs,
+    dst_crs,
+    width: int,
+    height: int,
+    left: float,
+    bottom: float,
+    right: float,
+    top: float,
+    resolution=None,
+    dst_width: int | None = None,
+    dst_height: int | None = None,
+):
+    """Plan the destination grid: (dst_transform, dst_width, dst_height).
+
+    Mirrors the contract of rioxarray._make_dst_affine
+    (/root/reference/rioxarray/_spatial_utils.py:380-420): ``resolution`` and
+    (dst_width, dst_height) are mutually exclusive refinements; with neither,
+    the output resolution is chosen so the dst grid has approximately the
+    same number of pixels as the src (GDALSuggestedWarpOutput-style: square
+    pixels, size = sqrt(extent_area / src_pixel_count)).
+    """
+    src_crs = crs_mod.from_user_input(src_crs)
+    dst_crs = crs_mod.from_user_input(dst_crs)
+    if resolution is not None and (dst_width or dst_height):
+        raise ValueError("resolution and shape cannot both be provided")
+    dl, db, dr, dt = crs_mod.transform_bounds(
+        src_crs, dst_crs, left, bottom, right, top
+    )
+    if dst_width and dst_height:
+        resx = (dr - dl) / dst_width
+        resy = (dt - db) / dst_height
+        w, h = int(dst_width), int(dst_height)
+    else:
+        if resolution is None:
+            area = (dr - dl) * (dt - db)
+            pix = float(max(width * height, 1))
+            res = float(np.sqrt(max(area, 0.0) / pix))
+            resx = resy = res if res > 0 else 1.0
+        elif np.isscalar(resolution):
+            resx = resy = float(resolution)
+        else:
+            resx, resy = (float(resolution[0]), float(resolution[1]))
+        w = max(int(round((dr - dl) / resx)), 1)
+        h = max(int(round((dt - db) / resy)), 1)
+    transform = aff.compose(aff.translation(dl, dt), aff.scale(resx, -resy))
+    return transform, w, h
+
+
+def _src_fractional_coords(
+    dst_transform, dst_shape, dst_crs, src_crs, src_transform
+):
+    """Fractional src pixel coords of every dst pixel center: (fcol, frow)."""
+    h, w = dst_shape
+    cols = np.arange(w, dtype=np.float64) + 0.5
+    rows = np.arange(h, dtype=np.float64) + 0.5
+    cgrid, rgrid = np.meshgrid(cols, rows)
+    dx, dy = aff.apply(dst_transform, cgrid, rgrid)
+    sx, sy = crs_mod.transform_points(dst_crs, src_crs, dx.ravel(), dy.ravel())
+    fcol, frow = aff.apply_inverse(src_transform, sx, sy)
+    return fcol.reshape(h, w), frow.reshape(h, w)
+
+
+def _gather(band, rows, cols, valid):
+    """Safe fancy-gather: out-of-range indices produce garbage marked invalid."""
+    h, w = band.shape
+    r = np.clip(rows, 0, h - 1)
+    c = np.clip(cols, 0, w - 1)
+    inb = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+    return band[r, c], valid[r, c] & inb
+
+
+def _resample_band(band, vmask, fcol, frow, method):
+    """Resample one (h, w) band at fractional coords. Returns (values, ok)."""
+    if method == "nearest":
+        c = np.floor(fcol).astype(np.int64)
+        r = np.floor(frow).astype(np.int64)
+        vals, ok = _gather(band, r, c, vmask)
+        return vals.astype(np.float64), ok
+    # pixel-center sample position
+    x = fcol - 0.5
+    y = frow - 0.5
+    if method == "bilinear":
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.floor(y).astype(np.int64)
+        fx = x - x0
+        fy = y - y0
+        acc = np.zeros(x.shape, dtype=np.float64)
+        wacc = np.zeros(x.shape, dtype=np.float64)
+        for dy_ in (0, 1):
+            wy = np.where(dy_ == 0, 1.0 - fy, fy)
+            for dx_ in (0, 1):
+                wx = np.where(dx_ == 0, 1.0 - fx, fx)
+                v, ok = _gather(band, y0 + dy_, x0 + dx_, vmask)
+                wgt = wx * wy * ok
+                acc += np.where(ok, v, 0.0) * wgt
+                wacc += wgt
+        ok = wacc > 1e-9
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = acc / wacc
+        return out, ok
+    if method == "cubic":
+        x0 = np.floor(x).astype(np.int64)
+        y0 = np.floor(y).astype(np.int64)
+        fx = x - x0
+        fy = y - y0
+        wx = [_keys(fx + 1.0), _keys(fx), _keys(1.0 - fx), _keys(2.0 - fx)]
+        wy = [_keys(fy + 1.0), _keys(fy), _keys(1.0 - fy), _keys(2.0 - fy)]
+        acc = np.zeros(x.shape, dtype=np.float64)
+        wacc = np.zeros(x.shape, dtype=np.float64)
+        for j in range(4):
+            for i in range(4):
+                v, ok = _gather(band, y0 + j - 1, x0 + i - 1, vmask)
+                wgt = wx[i] * wy[j] * ok
+                acc += np.where(ok, v, 0.0) * wgt
+                wacc += wgt
+        # GDAL-style: reject when too much kernel mass fell on invalid taps
+        ok = wacc > 0.5
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = acc / wacc
+        return out, ok
+    raise ValueError(f"unknown resampling {method}")
+
+
+def _keys(t):
+    """Keys cubic convolution kernel, a = -0.5 (public Keys 1981 formula)."""
+    at = np.abs(t)
+    a = -0.5
+    return np.where(
+        at <= 1.0,
+        (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0,
+        np.where(at < 2.0, a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a, 0.0),
+    )
+
+
+def reproject_array(
+    src: np.ndarray,
+    src_transform,
+    src_crs,
+    dst_transform,
+    dst_shape: tuple[int, int],
+    dst_crs,
+    resampling: str = "nearest",
+    src_nodata=None,
+    dst_nodata=None,
+    dst_dtype=None,
+):
+    """Warp a (bands, h, w) or (h, w) array onto a destination grid.
+
+    Returns (dst_array, dst_nodata).  Semantics follow
+    /root/reference/rioxarray/raster_array.py:198-309: dst nodata defaults to
+    src nodata, else the dtype default table; output dtype defaults to the
+    src dtype.
+    """
+    squeeze = src.ndim == 2
+    if squeeze:
+        src = src[None]
+    method = resolve_resampling(resampling)
+    src_crs = crs_mod.from_user_input(src_crs)
+    dst_crs = crs_mod.from_user_input(dst_crs)
+    out_dtype = np.dtype(dst_dtype) if dst_dtype is not None else src.dtype
+    if dst_nodata is None:
+        dst_nodata = src_nodata if src_nodata is not None else default_nodata(out_dtype)
+    fcol, frow = _src_fractional_coords(
+        dst_transform, dst_shape, dst_crs, src_crs, src_transform
+    )
+    bands = src.shape[0]
+    out = np.empty((bands,) + tuple(dst_shape), dtype=out_dtype)
+    for b in range(bands):
+        vm = valid_mask(src[b], src_nodata)
+        vals, ok = _resample_band(src[b], vm, fcol, frow, method)
+        if out_dtype.kind in "iu":
+            vals = np.rint(vals)
+        filled = np.where(ok, vals, float(dst_nodata) if dst_nodata == dst_nodata else np.nan)
+        if out_dtype.kind in "iu":
+            info = np.iinfo(out_dtype)
+            filled = np.clip(filled, info.min, info.max)
+        out[b] = filled.astype(out_dtype)
+    return (out[0] if squeeze else out), dst_nodata

@@ -1,0 +1,396 @@
+"""Unit tests for the pure-numpy kernel layer (SURVEY.md §5 strategy (a)/(b):
+literal oracles + round-trip / subset-equivalence invariants)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rioxarray_ray.kernels import affine as aff
+from rioxarray_ray.kernels import cellindex, codecs, crs
+from rioxarray_ray.kernels import geometry as geom
+from rioxarray_ray.kernels import merge as merge_mod
+from rioxarray_ray.kernels import nodata as nodata_mod
+from rioxarray_ray.kernels.raster import (
+    MissingCRS,
+    NoDataInBounds,
+    OneDimensionalRaster,
+    Raster,
+)
+
+
+# ---------------------------------------------------------------- affine
+def test_affine_round_trips():
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    x, y = aff.apply(t, 10, 20)
+    c, r = aff.apply_inverse(t, x, y)
+    assert abs(c - 10) < 1e-9 and abs(r - 20) < 1e-9
+    xs, ys = aff.affine_to_coords(t, 4, 3)
+    assert np.allclose(t, aff.coords_to_affine(xs, ys))
+    assert aff.from_gdal(*aff.to_gdal(t)) == t
+    assert np.allclose(aff.compose(t, aff.invert(t)), aff.IDENTITY)
+
+
+def test_affine_bounds_and_resolution():
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    left, bottom, right, top = aff.bounds(t, 50, 40)
+    assert (left, top) == (-60.0, 40.0)
+    assert abs(right - (-60.0 + 50 * 0.005)) < 1e-12
+    assert abs(bottom - (40.0 - 40 * 0.005)) < 1e-12
+    assert aff.resolution(t) == (0.005, 0.005)
+    assert not aff.has_rotation(t)
+    assert aff.has_rotation((1.0, 0.2, 0.0, 0.0, -1.0, 0.0))
+
+
+def test_window_from_bounds_matches_isel():
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    wb = aff.bounds(aff.window_transform(t, 10, 5), 20, 15)
+    c0, r0, w, h = aff.window_from_bounds(t, *wb)
+    assert (round(c0), round(r0), round(w), round(h)) == (10, 5, 20, 15)
+
+
+# ---------------------------------------------------------------- crs
+@pytest.mark.parametrize(
+    "c,lons,lats",
+    [
+        (crs.WEB_MERCATOR, [-93.2, 0.0, 140.0], [42.1, -70.0, 5.0]),
+        (crs.utm(15), [-95.5, -93.0, -90.2], [30.0, 42.0, 49.5]),
+        (crs.utm(33, south=True), [12.2, 15.1, 17.9], [-42.1, -45.3, -38.9]),
+        (crs.SINUSOIDAL, [-93.2, 10.0, 140.0], [42.1, -70.0, 5.0]),
+    ],
+)
+def test_crs_forward_inverse_round_trip(c, lons, lats):
+    lon = np.asarray(lons)
+    lat = np.asarray(lats)
+    x, y = c.forward(lon, lat)
+    lo, la = c.inverse(x, y)
+    assert np.allclose(lo, lon, atol=1e-7)
+    assert np.allclose(la, lat, atol=1e-7)
+
+
+def test_crs_known_values():
+    # UTM central meridian at the equator is (500000, 0)
+    x, y = crs.utm(15).forward(-93.0, 0.0)
+    assert abs(x - 500000.0) < 1e-6 and abs(y) < 1e-6
+    # web mercator world edge
+    x, _ = crs.WEB_MERCATOR.forward(180.0, 0.0)
+    assert abs(x - 20037508.342789244) < 1e-3
+
+
+def test_crs_parsing():
+    assert crs.from_user_input("EPSG:4326") == crs.GEOGRAPHIC
+    assert crs.from_user_input(3857) == crs.WEB_MERCATOR
+    # the reference's literal UTM proj string (FIXTURES.md F4)
+    c = crs.from_user_input("+datum=WGS84 +no_defs +proj=utm +units=m +zone=15")
+    assert c == crs.utm(15)
+    assert crs.from_user_input("EPSG:32715") == crs.utm(15, south=True)
+    assert crs.from_user_input(crs.SINUSOIDAL.to_string()) == crs.SINUSOIDAL
+    assert crs.from_user_input(crs.utm(15).to_wkt()) == crs.utm(15)
+    with pytest.raises(crs.CRSError):
+        crs.from_user_input("EPSG:2154")  # outside whitelist
+
+
+def test_estimate_utm_crs():
+    assert crs.estimate_utm_crs(-94, 40, -92, 44) == crs.utm(15)
+    assert crs.estimate_utm_crs(14, -44, 16, -40) == crs.utm(33, south=True)
+
+
+def test_transform_bounds_densification():
+    # a straight lat edge bulges in Mercator-like projections; densified
+    # envelope must contain the undensified corner envelope
+    b0 = crs.transform_bounds(
+        crs.GEOGRAPHIC, crs.utm(15), -99.0, 30.0, -87.0, 45.0, densify_pts=0
+    )
+    b21 = crs.transform_bounds(
+        crs.GEOGRAPHIC, crs.utm(15), -99.0, 30.0, -87.0, 45.0, densify_pts=21
+    )
+    assert b21[0] <= b0[0] and b21[1] <= b0[1]
+    assert b21[2] >= b0[2] and b21[3] >= b0[3]
+
+
+# ---------------------------------------------------------------- codecs
+def test_codecs_lossless_round_trip(rng):
+    px = rng.integers(-3000, 3000, size=(2, 37, 53)).astype(np.int16)
+    px[0, 5:9, 5:9] = -28672
+    for fmt in ("raw16", "pngz"):
+        assert np.array_equal(codecs.decode(codecs.encode(px, fmt), fmt), px)
+    u8 = rng.integers(0, 250, size=(1, 20, 30)).astype(np.uint8)
+    assert np.array_equal(codecs.decode(codecs.encode(u8, "rawu8"), "rawu8"), u8)
+
+
+def test_codec_lq8_psnr_and_nodata(rng):
+    px = rng.integers(-3000, 3000, size=(2, 37, 53)).astype(np.int16)
+    px[0, 5:9, 5:9] = -28672
+    dec = codecs.decode(codecs.encode(px, "lq8", nodata=-28672), "lq8")
+    mask = px != -28672
+    assert np.array_equal(dec == -28672, ~mask)  # nodata survives exactly
+    assert codecs.psnr(px, dec, mask) >= 40.0  # BASELINE.md criterion
+
+
+def test_codec_fmt_mismatch_raises(rng):
+    px = rng.integers(0, 10, size=(1, 4, 4)).astype(np.int16)
+    with pytest.raises(ValueError):
+        codecs.decode(codecs.encode(px, "raw16"), "pngz")
+
+
+# ---------------------------------------------------------------- cell index
+def test_cellindex_pack_matches_sql_formula():
+    cid = int(cellindex.cell(-93.0, 42.0, 10))
+    res, row, col = (int(v) for v in cellindex.unpack(cid))
+    assert cid == res * 2**52 + row * 2**26 + col  # the DuckDB oracle formula
+    lon0, lat0, lon1, lat1 = cellindex.cell_bounds(cid)
+    assert lon0 <= -93.0 < lon1 and lat0 <= 42.0 <= lat1
+
+
+def test_cellindex_hierarchy_and_ring():
+    cid = int(cellindex.cell(-93.0, 42.0, 10))
+    kids = cellindex.children(cid)
+    assert len(kids) == 4
+    assert all(int(cellindex.parent(k, 10)) == cid for k in kids)
+    assert len(cellindex.ring(cid, 1)) == 9
+    assert cid in cellindex.ring(cid, 1)
+    covered = cellindex.cells_for_bbox(-93.1, 41.9, -92.9, 42.1, 10)
+    assert cid in set(int(c) for c in covered)
+
+
+# ---------------------------------------------------------------- nodata
+def test_nodata_defaults_and_coercion():
+    assert nodata_mod.default_nodata(np.int16) == -32768
+    assert nodata_mod.default_nodata(np.uint8) == 255
+    assert np.isnan(nodata_mod.default_nodata(np.float32))
+    assert nodata_mod.ensure_nodata_dtype(255, np.uint8) == 255
+    with pytest.raises(ValueError):
+        nodata_mod.ensure_nodata_dtype(65535, np.uint8)
+    with pytest.raises(ValueError):
+        nodata_mod.ensure_nodata_dtype(float("nan"), np.int16)
+
+
+# ---------------------------------------------------------------- raster ops
+def test_identity_reproject_is_exact(demo_raster):
+    out = demo_raster.reproject(
+        crs.GEOGRAPHIC,
+        transform=demo_raster.transform,
+        shape=demo_raster.shape,
+        resampling="nearest",
+    )
+    assert np.array_equal(out.pixels, demo_raster.pixels)
+
+
+def test_reproject_requires_crs(demo_raster):
+    r = Raster(demo_raster.pixels, demo_raster.transform, None, -28672)
+    with pytest.raises(MissingCRS):
+        r.reproject(crs.WEB_MERCATOR)
+
+
+def test_reproject_resolution_xor_shape(demo_raster):
+    with pytest.raises(Exception, match="resolution cannot be used"):
+        demo_raster.reproject(crs.WEB_MERCATOR, resolution=100.0, shape=(10, 10))
+
+
+def test_reproject_default_nodata_from_dtype(demo_raster):
+    r = Raster(demo_raster.pixels, demo_raster.transform, crs.GEOGRAPHIC, None)
+    out = r.reproject(crs.WEB_MERCATOR)
+    assert out.nodata == -32768  # int16 default (S3; _spatial_utils.py:28-45)
+
+
+def test_reproject_smooth_round_trip():
+    yy, xx = np.mgrid[0:40, 0:50]
+    smooth = (1000 * np.sin(xx / 8.0) * np.cos(yy / 9.0) + 20 * xx + 10 * yy)[None]
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    rs = Raster(smooth, t, crs.GEOGRAPHIC, nodata=None)
+    u = crs.estimate_utm_crs(*rs.bounds())
+    for meth, rel_tol in [("bilinear", 0.005), ("cubic", 0.001)]:
+        back = rs.reproject(u, resampling=meth).reproject(
+            crs.GEOGRAPHIC, transform=t, shape=rs.shape, resampling=meth
+        )
+        inner = back.pixels[0][3:-3, 3:-3]
+        ref = smooth[0][3:-3, 3:-3]
+        valid = ~np.isnan(inner)
+        rel = np.abs(inner[valid] - ref[valid]).max() / (ref.max() - ref.min())
+        assert rel < rel_tol, (meth, rel)
+
+
+def test_reproject_match_grid_exact(demo_raster):
+    u = crs.estimate_utm_crs(*demo_raster.bounds())
+    match = demo_raster.reproject(u, resolution=500.0)
+    out = demo_raster.reproject_match(match)
+    assert out.shape == match.shape
+    assert out.transform == match.transform  # bit-equal grid (issue #298)
+    assert out.crs == match.crs
+
+
+def test_clip_rect_equals_window_slice(demo_raster):
+    t = demo_raster.transform
+    poly = geom.rect_geometry(*aff.bounds(aff.window_transform(t, 10, 5), 20, 15))
+    clipped = demo_raster.clip([poly])
+    sliced = demo_raster.isel_window(5, 10, 15, 20)
+    assert np.array_equal(clipped.pixels, sliced.pixels)
+    assert np.allclose(clipped.transform, sliced.transform)
+
+
+def test_clip_invert_checksum(demo_raster):
+    t = demo_raster.transform
+    px = demo_raster.pixels
+    poly = geom.rect_geometry(*aff.bounds(aff.window_transform(t, 10, 5), 20, 15))
+    cl = demo_raster.clip([poly], drop=False)
+    ci = demo_raster.clip([poly], drop=False, invert=True)
+    total = px[demo_raster.valid_mask()].astype(np.int64).sum()
+    s1 = cl.pixels[cl.valid_mask()].astype(np.int64).sum()
+    s2 = ci.pixels[ci.valid_mask()].astype(np.int64).sum()
+    assert s1 + s2 == total
+    assert cl.shape == demo_raster.shape  # drop=False keeps shape
+
+
+def test_clip_all_outside_raises(demo_raster):
+    poly = geom.rect_geometry(10, 10, 11, 11)
+    with pytest.raises(NoDataInBounds):
+        demo_raster.clip([poly])
+
+
+def test_clip_box_pad_box_round_trip(demo_raster):
+    t = demo_raster.transform
+    wb = aff.bounds(aff.window_transform(t, 10, 5), 20, 15)
+    sub = demo_raster.clip_box(*wb)
+    padded = sub.pad_box(*demo_raster.bounds())
+    assert padded.shape == demo_raster.shape
+    assert np.allclose(padded.transform, demo_raster.transform)
+    ring = np.ones(demo_raster.shape, bool)
+    ring[5:20, 10:30] = False
+    assert (padded.pixels[0][ring] == -28672).all()
+    assert np.array_equal(
+        padded.pixels[0][5:20, 10:30], demo_raster.pixels[0][5:20, 10:30]
+    )
+
+
+def test_clip_box_error_contracts(demo_raster):
+    with pytest.raises(OneDimensionalRaster):
+        demo_raster.clip_box(-59.9, 39.9, -59.899, 39.901)
+    demo_raster.clip_box(
+        -59.9, 39.9, -59.899, 39.901, allow_one_dimensional_raster=True
+    )
+    with pytest.raises(NoDataInBounds):
+        demo_raster.clip_box(10, 10, 11, 11)
+    with pytest.raises(Exception, match="antimeridian"):
+        demo_raster.clip_box(-19.5e6, 3.5e6, 19.5e6, 6.5e6, crs=crs.WEB_MERCATOR)
+
+
+def test_clip_box_auto_expand(demo_raster):
+    out = demo_raster.clip_box(-59.9, 39.9, -59.899, 39.901, auto_expand=True)
+    assert out.width > 1 and out.height > 1
+
+
+def test_merge_quadrants_reassembles(demo_raster):
+    r = demo_raster
+    q = [
+        r.isel_window(0, 0, 20, 25),
+        r.isel_window(0, 25, 20, 25),
+        r.isel_window(20, 0, 20, 25),
+        r.isel_window(20, 25, 20, 25),
+    ]
+    mt, mw, mh = merge_mod.union_grid([x.bounds() for x in q], r.resolution())
+    assert (mw, mh) == (50, 40)
+    merged = merge_mod.merge_tiles(
+        [(x.pixels, x.transform) for x in q], mt, (mh, mw), -28672, "first",
+        dtype=r.pixels.dtype,
+    )
+    assert np.array_equal(merged, r.pixels)
+    assert np.allclose(mt, r.transform)
+
+
+def test_merge_methods_on_overlap(demo_raster):
+    r = demo_raster
+    o1 = r.isel_window(0, 0, 40, 30)
+    o2 = r.isel_window(0, 20, 40, 30)
+    mt, mw, mh = merge_mod.union_grid([o1.bounds(), o2.bounds()], r.resolution())
+    srcs = [(o1.pixels, o1.transform), (o2.pixels, o2.transform)]
+    cnt = merge_mod.merge_tiles(srcs, mt, (mh, mw), -28672, "count", dtype=np.float64)
+    assert cnt[0].max() == 2.0  # overlap column band
+    first = merge_mod.merge_tiles(srcs, mt, (mh, mw), -28672, "first", dtype=np.int16)
+    last = merge_mod.merge_tiles(srcs, mt, (mh, mw), -28672, "last", dtype=np.int16)
+    # overlap: columns 20..29; source order decides the winner
+    both_valid = (cnt[0] == 2.0)
+    assert np.array_equal(first[0][both_valid], r.pixels[0][both_valid])
+    assert np.array_equal(last[0][both_valid], r.pixels[0][both_valid])
+    mx = merge_mod.merge_tiles(srcs, mt, (mh, mw), -28672, "max", dtype=np.int16)
+    mn = merge_mod.merge_tiles(srcs, mt, (mh, mw), -28672, "min", dtype=np.int16)
+    assert (mx[0][both_valid] >= mn[0][both_valid]).all()
+
+
+def test_interpolate_na_nearest_exact(demo_raster):
+    r2 = demo_raster.interpolate_na("nearest")
+    px = demo_raster.pixels
+    assert (r2.pixels != -28672).all()
+    assert np.array_equal(r2.pixels[px != -28672], px[px != -28672])
+    vm = px[0] != -28672
+    ys, xs = np.nonzero(vm)
+    iys, ixs = np.nonzero(~vm)
+    for k in range(len(iys)):
+        d2 = (ys - iys[k]) ** 2 + (xs - ixs[k]) ** 2
+        dmin = d2.min()
+        cand = {int(px[0][ys[m], xs[m]]) for m in np.nonzero(d2 == dmin)[0]}
+        assert int(r2.pixels[0][iys[k], ixs[k]]) in cand
+
+
+def test_interpolate_na_all_nodata_passthrough():
+    t = aff.compose(aff.translation(0, 0), aff.scale(1, -1))
+    px = np.full((1, 5, 5), -28672, dtype=np.int16)
+    r = Raster(px, t, crs.GEOGRAPHIC, nodata=-28672)
+    out = r.interpolate_na("nearest")
+    assert np.array_equal(out.pixels, px)  # reference behavior (:1577)
+
+
+# ---------------------------------------------------------------- geometry
+def test_pip_star_polygon_matches_brute_force(rng):
+    # concave star polygon vs per-point brute-force ray casting
+    angles = np.linspace(0, 2 * np.pi, 11)[:-1]
+    radius = np.where(np.arange(10) % 2 == 0, 1.0, 0.45)
+    verts = np.stack([radius * np.cos(angles), radius * np.sin(angles)], 1)
+    ring = np.vstack([verts, verts[:1]])
+    poly = {"type": "Polygon", "coordinates": [ring.tolist()]}
+    pts = rng.uniform(-1.2, 1.2, size=(500, 2))
+    got = geom.points_in_geometry(pts[:, 0], pts[:, 1], poly)
+    exp = np.array(
+        [bool(geom.points_in_rings(np.array([x]), np.array([y]),
+                                   [ring])[0]) for x, y in pts]
+    )
+    assert np.array_equal(got, exp)
+    assert 0 < got.sum() < len(pts)
+
+
+def test_polygon_with_hole():
+    outer = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]
+    inner = [[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]]
+    poly = {"type": "Polygon", "coordinates": [outer, inner]}
+    assert geom.points_in_geometry([1.0], [1.0], poly)[0]
+    assert not geom.points_in_geometry([5.0], [5.0], poly)[0]
+    t = aff.compose(aff.translation(0, 10), aff.scale(1, -1))
+    inside = geom.rasterize([poly], (10, 10), t)
+    assert inside[0, 0] and not inside[5, 5]
+    assert inside.sum() == 100 - 16
+
+
+def test_geometry_mask_contract():
+    poly = geom.rect_geometry(2, 2, 5, 5)
+    t = aff.compose(aff.translation(0, 10), aff.scale(1, -1))
+    mask = geom.geometry_mask([poly], (10, 10), t)
+    # default: True OUTSIDE (rasterio contract)
+    assert mask.sum() == 100 - 9
+    inv = geom.geometry_mask([poly], (10, 10), t, invert=True)
+    assert np.array_equal(mask, ~inv)
+
+
+def test_all_touched_superset():
+    tri = {"type": "Polygon",
+           "coordinates": [[[0.2, 0.2], [7.7, 1.1], [3.3, 8.8], [0.2, 0.2]]]}
+    t = aff.compose(aff.translation(0, 10), aff.scale(1, -1))
+    center = geom.rasterize([tri], (10, 10), t, all_touched=False)
+    touched = geom.rasterize([tri], (10, 10), t, all_touched=True)
+    assert (touched | center).sum() == touched.sum()  # superset
+    assert touched.sum() > center.sum()
+
+
+def test_bbox_index():
+    geoms = [geom.rect_geometry(i, i, i + 1, i + 1) for i in range(10)]
+    idx = geom.BBoxIndex(geoms)
+    hits = idx.query(2.5, 2.5, 4.5, 4.5)
+    assert set(hits.tolist()) == {2, 3, 4}
