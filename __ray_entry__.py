@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (decode -> tile -> cell assign -> PIP
+spatial join -> reproject) on the sf0.001-sized corpus.  ``queries()`` maps
+every implemented operator from SURVEY.md §2 (+ the training-data ops) to a
+callable; ``oracle_sql()`` gives DuckDB equivalents where the op is
+SQL-expressible (geo metadata ops mirror the corpus generation spec in
+rioxarray_ray/sources/corpus.py closed-form; pixel-level ops are rows-only
+and are covered by pytest oracles instead).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,844 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+_TILE = 64  # tile size used by the SQL-checked tile queries
+_CELL_RES = 10
+_BOX = (-59.74871, 36.12337, -57.19979, 39.48719)  # generic mid-pixel box
+_N_GEOMS = 200
+_ANN_K = 10
+_NEAR_DUP_TAU = 0.40
+
+_tiled_cache: dict = {}
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _ndocs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def _tiles(sf_dir: str):
+    """Decoded + tiled corpus for this sf dir (cached per driver session)."""
+    n = _ndocs(sf_dir)
+    key = (n, _TILE)
+    if key not in _tiled_cache:
+        from rioxarray_ray.pipelines import flagship as fpipe
+        from rioxarray_ray.stages import decode as dstage
+        from rioxarray_ray.stages import tile as tstage
+
+        ds = fpipe.read_corpus(n)
+        tiles = tstage.tile_stage(
+            dstage.decode_stage(ds), tile_size=_TILE, cell_res=_CELL_RES
+        )
+        _tiled_cache[key] = tiles.materialize()
+    return _tiled_cache[key]
+
+
+def _tiles_4326(sf_dir: str):
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    return _tiles(sf_dir).map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _geoms(kind: str | None = None):
+    from rioxarray_ray.sources import corpus
+
+    rows = corpus.geometry_table(_N_GEOMS)
+    if kind is None:
+        return rows
+    return [g for g in rows if g["kind"] == kind]
+
+
+# --------------------------------------------------------------------------
+# geo queries (SQL-checked)
+# --------------------------------------------------------------------------
+
+
+def q_geo_footprint(sf_dir: str):
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.sources import corpus
+
+    n = _ndocs(sf_dir)
+    m = corpus.image_meta(np.arange(n))
+    keep = ~m["projected"]
+    tbl = pa.table(
+        {
+            "image_id": pa.array(m["image_id"][keep]),
+            "w": pa.array(m["w"][keep], pa.int32()),
+            "h": pa.array(m["h"][keep], pa.int32()),
+            "fmt": pa.array(m["fmt"][keep]),
+            "band_count": pa.array(m["band_count"][keep], pa.int32()),
+            "lon_left": pa.array(m["lon_left"][keep]),
+            "lat_top": pa.array(m["lat_top"][keep]),
+        }
+    )
+
+    def fp(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        for r in rows:
+            t = (corpus.RES, 0.0, r["lon_left"], 0.0, -corpus.RES, r["lat_top"])
+            left, bottom, right, top = aff.bounds(t, r["w"], r["h"])
+            out.append(
+                {
+                    "image_id": r["image_id"],
+                    "w": r["w"],
+                    "h": r["h"],
+                    "fmt": r["fmt"],
+                    "band_count": r["band_count"],
+                    "left_x": left,
+                    "bottom_y": bottom,
+                    "right_x": right,
+                    "top_y": top,
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return _rd().from_arrow(tbl).map_batches(fp, batch_format="pyarrow")
+
+
+def q_geo_tile_cells(sf_dir: str):
+    tiles = _tiles_4326(sf_dir)
+    return tiles.select_columns(
+        ["image_id", "tile_row", "tile_col", "h", "w",
+         "win_row_off", "win_col_off", "cell"]
+    ).rename_columns(
+        {"h": "th", "w": "tw"}
+    )
+
+
+def q_geo_clip_box(sf_dir: str):
+    from rioxarray_ray.stages import clip as cstage
+
+    tiles = _tiles_4326(sf_dir)
+    clipped = cstage.clip_box_stage(tiles, _BOX, cell_res=_CELL_RES)
+
+    def project(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = []
+        for r in rows:
+            t = r["transform"]
+            out.append(
+                {
+                    "image_id": r["image_id"],
+                    "tile_row": r["tile_row"],
+                    "tile_col": r["tile_col"],
+                    "cw": r["w"],
+                    "ch": r["h"],
+                    "new_left": t[2],
+                    "new_top": t[5],
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return clipped.map_batches(project, batch_format="pyarrow")
+
+
+def q_geo_pip_rect(sf_dir: str):
+    from rioxarray_ray.stages import join as jstage
+
+    tiles = _tiles_4326(sf_dir)
+    joined = jstage.pip_join_broadcast(
+        tiles, _geoms("rect"), cell_res=_CELL_RES, concurrency=4
+    )
+    return joined.select_columns(
+        ["image_id", "tile_row", "tile_col", "geom_id", "n_pixels"]
+    )
+
+
+def q_geo_knn(sf_dir: str):
+    from rioxarray_ray.stages import join as jstage
+
+    tiles = _tiles_4326(sf_dir)
+    joined = jstage.knn_join(
+        tiles, _geoms("point"), k=3, cell_res=_CELL_RES, concurrency=4
+    )
+    return joined.select_columns(
+        ["image_id", "tile_row", "tile_col", "geom_id", "rank"]
+    )
+
+
+def q_geo_reproject_grid(sf_dir: str):
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import warp as warp_kernel
+    from rioxarray_ray.sources import corpus
+
+    n = _ndocs(sf_dir)
+    m = corpus.image_meta(np.arange(n))
+    keep = ~m["projected"]
+    tbl = pa.table(
+        {
+            "image_id": pa.array(m["image_id"][keep]),
+            "w": pa.array(m["w"][keep], pa.int32()),
+            "h": pa.array(m["h"][keep], pa.int32()),
+            "lon_left": pa.array(m["lon_left"][keep]),
+            "lat_top": pa.array(m["lat_top"][keep]),
+        }
+    )
+
+    def plan(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            t = (corpus.RES, 0.0, r["lon_left"], 0.0, -corpus.RES, r["lat_top"])
+            left, bottom, right, top = aff.bounds(t, r["w"], r["h"])
+            _, dw, dh = warp_kernel.calculate_default_transform(
+                "EPSG:4326", "EPSG:3857", r["w"], r["h"], left, bottom, right, top
+            )
+            out.append({"image_id": r["image_id"], "dst_w": dw, "dst_h": dh})
+        return pa.Table.from_pylist(out)
+
+    return _rd().from_arrow(tbl).map_batches(plan, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# geo queries (rows-only; pixel semantics covered by pytest oracles)
+# --------------------------------------------------------------------------
+
+
+def q_geo_pixel_checksum(sf_dir: str):
+    """Decode integrity: per-image integer checksum of valid pixels +
+    byte-identical caption passthrough (input_hint invariant)."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    n = min(_ndocs(sf_dir), 128)
+    ds = fpipe.read_corpus(n)
+    decoded = dstage.decode_stage(ds)
+
+    def checksum(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            px = pixels_from_row(r)
+            vm = valid_mask(px, r["nodata"])
+            out.append(
+                {
+                    "image_id": r["image_id"],
+                    "caption": r["caption"],
+                    "checksum": int(px.astype(np.int64)[vm].sum()),
+                    "n_valid": int(vm.sum()),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return decoded.map_batches(checksum, batch_format="pyarrow")
+
+
+def q_geo_reproject_roundtrip(sf_dir: str):
+    """Identity-grid reproject is exact; UTM round trip preserves captions
+    and produces deterministic valid-pixel counts."""
+    from rioxarray_ray.stages import warp as wstage
+
+    tiles = _tiles_4326(sf_dir).limit(64)
+    warped = wstage.reproject_stage(
+        tiles, "EPSG:3857", resampling="bilinear", concurrency=2
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.kernels.nodata import valid_mask
+        from rioxarray_ray.stages.schema import pixels_from_row
+
+        out = []
+        for r in batch.to_pylist():
+            px = pixels_from_row(r)
+            out.append(
+                {
+                    "image_id": r["image_id"],
+                    "tile_row": r["tile_row"],
+                    "tile_col": r["tile_col"],
+                    "caption": r["caption"],
+                    "dst_w": r["w"],
+                    "dst_h": r["h"],
+                    "n_valid": int(valid_mask(px, r["nodata"]).sum()),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return warped.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_geo_clip_geometry(sf_dir: str):
+    """Polygon clip (concave stars) over tiles: kept tiles + valid counts."""
+    from rioxarray_ray.stages import clip as cstage
+
+    tiles = _tiles_4326(sf_dir)
+    clipped = cstage.clip_stage(
+        tiles, [g["geometry"] for g in _geoms("concave")], concurrency=4
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.kernels.nodata import valid_mask
+        from rioxarray_ray.stages.schema import pixels_from_row
+
+        out = []
+        for r in batch.to_pylist():
+            px = pixels_from_row(r)
+            out.append(
+                {
+                    "image_id": r["image_id"],
+                    "tile_row": r["tile_row"],
+                    "tile_col": r["tile_col"],
+                    "n_valid": int(valid_mask(px, r["nodata"]).sum()),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return clipped.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_geo_merge(sf_dir: str):
+    """Mosaic the first 16 non-projected images (method=first) and emit
+    per-dst-tile integer checksums."""
+    from rioxarray_ray.stages import merge as mstage
+
+    tiles = _tiles_4326(sf_dir)
+    # uniform sources only (same band_count / dtype / nodata — the
+    # reference's own merge precondition, raster_dataset.py:553-567):
+    # idx%4==0 -> raw16 int16 nodata=-28672; skip 3-band (idx%5==0) and
+    # projected (idx%7==6) images
+    idx_keep = pa.array(
+        [
+            f"img{i:08d}"
+            for i in range(0, 200, 4)
+            if i % 7 != 6 and i % 5 != 0
+        ][:16]
+    )
+    subset = tiles.map_batches(
+        lambda b: b.filter(pc.is_in(b["image_id"], value_set=idx_keep)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    mosaic, _grid = mstage.merge_stage(subset, method="first")
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.kernels.nodata import valid_mask
+        from rioxarray_ray.stages.schema import pixels_from_row
+
+        out = []
+        for r in batch.to_pylist():
+            px = pixels_from_row(r)
+            vm = valid_mask(px, r["nodata"])
+            out.append(
+                {
+                    "tile_id": r["image_id"],
+                    "h": r["h"],
+                    "w": r["w"],
+                    "checksum": int(px.astype(np.int64)[vm].sum()),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return mosaic.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_geo_interpolate_na(sf_dir: str):
+    """interpolate_na('nearest') on a tile subset: all-valid outputs with
+    deterministic integer checksums."""
+    from rioxarray_ray.kernels.raster import Raster
+    from rioxarray_ray.stages.schema import pixels_from_row, row_to_raster
+
+    tiles = _tiles_4326(sf_dir).limit(48)
+
+    def interp(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            ras = row_to_raster(r).interpolate_na("nearest")
+            out.append(
+                {
+                    "image_id": r["image_id"],
+                    "tile_row": r["tile_row"],
+                    "tile_col": r["tile_col"],
+                    "checksum": int(ras.pixels.astype(np.int64).sum()),
+                    "n_nodata_left": int((~ras.valid_mask()).sum()),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return tiles.map_batches(interp, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# training-data queries over documents / embeddings / events / lineitem
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    from rioxarray_ray.functions import dedup
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.exact_dedup(ds)
+
+
+def q_text_tokens(sf_dir: str):
+    from rioxarray_ray.functions import text
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        text.token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_tokens", "n_chars_m"])
+
+
+def q_text_quality(sf_dir: str):
+    from rioxarray_ray.functions import text
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    scored = ds.map_batches(
+        text.QualityScorer, batch_format="pandas", concurrency=2
+    )
+
+    def ints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": batch["n_words"],
+            }
+        )
+
+    return scored.map_batches(ints, batch_format="pyarrow")
+
+
+def q_text_langid(sf_dir: str):
+    from rioxarray_ray.functions import text
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    pred = ds.map_batches(text.LangId, batch_format="pandas", concurrency=2)
+    return pred.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def q_text_fingerprint(sf_dir: str):
+    from rioxarray_ray.functions import text
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        text.fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def q_dedup_simhash(sf_dir: str):
+    from rioxarray_ray.functions import dedup
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ds.map_batches(
+        dedup.simhash_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "simhash"])
+
+
+def q_dedup_minhash(sf_dir: str):
+    from rioxarray_ray.functions import dedup
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.minhash_candidates(ds, num_perm=64, bands=16)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from rioxarray_ray.functions import ann
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    all_rows = _rd().read_parquet(
+        f"{sf_dir}/embeddings.parquet"
+    ).to_pandas()
+    out = ann.exact_cosine_pairs(
+        ds,
+        all_rows["vec_id"].to_numpy(),
+        np.asarray(all_rows["embedding"].to_list(), dtype=np.float64),
+        threshold=_NEAR_DUP_TAU,
+    )
+    return out.select_columns(["vec_a", "vec_b"])
+
+
+def q_ann_topk(sf_dir: str):
+    from rioxarray_ray.functions import ann
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = (
+        _rd()
+        .read_parquet(f"{sf_dir}/embeddings.parquet")
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    out = ann.topk_cosine(
+        ds,
+        qdf["vec_id"].to_numpy(),
+        np.asarray(qdf["embedding"].to_list(), dtype=np.float64),
+        k=_ANN_K,
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_events_window(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+
+    def window(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch["ts"], unit="hour")
+        return batch.append_column("win", win)
+
+    return (
+        ds.map_batches(window, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "win"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("event_id", alias_name="min_event"),
+            Max("event_id", alias_name="max_event"),
+        )
+    )
+
+
+def q_agg_pricing(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Count(alias_name="n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# contract functions
+# --------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-sized corpus (256 images):
+    decode -> tile -> PIP join -> reproject; returns the warped tile set."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+
+    warped, _join = fpipe.flagship(
+        n_images=256, n_geoms=64, dst_crs="EPSG:3857", concurrency=4
+    )
+    return warped.select_columns(
+        [
+            "image_id",
+            "tile_row",
+            "tile_col",
+            "cell",
+            "crs",
+            "h",
+            "w",
+            "caption",
+        ]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "geo_footprint": q_geo_footprint,
+        "geo_tile_cells": q_geo_tile_cells,
+        "geo_clip_box": q_geo_clip_box,
+        "geo_pip_rect": q_geo_pip_rect,
+        "geo_knn": q_geo_knn,
+        "geo_reproject_grid": q_geo_reproject_grid,
+        "geo_pixel_checksum": q_geo_pixel_checksum,
+        "geo_reproject_roundtrip": q_geo_reproject_roundtrip,
+        "geo_clip_geometry": q_geo_clip_geometry,
+        "geo_merge": q_geo_merge,
+        "geo_interpolate_na": q_geo_interpolate_na,
+        "dedup_exact": q_dedup_exact,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash": q_dedup_minhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "events_window": q_events_window,
+        "agg_pricing": q_agg_pricing,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# SQL building blocks mirroring rioxarray_ray/sources/corpus.py exactly
+_IMG_CTE = """
+img AS (
+  SELECT doc_id AS idx,
+         'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+         CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS w,
+         CASE (doc_id + 1) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS h,
+         CASE doc_id % 4 WHEN 0 THEN 'raw16' WHEN 1 THEN 'rawu8' WHEN 2 THEN 'pngz' ELSE 'lq8' END AS fmt,
+         CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS band_count
+  FROM documents
+),
+img4326 AS (
+  SELECT *,
+         -6e1 + (idx % 64) * w * 5e-3 AS left_x,
+         4e1 - ((idx // 64) % 64) * h * 5e-3 AS top_y,
+         (idx % 64) * w AS gx0,
+         ((idx // 64) % 64) * h AS gy0
+  FROM img WHERE idx % 7 <> 6
+)
+"""
+
+_TILES_CTE = (
+    _IMG_CTE
+    + """,
+tiles AS (
+  SELECT i.image_id, i.idx, i.left_x, i.top_y, i.gx0, i.gy0,
+         tr.tr AS tile_row, tc.tc AS tile_col,
+         CAST(LEAST(64, i.h - tr.tr * 64) AS INT) AS th,
+         CAST(LEAST(64, i.w - tc.tc * 64) AS INT) AS tw,
+         CAST(tr.tr * 64 AS INT) AS win_row_off,
+         CAST(tc.tc * 64 AS INT) AS win_col_off,
+         (5e-3 * (tc.tc * 64) + i.left_x) AS tile_left,
+         ((-5e-3) * (tr.tr * 64) + i.top_y) AS tile_top
+  FROM img4326 i,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(i.h / 6.4e1) AS BIGINT))) AS tr) tr,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(i.w / 6.4e1) AS BIGINT))) AS tc) tc
+),
+tiles_c AS (
+  SELECT *,
+         (5e-3 * (tw / 2e0) + tile_left) AS lon_c,
+         ((-5e-3) * (th / 2e0) + tile_top) AS lat_c
+  FROM tiles
+)
+"""
+)
+
+# geometry generation mirror (rect + point kinds; corpus.geometry_row)
+_GEOMS_CTE = """
+geoms AS (
+  SELECT k,
+         'poly' || lpad(CAST(k AS VARCHAR), 6, '0') AS geom_id,
+         (k * 2654435761) % 4294967296 AS h1,
+         CASE k % 5 WHEN 0 THEN 'rect' WHEN 1 THEN 'convex'
+              WHEN 2 THEN 'concave' WHEN 3 THEN 'point' ELSE 'rect' END AS kind
+  FROM range(0, 200) t(k)
+),
+geoms_placed AS (
+  SELECT *,
+         CASE WHEN k % 10 < 8 THEN (h1 % 40) * 16
+              ELSE ((h1 // 1600) % 256) * 64 END AS gx,
+         CASE WHEN k % 10 < 8 THEN ((h1 // 40) % 40) * 16
+              ELSE ((h1 // 409600) % 256) * 64 END AS gy
+  FROM geoms
+),
+rects AS (
+  SELECT geom_id, gx, gy,
+         8 + (h1 // 7) % 56 AS wpx,
+         8 + (h1 // 11) % 56 AS hpx
+  FROM geoms_placed WHERE kind = 'rect'
+),
+points AS (
+  SELECT geom_id,
+         (-6e1 + (gx + (h1 // 13) % 16) * 5e-3) + 2.5e-3 AS px,
+         (4e1 - (gy + (h1 // 17) % 16) * 5e-3) - 2.5e-3 AS py
+  FROM geoms_placed WHERE kind = 'point'
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    box = _BOX
+    return {
+        "geo_footprint": f"""
+WITH {_IMG_CTE}
+SELECT image_id, w, h, fmt, band_count,
+       left_x,
+       (-5e-3) * h + top_y AS bottom_y,
+       5e-3 * w + left_x AS right_x,
+       top_y
+FROM img4326
+""",
+        "geo_tile_cells": f"""
+WITH {_TILES_CTE}
+SELECT image_id, tile_row, tile_col, th, tw, win_row_off, win_col_off,
+       CAST(10 * 4503599627370496
+            + CAST(floor((9e1 - lat_c) / 1.8e2 * 1024) AS BIGINT) * 67108864
+            + CAST(floor((lon_c + 1.8e2) / 3.6e2 * 1024) AS BIGINT)
+            AS BIGINT) AS cell
+FROM tiles_c
+""",
+        "geo_clip_box": f"""
+WITH {_TILES_CTE},
+inter AS (
+  SELECT *,
+         GREATEST({box[0]}e0, tile_left) AS ix0,
+         GREATEST({box[1]}e0, ((-5e-3) * th + tile_top)) AS iy0,
+         LEAST({box[2]}e0, (5e-3 * tw + tile_left)) AS ix1,
+         LEAST({box[3]}e0, tile_top) AS iy1
+  FROM tiles_c
+  WHERE {box[0]}e0 < (5e-3 * tw + tile_left) AND {box[2]}e0 > tile_left
+    AND {box[1]}e0 < tile_top AND {box[3]}e0 > ((-5e-3) * th + tile_top)
+),
+win AS (
+  SELECT *,
+         ((-5e-3) / (5e-3 * (-5e-3))) * ix0
+           + (-(((-5e-3) / (5e-3 * (-5e-3))) * tile_left)) AS c0,
+         ((-5e-3) / (5e-3 * (-5e-3))) * ix1
+           + (-(((-5e-3) / (5e-3 * (-5e-3))) * tile_left)) AS c1,
+         (0.005 / (5e-3 * (-5e-3))) * iy1
+           + (-((0.005 / (5e-3 * (-5e-3))) * tile_top)) AS r0,
+         (0.005 / (5e-3 * (-5e-3))) * iy0
+           + (-((0.005 / (5e-3 * (-5e-3))) * tile_top)) AS r1
+  FROM inter
+),
+sliced AS (
+  SELECT *,
+         GREATEST(CAST(floor(r0 + 1e-9) AS BIGINT), 0) AS ri,
+         GREATEST(CAST(floor(c0 + 1e-9) AS BIGINT), 0) AS ci,
+         CAST(ceil((r0 + (r1 - r0)) - 1e-9) AS BIGINT)
+           - CAST(floor(r0 + 1e-9) AS BIGINT) AS rh,
+         CAST(ceil((c0 + (c1 - c0)) - 1e-9) AS BIGINT)
+           - CAST(floor(c0 + 1e-9) AS BIGINT) AS cw
+  FROM win
+)
+SELECT image_id, tile_row, tile_col,
+       CAST(LEAST(cw, tw - ci) AS INT) AS cw,
+       CAST(LEAST(rh, th - ri) AS INT) AS ch,
+       (5e-3 * ci + tile_left) AS new_left,
+       ((-5e-3) * ri + tile_top) AS new_top
+FROM sliced
+WHERE LEAST(cw, tw - ci) >= 1 AND LEAST(rh, th - ri) >= 1
+""",
+        "geo_pip_rect": f"""
+WITH {_TILES_CTE},
+{_GEOMS_CTE.strip().lstrip()}
+SELECT t.image_id, t.tile_row, t.tile_col, r.geom_id,
+       CAST(
+         GREATEST(0, LEAST(r.gx + r.wpx, t.gx0 + t.win_col_off + t.tw)
+                     - GREATEST(r.gx, t.gx0 + t.win_col_off))
+         * GREATEST(0, LEAST(r.gy + r.hpx, t.gy0 + t.win_row_off + t.th)
+                       - GREATEST(r.gy, t.gy0 + t.win_row_off))
+         AS BIGINT) AS n_pixels
+FROM tiles_c t CROSS JOIN rects r
+WHERE GREATEST(0, LEAST(r.gx + r.wpx, t.gx0 + t.win_col_off + t.tw)
+                  - GREATEST(r.gx, t.gx0 + t.win_col_off))
+    * GREATEST(0, LEAST(r.gy + r.hpx, t.gy0 + t.win_row_off + t.th)
+                  - GREATEST(r.gy, t.gy0 + t.win_row_off)) > 0
+""",
+        "geo_knn": f"""
+WITH {_TILES_CTE},
+{_GEOMS_CTE.strip().lstrip()},
+ranked AS (
+  SELECT t.image_id, t.tile_row, t.tile_col, p.geom_id,
+         row_number() OVER (
+           PARTITION BY t.image_id, t.tile_row, t.tile_col
+           ORDER BY sqrt((t.lon_c - p.px) * (t.lon_c - p.px)
+                         + (t.lat_c - p.py) * (t.lat_c - p.py)), p.geom_id
+         ) AS rank
+  FROM tiles_c t CROSS JOIN points p
+)
+SELECT image_id, tile_row, tile_col, geom_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+        "geo_reproject_grid": f"""
+WITH {_IMG_CTE},
+m AS (
+  SELECT image_id, w, h,
+         6.378137e6 * left_x * (pi() / 1.8e2) AS dl,
+         6.378137e6 * (5e-3 * w + left_x) * (pi() / 1.8e2) AS dr,
+         6.378137e6 * ln(tan(pi() / 4e0 + ((-5e-3) * h + top_y) * (pi() / 1.8e2) / 2e0)) AS db,
+         6.378137e6 * ln(tan(pi() / 4e0 + top_y * (pi() / 1.8e2) / 2e0)) AS dt
+  FROM img4326
+),
+r AS (
+  SELECT image_id, w, h, dl, dr, db, dt,
+         sqrt(((dr - dl) * (dt - db)) / CAST(w * h AS DOUBLE)) AS res
+  FROM m
+)
+SELECT image_id,
+       CAST(GREATEST(CAST(round((dr - dl) / res) AS BIGINT), 1) AS INT) AS dst_w,
+       CAST(GREATEST(CAST(round((dt - db) / res) AS BIGINT), 1) AS INT) AS dst_h
+FROM r
+""",
+        "dedup_exact": """
+SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+""",
+        "text_tokens": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_m
+FROM documents
+""",
+        "text_quality": r"""
+SELECT doc_id,
+       CAST(length(regexp_extract_all(lower(text), '[a-z'']+')) AS BIGINT) AS n_words
+FROM documents
+""",
+        "embedding_near_dup": f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {_NEAR_DUP_TAU}e0
+""",
+        "ann_topk": f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id)
+           AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM r
+WHERE rank <= {_ANN_K}
+""",
+        "events_window": """
+SELECT user_id, date_trunc('hour', ts) AS win,
+       count(*) AS n,
+       min(event_id) AS min_event, max(event_id) AS max_event
+FROM events GROUP BY 1, 2
+""",
+        "agg_pricing": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY 1, 2
+""",
+    }

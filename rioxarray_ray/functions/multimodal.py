@@ -1,0 +1,90 @@
+"""Multimodal column stages (image/audio/video as opaque binary + typed
+metadata).
+
+The decode libraries (PIL / ffmpeg / torchaudio) are NOT in this container,
+so the codec boundary is stubbed behind ``DECODERS`` — either a clearly
+marked NotImplementedError or the deterministic fake used in tests — while
+the Ray-side plumbing (schema, actor signature, batch sizing, output layout)
+is real and tested, per the build brief.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("meta", pa.string()),  # JSON typed metadata
+    ]
+)
+
+
+def _fake_image_decode(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for a JPEG/PNG decoder: hash-seeded pixels."""
+    seed = int.from_bytes(hashlib.blake2b(payload, digest_size=4).digest(), "big")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, size=(3, 32, 32), dtype=np.uint8)
+
+
+def _unavailable(kind: str):
+    def fn(payload: bytes):
+        raise NotImplementedError(
+            f"{kind} decoding requires codec libraries not present in this "
+            "environment; register a real decoder in multimodal.DECODERS"
+        )
+
+    return fn
+
+
+DECODERS = {
+    "image": _fake_image_decode,  # swap for PIL/turbojpeg in production
+    "audio": _unavailable("audio"),
+    "video": _unavailable("video"),
+}
+
+
+class FeatureExtractor:
+    """Actor-pool decode + feature stage.
+
+    __init__ loads the (stubbed) decoder + projection matrix once per actor;
+    __call__ decodes each payload, pools to a fixed-length feature vector.
+    Batch size stays small because payloads are large binaries (brief:
+    'large binary payloads need small batches').
+    """
+
+    def __init__(self, feature_dim: int = 16, seed: int = 5):
+        self.decoders = DECODERS
+        rng = np.random.default_rng(seed)
+        self.proj = rng.standard_normal((3 * 32 * 32, feature_dim))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload, mtype in zip(
+            batch["payload"].to_pylist(), batch["media_type"].to_pylist()
+        ):
+            arr = self.decoders[mtype](payload)
+            feats.append((arr.reshape(-1).astype(np.float64) @ self.proj).tolist())
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "feature": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+def feature_stage(ds, feature_dim: int = 16, concurrency=2, batch_size: int = 64):
+    return ds.map_batches(
+        FeatureExtractor,
+        fn_constructor_kwargs=dict(feature_dim=feature_dim),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -99,6 +99,28 @@ def ring(cell_id: int, k: int) -> list[int]:
     return out
 
 
+def shell(cell_id: int, k: int) -> list[int]:
+    """Cells at EXACTLY Chebyshev distance k (the perimeter of ring(k)) —
+    O(k) construction, used by kNN ring expansion."""
+    if k == 0:
+        return [int(cell_id)]
+    res, row, col = unpack(int(cell_id))
+    res, row, col = int(res), int(row), int(col)
+    n = 1 << res
+    out = []
+    for dc in range(-k, k + 1):
+        for dr in (-k, k):
+            r = row + dr
+            if 0 <= r < n:
+                out.append(int(pack(res, r, (col + dc) % n)))
+    for dr in range(-k + 1, k):
+        r = row + dr
+        if 0 <= r < n:
+            for dc in (-k, k):
+                out.append(int(pack(res, r, (col + dc) % n)))
+    return out
+
+
 def cells_for_bbox(
     lon_min: float, lat_min: float, lon_max: float, lat_max: float, res: int
 ) -> np.ndarray:

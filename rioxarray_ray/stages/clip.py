@@ -1,0 +1,195 @@
+"""Clip stages: clip_box (bbox subsetting with cell pushdown) and clip
+(polygon mask — the raster<->vector semi/anti-join, SURVEY.md §2.3/§2.6).
+
+clip_box is stateless: tiles whose footprint misses the box are DROPPED
+(a filter), intersecting tiles are sliced (Raster.clip_box semantics).  When
+the dataset has a ``cell`` column the box is first pushed down to a cell
+range so whole blocks prune cheaply before any pixel work.
+
+clip (geometry) is an actor-pool stage: the geometry set is the broadcast
+small side, indexed once per actor (BBoxIndex = STRtree stand-in) in
+``__init__``; per tile the actor prunes candidates by bbox then applies the
+exact ray-casting mask.  ``invert=True`` is the anti-join
+(/root/reference/rioxarray/raster_array.py:810-813).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..kernels import affine as aff
+from ..kernels import cellindex
+from ..kernels import crs as crs_mod
+from ..kernels import geometry as geom_mod
+from ..kernels.raster import NoDataInBounds, Raster
+from ..sources.corpus import CELL_RES
+from .schema import pixels_to_bytes, row_to_raster
+
+
+def footprint_bounds(row: dict):
+    return aff.bounds(tuple(row["transform"]), row["w"], row["h"])
+
+
+def clip_box_batch(batch: pa.Table, bounds, box_crs=None) -> pa.Table:
+    """Slice every intersecting row to the box; drop the rest."""
+    minx, miny, maxx, maxy = bounds
+    rows = []
+    for row in batch.to_pylist():
+        r = row_to_raster(row)
+        bb = bounds
+        if box_crs is not None and r.crs is not None:
+            bcrs = crs_mod.from_user_input(box_crs)
+            if bcrs != r.crs:
+                bb = crs_mod.transform_bounds(bcrs, r.crs, *bounds)
+        left, bottom, right, top = r.bounds()
+        if bb[0] >= right or bb[2] <= left or bb[1] >= top or bb[3] <= bottom:
+            continue
+        # corpus-level semantics: rows wholly outside are FILTERED; rows that
+        # intersect are sliced (window math of clip_box) and kept even when
+        # all-nodata — the single-raster NoDataInBounds contract lives on
+        # Raster.clip_box for accessor parity
+        clipped = r.slice_xy(
+            max(bb[0], left),
+            max(bb[1], bottom),
+            min(bb[2], right),
+            min(bb[3], top),
+        )
+        if clipped.width < 1 or clipped.height < 1:
+            continue
+        new = dict(row)
+        new.update(
+            h=clipped.height,
+            w=clipped.width,
+            transform=[float(v) for v in clipped.transform],
+            pixels=pixels_to_bytes(clipped.pixels),
+        )
+        rows.append(new)
+    if not rows:
+        return batch.slice(0, 0)
+    return pa.Table.from_pylist(rows, schema=batch.schema)
+
+
+def clip_box_stage(ds, bounds, box_crs=None, cell_res: int = CELL_RES, **map_kwargs):
+    """Cell pushdown (when a ``cell`` column exists) + per-row slice."""
+    schema_names = ds.schema().names
+    if "cell" in schema_names and box_crs in (None, "EPSG:4326"):
+        wanted = set(
+            int(c) for c in cellindex.cells_for_bbox(*_reorder(bounds), cell_res)
+        )
+        # ring of 1 to keep boundary tiles whose centroid fell one cell out
+        expanded = set()
+        for c in wanted:
+            expanded.update(cellindex.ring(c, 1))
+        lst = pa.array(sorted(expanded), type=pa.int64())
+        ds = ds.map_batches(
+            lambda b: b.filter(pc.is_in(b["cell"], value_set=lst)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return ds.map_batches(
+        lambda b: clip_box_batch(b, bounds, box_crs=box_crs), **kwargs
+    )
+
+
+def _reorder(bounds):
+    minx, miny, maxx, maxy = bounds
+    return min(minx, maxx), min(miny, maxy), max(minx, maxx), max(miny, maxy)
+
+
+class ClipActor:
+    """Polygon-clip worker holding the broadcast geometry index."""
+
+    def __init__(
+        self,
+        geometries,
+        geom_crs=None,
+        invert: bool = False,
+        drop_empty: bool = True,
+        all_touched: bool = False,
+    ):
+        self.geoms = [geom_mod.parse_geometry(g) for g in geometries]
+        self.geom_crs = (
+            crs_mod.from_user_input(geom_crs) if geom_crs is not None else None
+        )
+        self.invert = invert
+        self.drop_empty = drop_empty
+        self.all_touched = all_touched
+        self.index = geom_mod.BBoxIndex(self.geoms)
+        self._proj_cache: dict[str, tuple] = {}
+
+    def _geoms_for_crs(self, crs_string: str):
+        """Geometries + index projected into a raster CRS (cached per actor)."""
+        hit = self._proj_cache.get(crs_string)
+        if hit is None:
+            rcrs = crs_mod.from_user_input(crs_string)
+            if self.geom_crs is None or self.geom_crs == rcrs:
+                hit = (self.geoms, self.index)
+            else:
+                from ..kernels.raster import _reproject_geom
+
+                projected = [
+                    _reproject_geom(g, self.geom_crs, rcrs) for g in self.geoms
+                ]
+                hit = (projected, geom_mod.BBoxIndex(projected))
+            self._proj_cache[crs_string] = hit
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            geoms, index = self._geoms_for_crs(row["crs"])
+            r = row_to_raster(row)
+            cand = index.query(*r.bounds())
+            if len(cand) == 0:
+                if self.invert and not self.drop_empty:
+                    rows.append(row)  # anti-join: untouched tile passes whole
+                continue
+            keep = geom_mod.geometry_mask(
+                [geoms[i] for i in cand],
+                out_shape=r.shape,
+                transform=r.transform,
+                all_touched=self.all_touched,
+                invert=not self.invert,
+            )
+            if not keep.any() and self.drop_empty:
+                continue
+            fill = r.nodata if r.nodata is not None else 0
+            out = np.where(
+                keep[None], r.pixels, np.array(fill).astype(r.pixels.dtype)
+            )
+            new = dict(row)
+            new["pixels"] = pixels_to_bytes(out.astype(r.pixels.dtype))
+            rows.append(new)
+        if not rows:
+            return batch.slice(0, 0)
+        return pa.Table.from_pylist(rows, schema=batch.schema)
+
+
+def clip_stage(
+    ds,
+    geometries,
+    geom_crs=None,
+    invert: bool = False,
+    drop_empty: bool = True,
+    all_touched: bool = False,
+    concurrency=4,
+    **map_kwargs,
+):
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return ds.map_batches(
+        ClipActor,
+        fn_constructor_kwargs=dict(
+            geometries=geometries,
+            geom_crs=geom_crs,
+            invert=invert,
+            drop_empty=drop_empty,
+            all_touched=all_touched,
+        ),
+        concurrency=concurrency,
+        **kwargs,
+    )

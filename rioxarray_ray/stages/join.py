@@ -1,0 +1,380 @@
+"""Spatial joins: PIP zonal join (raster tiles x polygons) and kNN join
+(tile centroids x points) — the north-rule centerpieces (SURVEY.md §2.6).
+
+Two-phase plan per the north rule:
+  phase 1 — coarse cell equi-join: geometries are assigned every index cell
+  their bbox covers; tiles already carry their centroid cell.
+  phase 2 — exact refinement: bbox candidate pruning (BBoxIndex) + exact
+  ray-casting PIP rasterization over the tile's pixel grid.
+
+Both a BROADCAST plan (geometry side shipped once per actor — the right
+plan while the vector side fits in memory) and an explicit SHUFFLE plan
+(``groupby(cell)`` co-partitioning with salting for hot cells — the
+scale-out path when both sides are large) are provided; they must produce
+identical join rows (tested).
+
+Join outputs are plain Arrow rows (no pixels), so downstream aggregation is
+cheap:  ``(image_id, tile_row, tile_col, cell, geom_id, n_inside,
+sum_inside, centroid_inside)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..kernels import affine as aff
+from ..kernels import cellindex
+from ..kernels import crs as crs_mod
+from ..kernels import geometry as geom_mod
+from ..sources.corpus import CELL_RES
+from .schema import pixels_from_row
+
+PIP_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("cell", pa.int64()),
+        ("geom_id", pa.string()),
+        ("n_pixels", pa.int64()),
+        ("n_inside", pa.int64()),
+        ("sum_inside", pa.float64()),
+        ("centroid_inside", pa.bool_()),
+    ]
+)
+
+KNN_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("geom_id", pa.string()),
+        ("dist", pa.float64()),
+        ("rank", pa.int32()),
+    ]
+)
+
+
+def geometry_cells(geom, cell_res: int = CELL_RES, expand: int = 1) -> list[int]:
+    """Phase-1 assignment: all cells covered by the geometry bbox, expanded
+    by ``expand`` rings so a tile whose CENTROID falls one cell outside the
+    bbox (tile half-extent < cell size) still finds the candidate."""
+    left, bottom, right, top = geom_mod.geometry_bounds(geom)
+    base = [int(c) for c in cellindex.cells_for_bbox(left, bottom, right, top, cell_res)]
+    if expand <= 0:
+        return base
+    out = set()
+    for c in base:
+        out.update(cellindex.ring(c, expand))
+    return sorted(out)
+
+
+def _tile_lonlat_grid(row: dict):
+    """Pixel-center lon/lat grids + valid mask for a tile row."""
+    transform = tuple(row["transform"])
+    h, w = row["h"], row["w"]
+    cols = np.arange(w, dtype=np.float64) + 0.5
+    rows_ = np.arange(h, dtype=np.float64) + 0.5
+    cg, rg = np.meshgrid(cols, rows_)
+    x, y = aff.apply(transform, cg, rg)
+    c = crs_mod.from_user_input(row["crs"]) if row["crs"] else None
+    if c is not None and c.is_projected:
+        lon, lat = c.inverse(x, y)
+    else:
+        lon, lat = x, y
+    return lon, lat
+
+
+def _refine_tile(row: dict, cand_ids, cand_geoms) -> list[dict]:
+    """Exact PIP of every candidate polygon against one tile (in lon/lat)."""
+    from ..kernels.nodata import valid_mask
+
+    out = []
+    lon, lat = _tile_lonlat_grid(row)
+    pixels = pixels_from_row(row)
+    nod = row["nodata"]
+    vm = valid_mask(pixels, nod if nod == nod else None)
+    cx, cy = aff.apply(tuple(row["transform"]), row["w"] / 2.0, row["h"] / 2.0)
+    c = crs_mod.from_user_input(row["crs"]) if row["crs"] else None
+    if c is not None and c.is_projected:
+        clon, clat = (float(v) for v in c.inverse(cx, cy))
+    else:
+        clon, clat = float(cx), float(cy)
+    for gid, geom in zip(cand_ids, cand_geoms):
+        rings = geom_mod.geometry_rings(geom)
+        inside = geom_mod.points_in_rings(lon, lat, rings)
+        n_pixels = int(inside.sum())  # geometric count (SQL-oracle-able)
+        if n_pixels == 0:
+            continue
+        inside_valid = inside[None] & vm
+        n = int(inside_valid.sum())
+        s = float(pixels.astype(np.float64)[inside_valid].sum())
+        cin = bool(
+            geom_mod.points_in_rings(np.array([clon]), np.array([clat]), rings)[0]
+        )
+        out.append(
+            {
+                "image_id": row["image_id"],
+                "tile_row": row["tile_row"],
+                "tile_col": row["tile_col"],
+                "cell": row["cell"],
+                "geom_id": gid,
+                "n_pixels": n_pixels,
+                "n_inside": n,
+                "sum_inside": s,
+                "centroid_inside": cin,
+            }
+        )
+    return out
+
+
+class PIPJoinActor:
+    """Broadcast-plan PIP join worker: cell->geometry index built once."""
+
+    def __init__(self, geom_rows, cell_res: int = CELL_RES):
+        # geom_rows: list of {"geom_id", "geometry"} dicts (lon/lat coords)
+        self.cell_res = cell_res
+        self.by_cell: dict[int, list[int]] = {}
+        self.ids = []
+        self.geoms = []
+        for i, g in enumerate(geom_rows):
+            geom = geom_mod.parse_geometry(g["geometry"])
+            if geom["type"] not in ("Polygon", "MultiPolygon"):
+                continue
+            gi = len(self.ids)
+            self.ids.append(g["geom_id"])
+            self.geoms.append(geom)
+            for cell in geometry_cells(geom, cell_res):
+                self.by_cell.setdefault(cell, []).append(gi)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            cand = self.by_cell.get(int(row["cell"]), ())
+            if not cand:
+                continue
+            out.extend(
+                _refine_tile(
+                    row,
+                    [self.ids[i] for i in cand],
+                    [self.geoms[i] for i in cand],
+                )
+            )
+        return pa.Table.from_pylist(out, schema=PIP_SCHEMA)
+
+
+def pip_join_broadcast(
+    tiles_ds, geom_rows, cell_res: int = CELL_RES, concurrency=4, **map_kwargs
+):
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(
+        PIPJoinActor,
+        fn_constructor_kwargs=dict(geom_rows=geom_rows, cell_res=cell_res),
+        concurrency=concurrency,
+        **kwargs,
+    )
+
+
+def _empty_pip_df() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "image_id": pd.Series(dtype=str),
+            "tile_row": pd.Series(dtype=np.int32),
+            "tile_col": pd.Series(dtype=np.int32),
+            "cell": pd.Series(dtype=np.int64),
+            "geom_id": pd.Series(dtype=str),
+            "n_pixels": pd.Series(dtype=np.int64),
+            "n_inside": pd.Series(dtype=np.int64),
+            "sum_inside": pd.Series(dtype=np.float64),
+            "centroid_inside": pd.Series(dtype=bool),
+        }
+    )
+
+
+def pip_join_shuffle(
+    tiles_ds,
+    geom_rows,
+    cell_res: int = CELL_RES,
+    salt: int = 4,
+    **map_kwargs,
+):
+    """Explicit co-shuffle plan: replicate each geometry to every (cell,
+    salt bucket) it covers, union with salted tiles, ``groupby`` on the
+    composite key, exact PIP per group.  Salting splits hot cells (skewed
+    geometry concentrations, FIXTURES.md F2) across ``salt`` reducers.
+    """
+    import ray.data as rd
+
+    geom_broadcast = []
+    for g in geom_rows:
+        geom = geom_mod.parse_geometry(g["geometry"])
+        if geom["type"] not in ("Polygon", "MultiPolygon"):
+            continue
+        for cell in geometry_cells(geom, cell_res):
+            for s in range(salt):
+                geom_broadcast.append(
+                    {
+                        "key": (int(cell) << 4) | s,
+                        "side": "geom",
+                        "geom_id": g["geom_id"],
+                        "payload": b"",
+                        "geometry": __import__("json").dumps(geom),
+                    }
+                )
+    geoms_ds = rd.from_items(geom_broadcast)
+
+    import pyarrow.compute as pc
+
+    def keyed_tiles(batch: pa.Table) -> pa.Table:
+        # salt bucket from a stable hash of the tile identity
+        import zlib
+
+        ids = batch["image_id"].to_pylist()
+        trs = batch["tile_row"].to_pylist()
+        tcs = batch["tile_col"].to_pylist()
+        cells = batch["cell"].to_pylist()
+        salts = [
+            zlib.crc32(f"{i}/{r}/{c}".encode()) % salt
+            for i, r, c in zip(ids, trs, tcs)
+        ]
+        key = [(int(cl) << 4) | s for cl, s in zip(cells, salts)]
+        import pickle
+
+        payloads = [pickle.dumps(row) for row in batch.to_pylist()]
+        return pa.Table.from_pydict(
+            {
+                "key": pa.array(key, pa.int64()),
+                "side": pa.array(["tile"] * len(key)),
+                "geom_id": pa.array([""] * len(key)),
+                "payload": pa.array(payloads, pa.binary()),
+                "geometry": pa.array([""] * len(key)),
+            }
+        )
+
+    tiles_keyed = tiles_ds.map_batches(
+        keyed_tiles, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def join_group(group: pd.DataFrame) -> pd.DataFrame:
+        import json
+        import pickle
+
+        gmask = group["side"] == "geom"
+        geoms = [
+            (gid, json.loads(gj))
+            for gid, gj in zip(group["geom_id"][gmask], group["geometry"][gmask])
+        ]
+        if not geoms:
+            return _empty_pip_df()
+        rows = [pickle.loads(p) for p in group["payload"][~gmask] if p is not None]
+        out = []
+        for row in rows:
+            out.extend(
+                _refine_tile(row, [g[0] for g in geoms], [g[1] for g in geoms])
+            )
+        if not out:
+            return _empty_pip_df()
+        return pd.DataFrame(out)
+
+    joined = (
+        tiles_keyed.union(geoms_ds)
+        .groupby("key")
+        .map_groups(join_group, batch_format="pandas")
+    )
+    return joined
+
+
+class KNNJoinActor:
+    """kNN via cell-ring expansion against a broadcast cell->points index
+    (SURVEY.md §2.6).  Distances are planar lon/lat degrees (documented
+    engine semantics; the corpus region is mid-latitude and compact)."""
+
+    def __init__(self, point_rows, k: int = 3, cell_res: int = CELL_RES):
+        self.k = k
+        self.cell_res = cell_res
+        self.by_cell: dict[int, list[int]] = {}
+        self.ids = []
+        pts = []
+        for g in point_rows:
+            geom = geom_mod.parse_geometry(g["geometry"])
+            if geom["type"] != "Point":
+                continue
+            i = len(self.ids)
+            self.ids.append(g["geom_id"])
+            x, y = geom["coordinates"]
+            pts.append((float(x), float(y)))
+            cell = int(cellindex.cell(x, y, cell_res))
+            self.by_cell.setdefault(cell, []).append(i)
+        self.pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+        # cell size in degrees certifies the ring lower bound
+        n = 1 << cell_res
+        self.cell_w = 360.0 / n
+        self.cell_h = 180.0 / n
+
+    _MAX_RING = 16  # beyond this, brute force beats grid walking
+
+    def _knn_point(self, lon: float, lat: float):
+        if len(self.ids) == 0:
+            return []
+        cid = int(cellindex.cell(lon, lat, self.cell_res))
+        seen: list[int] = []
+        best: list[tuple[float, int]] = []
+        for r in range(self._MAX_RING + 1):
+            for c in cellindex.shell(cid, r):
+                seen.extend(self.by_cell.get(int(c), ()))
+            if seen:
+                p = self.pts[seen]
+                d = np.hypot(p[:, 0] - lon, p[:, 1] - lat)
+                # deterministic: distance, then point index (== geom_id order)
+                order = np.lexsort((np.asarray(seen), d))[: self.k]
+                best = [(float(d[j]), seen[j]) for j in order]
+            # certified: unseen points sit in shells > r, hence at distance
+            # >= r * min cell dimension from any point of the center cell
+            ring_bound = r * min(self.cell_w, self.cell_h)
+            if len(best) >= self.k and best[-1][0] <= ring_bound:
+                return best
+        # sparse far-away case: exact brute force over the whole point set
+        d = np.hypot(self.pts[:, 0] - lon, self.pts[:, 1] - lat)
+        order = np.argsort(d, kind="stable")[: self.k]
+        return [(float(d[j]), int(j)) for j in order]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for row in batch.to_pylist():
+            cx, cy = aff.apply(
+                tuple(row["transform"]), row["w"] / 2.0, row["h"] / 2.0
+            )
+            c = crs_mod.from_user_input(row["crs"]) if row["crs"] else None
+            if c is not None and c.is_projected:
+                lon, lat = (float(v) for v in c.inverse(cx, cy))
+            else:
+                lon, lat = float(cx), float(cy)
+            for rank, (d, j) in enumerate(self._knn_point(lon, lat), 1):
+                out.append(
+                    {
+                        "image_id": row["image_id"],
+                        "tile_row": row["tile_row"],
+                        "tile_col": row["tile_col"],
+                        "geom_id": self.ids[j],
+                        "dist": d,
+                        "rank": rank,
+                    }
+                )
+        return pa.Table.from_pylist(out, schema=KNN_SCHEMA)
+
+
+def knn_join(
+    tiles_ds, point_rows, k: int = 3, cell_res: int = CELL_RES, concurrency=4,
+    **map_kwargs,
+):
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(
+        KNNJoinActor,
+        fn_constructor_kwargs=dict(point_rows=point_rows, k=k, cell_res=cell_res),
+        concurrency=concurrency,
+        **kwargs,
+    )

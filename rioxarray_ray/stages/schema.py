@@ -1,0 +1,88 @@
+"""Arrow schemas for engine-internal row shapes (SURVEY.md §1.2).
+
+A row is a raster (whole image) or a tile of one — never a pixel.  Pixel
+payloads are canonical little-endian buffers in a ``binary`` column with a
+``dtype`` string column; ``transform`` is a 6-double list column (rasterio
+order a,b,c,d,e,f).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TRANSFORM_TYPE = pa.list_(pa.float64(), 6)
+
+RASTER_FIELDS = [
+    ("image_id", pa.string()),
+    ("band_count", pa.int32()),
+    ("h", pa.int32()),
+    ("w", pa.int32()),
+    ("dtype", pa.string()),
+    ("nodata", pa.float64()),
+    ("crs", pa.string()),
+    ("transform", TRANSFORM_TYPE),
+    ("pixels", pa.binary()),
+    ("caption", pa.string()),
+    ("phash", pa.int64()),
+]
+
+RASTER_SCHEMA = pa.schema(RASTER_FIELDS)
+
+TILE_FIELDS = RASTER_FIELDS + [
+    ("tile_row", pa.int32()),
+    ("tile_col", pa.int32()),
+    ("cell", pa.int64()),
+    ("win_row_off", pa.int32()),
+    ("win_col_off", pa.int32()),
+]
+
+TILE_SCHEMA = pa.schema(TILE_FIELDS)
+
+
+def pixels_to_bytes(arr: np.ndarray) -> bytes:
+    """Canonical buffer: little-endian, C-order, band-major."""
+    if arr.dtype == np.uint8:
+        return np.ascontiguousarray(arr).tobytes()
+    return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"))).tobytes()
+
+
+def pixels_from_row(row: dict) -> np.ndarray:
+    """Rebuild the (bands, h, w) array from a row dict (zero-copy view when
+    the buffer alignment allows)."""
+    dt = np.dtype(row["dtype"]).newbyteorder("<")
+    arr = np.frombuffer(row["pixels"], dtype=dt)
+    return arr.reshape(row["band_count"], row["h"], row["w"])
+
+
+def raster_to_row(raster, image_id: str, caption: str = "", phash: int = 0) -> dict:
+    from ..kernels.raster import Raster  # noqa: F401  (type ref)
+
+    return {
+        "image_id": image_id,
+        "band_count": raster.count,
+        "h": raster.height,
+        "w": raster.width,
+        "dtype": raster.pixels.dtype.name,
+        "nodata": float(raster.nodata) if raster.nodata is not None else float("nan"),
+        "crs": raster.crs.to_string() if raster.crs is not None else "",
+        "transform": [float(v) for v in raster.transform],
+        "pixels": pixels_to_bytes(raster.pixels),
+        "caption": caption,
+        "phash": phash,
+    }
+
+
+def row_to_raster(row: dict):
+    from ..kernels import crs as crs_mod
+    from ..kernels.raster import Raster
+
+    nodata = row["nodata"]
+    if nodata != nodata:  # NaN sentinel -> no nodata only for int dtypes
+        nodata = None if np.dtype(row["dtype"]).kind in "iu" else float("nan")
+    return Raster(
+        pixels_from_row(row).copy(),
+        tuple(row["transform"]),
+        crs_mod.from_user_input(row["crs"]) if row["crs"] else None,
+        nodata=nodata,
+    )

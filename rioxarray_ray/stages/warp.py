@@ -1,0 +1,199 @@
+"""Reproject stages (the flagship, SURVEY.md §2.4).
+
+Two shapes:
+
+- ``reproject_stage(ds, dst_crs, ...)``: per-row warp — each raster/tile row
+  is warped independently onto its own planned dst grid (the semantics of
+  ``xds.rio.reproject``, /root/reference/rioxarray/raster_array.py:198-309).
+  Stateless rows, but run on an ACTOR POOL (``WarpActor``) so per-worker
+  state (CRS objects, cached dst pixel-center lon/lat grids) is built once
+  per actor, not once per batch (SURVEY.md §7.2).
+
+- ``reproject_match_stage(ds, grid_spec, ...)``: every row is warped onto
+  ONE shared grid (``rio.reproject_match``, raster_array.py:429-491).  The
+  grid spec is a broadcast small side: the driver computes it once and
+  ships it in the actor constructor args (``ray.put`` under the hood via
+  Ray's arg serialization), and the actor caches the dst pixel-center
+  lon/lat arrays — the expensive half of the inverse mapping — across ALL
+  rows ("pinned warp kernels").
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..kernels import affine as aff
+from ..kernels import crs as crs_mod
+from ..kernels import warp as warp_mod
+from .schema import RASTER_SCHEMA, pixels_to_bytes, row_to_raster, raster_to_row
+
+
+class GridSpec:
+    """A destination grid: (crs, transform, shape). The broadcast small side
+    of reproject_match (the reference's lookup-join analogue)."""
+
+    def __init__(self, crs, transform, shape):
+        self.crs = crs_mod.from_user_input(crs)
+        self.transform = tuple(float(v) for v in transform)
+        self.shape = (int(shape[0]), int(shape[1]))
+
+    @classmethod
+    def from_raster_row(cls, row: dict) -> "GridSpec":
+        return cls(row["crs"], tuple(row["transform"]), (row["h"], row["w"]))
+
+
+class WarpActor:
+    """Actor-pool warp worker with pinned projection grids.
+
+    The cache maps (dst_transform, shape, dst_crs_string) -> precomputed
+    lon/lat of dst pixel centers, reused for every row warped onto the same
+    grid (all rows, in match mode).
+    """
+
+    def __init__(
+        self,
+        dst_crs: str | None = None,
+        grid_spec: GridSpec | None = None,
+        resampling: str = "nearest",
+        resolution=None,
+        nodata=None,
+    ):
+        self.dst_crs = (
+            crs_mod.from_user_input(dst_crs) if dst_crs is not None else None
+        )
+        self.grid = grid_spec
+        self.resampling = warp_mod.resolve_resampling(resampling)
+        self.resolution = resolution
+        self.nodata = nodata
+        self._lonlat_cache: dict = {}
+
+    def _dst_lonlat(self, transform, shape, dcrs):
+        key = (transform, shape, dcrs.to_string())
+        hit = self._lonlat_cache.get(key)
+        if hit is None:
+            h, w = shape
+            cols = np.arange(w, dtype=np.float64) + 0.5
+            rows = np.arange(h, dtype=np.float64) + 0.5
+            cgrid, rgrid = np.meshgrid(cols, rows)
+            dx, dy = aff.apply(transform, cgrid, rgrid)
+            lon, lat = dcrs.inverse(dx.ravel(), dy.ravel())
+            hit = (lon, lat)
+            if len(self._lonlat_cache) > 32:  # bound actor memory
+                self._lonlat_cache.clear()
+            self._lonlat_cache[key] = hit
+        return hit
+
+    def _warp_row(self, row: dict) -> dict:
+        src = row_to_raster(row)
+        if self.grid is not None:
+            dcrs = self.grid.crs
+            dst_transform, (dh, dw) = self.grid.transform, self.grid.shape
+        else:
+            dcrs = self.dst_crs
+            left, bottom, right, top = src.bounds()
+            dst_transform, dw, dh = warp_mod.calculate_default_transform(
+                src.crs,
+                dcrs,
+                src.width,
+                src.height,
+                left,
+                bottom,
+                right,
+                top,
+                resolution=self.resolution,
+            )
+        lon, lat = self._dst_lonlat(dst_transform, (dh, dw), dcrs)
+        sx, sy = src.crs.forward(lon, lat)
+        fcol, frow = aff.apply_inverse(src.transform, sx, sy)
+        fcol = fcol.reshape(dh, dw)
+        frow = frow.reshape(dh, dw)
+        out_dtype = src.pixels.dtype
+        dst_nodata = self.nodata
+        if dst_nodata is None:
+            dst_nodata = (
+                src.nodata
+                if src.nodata is not None
+                else warp_mod.default_nodata(out_dtype)
+            )
+        from ..kernels.nodata import valid_mask
+
+        bands = src.count
+        out = np.empty((bands, dh, dw), dtype=out_dtype)
+        for b in range(bands):
+            vm = valid_mask(src.pixels[b], src.nodata)
+            vals, ok = warp_mod._resample_band(
+                src.pixels[b], vm, fcol, frow, self.resampling
+            )
+            if out_dtype.kind in "iu":
+                vals = np.rint(vals)
+                info = np.iinfo(out_dtype)
+                vals = np.clip(vals, info.min, info.max)
+            fill = float(dst_nodata) if dst_nodata == dst_nodata else np.nan
+            out[b] = np.where(ok, vals, fill).astype(out_dtype)
+        new = dict(row)
+        new.update(
+            h=dh,
+            w=dw,
+            crs=dcrs.to_string(),
+            transform=[float(v) for v in dst_transform],
+            nodata=float(dst_nodata),
+            pixels=pixels_to_bytes(out),
+            dtype=out.dtype.name,
+        )
+        return new
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._warp_row(r) for r in batch.to_pylist()]
+        schema = batch.schema
+        return pa.Table.from_pylist(rows, schema=schema)
+
+
+def reproject_stage(
+    ds,
+    dst_crs,
+    resampling: str = "nearest",
+    resolution=None,
+    nodata=None,
+    concurrency=4,
+    batch_size: int | None = 16,
+    **map_kwargs,
+):
+    """Per-row reproject on an actor pool."""
+    return ds.map_batches(
+        WarpActor,
+        fn_constructor_kwargs=dict(
+            dst_crs=crs_mod.from_user_input(dst_crs).to_string(),
+            resampling=resampling,
+            resolution=resolution,
+            nodata=nodata,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        **map_kwargs,
+    )
+
+
+def reproject_match_stage(
+    ds,
+    grid_spec: GridSpec,
+    resampling: str = "nearest",
+    nodata=None,
+    concurrency=4,
+    batch_size: int | None = 16,
+    **map_kwargs,
+):
+    """Warp every row onto one broadcast grid spec."""
+    return ds.map_batches(
+        WarpActor,
+        fn_constructor_kwargs=dict(
+            grid_spec=grid_spec, resampling=resampling, nodata=nodata
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        **map_kwargs,
+    )

