@@ -1,0 +1,291 @@
+"""Ray Data stage integration tests (SURVEY.md §5 engine strategy:
+distribution invariance, plan equivalence, integrity invariants).
+
+Uses a small corpus (48 images) on the session-scoped Ray fixture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rioxarray_ray.sources import corpus
+
+N_IMAGES = 48
+N_GEOMS = 40
+
+
+@pytest.fixture(scope="module")
+def rds(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.stages import decode, tile
+
+    ds = rd.from_arrow(corpus.corpus_table(range(N_IMAGES)))
+    decoded = decode.decode_stage(ds).materialize()
+    tiles = tile.tile_stage(decoded, tile_size=64).materialize()
+    return {"corpus": ds, "decoded": decoded, "tiles": tiles}
+
+
+def test_decode_matches_single_process_oracle(rds):
+    from rioxarray_ray.stages.schema import row_to_raster
+
+    for row in rds["decoded"].take(8):
+        idx = int(row["image_id"][3:])
+        dist = row_to_raster(row)
+        ref = corpus.raster_for(idx)
+        assert np.array_equal(dist.pixels, ref.pixels)
+        assert np.allclose(dist.transform, ref.transform)
+        assert dist.crs == ref.crs
+        assert row["caption"] == corpus.caption_for(idx)
+
+
+def test_decode_phash_integrity_detects_corruption(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.stages import decode
+
+    tbl = corpus.corpus_table(range(4)).to_pylist()
+    tbl[2]["phash"] ^= 1  # flip a bit
+    ds = rd.from_arrow(pa.Table.from_pylist(tbl, schema=corpus.CORPUS_SCHEMA))
+    with pytest.raises(Exception, match="phash|Phash|PHASH|mismatch"):
+        decode.decode_stage(ds).materialize()
+
+
+def test_tile_reassembles_images(rds):
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    rows = [r for r in rds["tiles"].take_all() if r["image_id"] == "img00000005"]
+    ref = corpus.raster_for(5)
+    out = np.full_like(ref.pixels, -9999)
+    for r in rows:
+        px = pixels_from_row(r)
+        r0, c0 = r["win_row_off"], r["win_col_off"]
+        out[:, r0 : r0 + r["h"], c0 : c0 + r["w"]] = px
+    assert np.array_equal(out, ref.pixels)
+
+
+def test_distribution_invariance_batch_sizes(rds, ray_session):
+    """S18: identical sorted outputs across batch sizes / parallelism."""
+    import ray.data as rd
+
+    from rioxarray_ray.stages import decode, tile
+
+    def tile_set(batch_size):
+        ds = rd.from_arrow(corpus.corpus_table(range(16)))
+        dec = decode.decode_stage(ds, batch_size=batch_size)
+        tl = tile.tile_stage(dec, tile_size=64)
+        rows = tl.take_all()
+        return sorted(
+            (r["image_id"], r["tile_row"], r["tile_col"], r["cell"], r["pixels"])
+            for r in rows
+        )
+
+    a = tile_set(1)
+    b = tile_set(7)
+    c = tile_set(None)
+    assert a == b == c
+
+
+def test_pip_join_plans_agree(rds):
+    from rioxarray_ray.stages import join
+
+    geoms = [g for g in corpus.geometry_table(N_GEOMS) if g["kind"] != "point"]
+    key = lambda r: (
+        r["image_id"], r["tile_row"], r["tile_col"], r["geom_id"],
+        r["n_pixels"], r["n_inside"], round(r["sum_inside"], 6),
+        r["centroid_inside"],
+    )
+    b = sorted(key(r) for r in join.pip_join_broadcast(
+        rds["tiles"], geoms, concurrency=2).take_all())
+    s = sorted(key(r) for r in join.pip_join_shuffle(
+        rds["tiles"], geoms, salt=4).take_all())
+    assert len(b) > 0
+    assert b == s
+
+
+def test_pip_join_matches_bruteforce_pixel_oracle(rds):
+    """S14: exact PIP oracle by brute-force per-pixel test."""
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import geometry as geom_mod
+    from rioxarray_ray.stages import join
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    geoms = [g for g in corpus.geometry_table(N_GEOMS) if g["kind"] != "point"]
+    got = {
+        (r["image_id"], r["tile_row"], r["tile_col"], r["geom_id"]): r["n_pixels"]
+        for r in join.pip_join_broadcast(rds["tiles"], geoms, concurrency=2)
+        .take_all()
+    }
+    # brute force over every (tile, geom) pair for a subset of tiles
+    tiles = rds["tiles"].take(40)
+    expected = {}
+    for row in tiles:
+        if "EPSG:4326" != row["crs"]:
+            continue
+        t = tuple(row["transform"])
+        cols = np.arange(row["w"]) + 0.5
+        rows_ = np.arange(row["h"]) + 0.5
+        cg, rg = np.meshgrid(cols, rows_)
+        lon, lat = aff.apply(t, cg, rg)
+        for g in geoms:
+            inside = geom_mod.points_in_rings(
+                lon, lat, geom_mod.geometry_rings(g["geometry"])
+            )
+            n = int(inside.sum())
+            if n:
+                expected[
+                    (row["image_id"], row["tile_row"], row["tile_col"], g["geom_id"])
+                ] = n
+    for k, v in expected.items():
+        assert got.get(k) == v, k
+    # and no phantom pairs for these tiles
+    tile_keys = {(r["image_id"], r["tile_row"], r["tile_col"]) for r in tiles
+                 if r["crs"] == "EPSG:4326"}
+    for k in got:
+        if (k[0], k[1], k[2]) in tile_keys:
+            assert k in expected, k
+
+
+def test_knn_matches_bruteforce(rds):
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import crs as crs_mod
+    from rioxarray_ray.stages import join
+
+    pts = [g for g in corpus.geometry_table(N_GEOMS) if g["kind"] == "point"]
+    P = np.array([g["geometry"]["coordinates"] for g in pts])
+    ids = [g["geom_id"] for g in pts]
+    rows = join.knn_join(rds["tiles"], pts, k=3, concurrency=2).take_all()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(
+            (r["image_id"], r["tile_row"], r["tile_col"]), []
+        ).append((r["rank"], r["geom_id"]))
+    checked = 0
+    for row in rds["tiles"].take(30):
+        cx, cy = aff.apply(tuple(row["transform"]), row["w"] / 2.0, row["h"] / 2.0)
+        c = crs_mod.from_user_input(row["crs"])
+        lon, lat = (c.inverse(cx, cy) if c.is_projected else (cx, cy))
+        d = np.hypot(P[:, 0] - float(lon), P[:, 1] - float(lat))
+        order = np.lexsort((np.arange(len(ids)), d))[:3]
+        exp = [ids[j] for j in order]
+        g = [x[1] for x in sorted(got[(row["image_id"], row["tile_row"], row["tile_col"])])]
+        assert g == exp
+        checked += 1
+    assert checked == 30
+
+
+def test_clip_box_stage_equals_kernel(rds):
+    from rioxarray_ray.stages import clip
+    from rioxarray_ray.stages.schema import pixels_from_row, row_to_raster
+
+    box = (-59.74871, 36.12337, -57.19979, 39.48719)
+    out = clip.clip_box_stage(rds["tiles"], box).take_all()
+    assert len(out) > 0
+    # every output tile window must equal the kernel slice of its source tile
+    src = {
+        (r["image_id"], r["tile_row"], r["tile_col"]): r
+        for r in rds["tiles"].take_all()
+    }
+    for r in out:
+        s = src[(r["image_id"], r["tile_row"], r["tile_col"])]
+        ras = row_to_raster(s)
+        left, bottom, right, top = ras.bounds()
+        sliced = ras.slice_xy(
+            max(box[0], left), max(box[1], bottom),
+            min(box[2], right), min(box[3], top),
+        )
+        assert np.array_equal(pixels_from_row(r), sliced.pixels)
+        assert np.allclose(r["transform"], sliced.transform)
+
+
+def test_warp_stage_matches_kernel(rds):
+    from rioxarray_ray.stages import warp
+    from rioxarray_ray.stages.schema import pixels_from_row, row_to_raster
+
+    warped = warp.reproject_stage(
+        rds["decoded"], "EPSG:3857", resampling="bilinear", concurrency=2
+    ).take(6)
+    for r in warped:
+        idx = int(r["image_id"][3:])
+        ref = corpus.raster_for(idx).reproject("EPSG:3857", resampling="bilinear")
+        assert (r["h"], r["w"]) == ref.shape
+        assert np.allclose(r["transform"], ref.transform)
+        assert np.array_equal(pixels_from_row(r), ref.pixels)
+
+
+def test_reproject_match_stage_common_grid(rds):
+    from rioxarray_ray.stages import warp
+
+    grid = warp.GridSpec(
+        "EPSG:3857",
+        (500.0, 0.0, -6680000.0, 0.0, -500.0, 4900000.0),
+        (256, 256),
+    )
+    out = warp.reproject_match_stage(rds["decoded"], grid, concurrency=2).take(5)
+    for r in out:
+        assert (r["h"], r["w"]) == grid.shape
+        assert tuple(r["transform"]) == grid.transform
+        assert r["crs"] == "EPSG:3857"
+
+
+def test_merge_stage_reassembles(ray_session):
+    """Distributed mosaic of one image's tiles == the original image."""
+    import ray.data as rd
+
+    from rioxarray_ray.stages import decode, merge, tile
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    ds = rd.from_arrow(corpus.corpus_table([8]))  # single-band raw16 image
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64)
+    mosaic, (transform, width, height) = merge.merge_stage(tiles, method="first")
+    ref = corpus.raster_for(8)
+    assert (width, height) == (ref.width, ref.height)
+    assert np.allclose(transform, ref.transform)
+    out = np.full_like(ref.pixels, -9999)
+    for r in mosaic.take_all():
+        _, tr, tc = r["image_id"].split("/")
+        r0, c0 = int(tr) * 256, int(tc) * 256
+        px = pixels_from_row(r)
+        out[:, r0 : r0 + r["h"], c0 : c0 + r["w"]] = px
+    assert np.array_equal(out, ref.pixels)
+
+
+def test_manifest_resume(tmp_path, ray_session):
+    """S16: completed partitions are skipped on resume; output identical."""
+    import pyarrow as pa
+
+    from rioxarray_ray.state.manifest import PartitionManifest, resume_filter
+    import ray.data as rd
+
+    root = str(tmp_path / "out")
+    m = PartitionManifest(root)
+    t1 = pa.table({"k": ["a"] * 3, "v": [1, 2, 3]})
+    t2 = pa.table({"k": ["b"] * 2, "v": [4, 5]})
+    m.write_partition("a", t1)
+    assert m.completed_keys() == {"a"}
+    # resume: rows for completed partition 'a' are filtered out
+    ds = rd.from_arrow(pa.concat_tables([t1, t2]))
+    remaining = resume_filter(ds, m, "k").take_all()
+    assert {r["k"] for r in remaining} == {"b"}
+    # idempotent overwrite: rewriting 'a' replaces, not duplicates
+    m.write_partition("a", t1)
+    m.write_partition("b", t2)
+    all_rows = m.read_all()
+    assert all_rows.num_rows == 5
+    lineage = m.lineage()
+    assert {r["partition_key"] for r in lineage} == {"a", "b"}
+    assert all(r["rows"] > 0 and "wall_ms" in r for r in lineage)
+
+
+def test_flagship_caption_passthrough(ray_session):
+    """S17: captions survive the whole flagship pipeline byte-identical."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+
+    warped, join_rows = fpipe.flagship(n_images=32, n_geoms=24, concurrency=2)
+    rows = warped.take_all()
+    assert len(rows) > 0
+    for r in rows:
+        idx = int(r["image_id"][3:])
+        assert r["caption"] == corpus.caption_for(idx)
