@@ -56,7 +56,7 @@ def _tiles(sf_dir: str):
         from rioxarray_ray.stages import decode as dstage
         from rioxarray_ray.stages import tile as tstage
 
-        ds = fpipe.read_corpus(n)
+        ds = fpipe.read_corpus(n, override_num_blocks=max(n // 64, 8))
         tiles = tstage.tile_stage(
             dstage.decode_stage(ds), tile_size=_TILE, cell_res=_CELL_RES
         )

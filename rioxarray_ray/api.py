@@ -1,0 +1,299 @@
+"""User-facing engine API: the ``.rio`` accessor analogue (SURVEY.md §2.10).
+
+The reference attaches a ``.rio`` namespace to xarray objects
+(/root/reference/rioxarray/raster_array.py:54-56); this engine wraps a
+``ray.data.Dataset`` of raster/tile rows in :class:`RasterDataset`, exposing
+the same operator surface as chainable methods.  Every method is lazy —
+it composes Ray Data stages and returns a new wrapper; nothing executes
+until a consuming call (``count`` / ``take`` / ``write_parquet`` / ...).
+
+    import rioxarray_ray as rxr
+    rds = rxr.api.open_corpus(n_images=500)           # read + decode
+    out = (rds.tile(64)
+              .clip_box(-59.7, 36.1, -57.2, 39.5)
+              .reproject("EPSG:3857", resampling="bilinear")
+              .write_parquet("/tmp/out"))
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .kernels import affine as aff
+from .kernels import crs as crs_mod
+from .kernels import interpolate as interp_mod
+from .sources.corpus import CELL_RES
+from .stages import clip as clip_stage_mod
+from .stages import decode as decode_stage_mod
+from .stages import join as join_mod
+from .stages import merge as merge_stage_mod
+from .stages import tile as tile_stage_mod
+from .stages import warp as warp_stage_mod
+from .stages.schema import pixels_from_row, pixels_to_bytes, row_to_raster
+
+
+def open_corpus(n_images: int, **read_kwargs) -> "RasterDataset":
+    """Front door (open_rasterio analogue): read + decode the image corpus."""
+    from .pipelines import flagship as fpipe
+
+    ds = fpipe.read_corpus(n_images, **read_kwargs)
+    return RasterDataset(decode_stage_mod.decode_stage(ds))
+
+
+def wrap(ds) -> "RasterDataset":
+    return RasterDataset(ds)
+
+
+class RasterDataset:
+    """Chainable raster-operator surface over a Dataset of raster rows."""
+
+    def __init__(self, ds):
+        self.ds = ds
+
+    # ---- plumbing -------------------------------------------------------
+    def _map_rows(self, fn, **kwargs) -> "RasterDataset":
+        """Per-row Raster -> Raster transform as a stateless map_batches."""
+
+        def batch_fn(batch: pa.Table) -> pa.Table:
+            rows = []
+            for row in batch.to_pylist():
+                out = fn(row)
+                if out is not None:
+                    rows.append(out)
+            if not rows:
+                return batch.slice(0, 0)
+            return pa.Table.from_pylist(rows, schema=batch.schema)
+
+        opts = dict(batch_format="pyarrow", zero_copy_batch=True)
+        opts.update(kwargs)
+        return RasterDataset(self.ds.map_batches(batch_fn, **opts))
+
+    @staticmethod
+    def _update(row: dict, raster) -> dict:
+        new = dict(row)
+        new.update(
+            h=raster.height,
+            w=raster.width,
+            dtype=raster.pixels.dtype.name,
+            nodata=float(raster.nodata)
+            if raster.nodata is not None
+            else float("nan"),
+            crs=raster.crs.to_string() if raster.crs is not None else "",
+            transform=[float(v) for v in raster.transform],
+            pixels=pixels_to_bytes(raster.pixels),
+            band_count=raster.count,
+        )
+        return new
+
+    # ---- metadata writers (rioxarray.py:124-607) ------------------------
+    def write_crs(self, crs) -> "RasterDataset":
+        c = crs_mod.from_user_input(crs).to_string()
+
+        def fn(row):
+            new = dict(row)
+            new["crs"] = c
+            return new
+
+        return self._map_rows(fn)
+
+    def write_nodata(self, nodata) -> "RasterDataset":
+        """Set the nodata METADATA (no pixel rewrite) — write_nodata
+        semantics, raster_array.py:196-254."""
+
+        def fn(row):
+            from .kernels.nodata import ensure_nodata_dtype
+
+            new = dict(row)
+            new["nodata"] = float(ensure_nodata_dtype(nodata, row["dtype"]))
+            return new
+
+        return self._map_rows(fn)
+
+    def write_transform(self, transform) -> "RasterDataset":
+        t = [float(v) for v in transform]
+
+        def fn(row):
+            new = dict(row)
+            new["transform"] = t
+            return new
+
+        return self._map_rows(fn)
+
+    def crs_set(self) -> set[str]:
+        """Distinct CRSs (Dataset CRS-uniformity check,
+        raster_dataset.py:41-57 — a metadata-only global agg)."""
+        return set(self.ds.select_columns(["crs"]).unique("crs"))
+
+    # ---- structure ------------------------------------------------------
+    def tile(self, tile_size: int = 64, cell_res: int = CELL_RES) -> "RasterDataset":
+        return RasterDataset(
+            tile_stage_mod.tile_stage(self.ds, tile_size=tile_size, cell_res=cell_res)
+        )
+
+    def band_as_variable(self) -> "RasterDataset":
+        """One row per band (the band_as_variable loader analogue,
+        /root/reference/rioxarray/_io.py:850-900)."""
+
+        def batch_fn(batch: pa.Table) -> pa.Table:
+            rows = []
+            for row in batch.to_pylist():
+                px = pixels_from_row(row)
+                for b in range(px.shape[0]):
+                    new = dict(row)
+                    new["image_id"] = f"{row['image_id']}#b{b + 1}"
+                    new["band_count"] = 1
+                    new["pixels"] = pixels_to_bytes(px[b : b + 1])
+                    rows.append(new)
+            return pa.Table.from_pylist(rows, schema=batch.schema)
+
+        return RasterDataset(
+            self.ds.map_batches(
+                batch_fn, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
+    def isel_window(self, row_off, col_off, height, width) -> "RasterDataset":
+        def fn(row):
+            r = row_to_raster(row).isel_window(row_off, col_off, height, width)
+            return self._update(row, r)
+
+        return self._map_rows(fn)
+
+    # ---- subsetting -----------------------------------------------------
+    def clip_box(self, minx, miny, maxx, maxy, crs=None, **kwargs) -> "RasterDataset":
+        return RasterDataset(
+            clip_stage_mod.clip_box_stage(
+                self.ds, (minx, miny, maxx, maxy), box_crs=crs, **kwargs
+            )
+        )
+
+    def clip(self, geometries, crs=None, invert=False, drop=True,
+             all_touched=False, **kwargs) -> "RasterDataset":
+        return RasterDataset(
+            clip_stage_mod.clip_stage(
+                self.ds,
+                geometries,
+                geom_crs=crs,
+                invert=invert,
+                drop_empty=drop,
+                all_touched=all_touched,
+                **kwargs,
+            )
+        )
+
+    def pad_box(self, minx, miny, maxx, maxy, constant_values=None) -> "RasterDataset":
+        def fn(row):
+            r = row_to_raster(row).pad_box(
+                minx, miny, maxx, maxy, constant_values=constant_values
+            )
+            return self._update(row, r)
+
+        return self._map_rows(fn)
+
+    # ---- warp -----------------------------------------------------------
+    def reproject(self, dst_crs, resampling="nearest", resolution=None,
+                  nodata=None, **kwargs) -> "RasterDataset":
+        return RasterDataset(
+            warp_stage_mod.reproject_stage(
+                self.ds, dst_crs, resampling=resampling,
+                resolution=resolution, nodata=nodata, **kwargs,
+            )
+        )
+
+    def reproject_match(self, match, resampling="nearest", nodata=None,
+                        **kwargs) -> "RasterDataset":
+        """match: a GridSpec, a raster row dict, or another RasterDataset
+        (its lexicographically-first row defines the grid — broadcast
+        small side)."""
+        if isinstance(match, warp_stage_mod.GridSpec):
+            grid = match
+        elif isinstance(match, dict):
+            grid = warp_stage_mod.GridSpec.from_raster_row(match)
+        else:
+            first = match.ds.take(1)[0]
+            grid = warp_stage_mod.GridSpec.from_raster_row(first)
+        return RasterDataset(
+            warp_stage_mod.reproject_match_stage(
+                self.ds, grid, resampling=resampling, nodata=nodata, **kwargs
+            )
+        )
+
+    def interpolate_na(self, method: str = "nearest") -> "RasterDataset":
+        def fn(row):
+            r = row_to_raster(row).interpolate_na(method)
+            return self._update(row, r)
+
+        return self._map_rows(fn)
+
+    # ---- n-ary ----------------------------------------------------------
+    def merge(self, method="first", resolution=None, dst_tile_size=256):
+        """Mosaic all rows (same CRS). Returns (RasterDataset, grid)."""
+        mosaic, grid = merge_stage_mod.merge_stage(
+            self.ds, method=method, resolution=resolution,
+            dst_tile_size=dst_tile_size,
+        )
+        return RasterDataset(mosaic), grid
+
+    def union(self, other: "RasterDataset") -> "RasterDataset":
+        return RasterDataset(self.ds.union(other.ds))
+
+    # ---- joins ----------------------------------------------------------
+    def pip_join(self, geom_rows, plan="broadcast", **kwargs):
+        if plan == "broadcast":
+            return join_mod.pip_join_broadcast(self.ds, geom_rows, **kwargs)
+        return join_mod.pip_join_shuffle(self.ds, geom_rows, **kwargs)
+
+    def knn_join(self, point_rows, k=3, **kwargs):
+        return join_mod.knn_join(self.ds, point_rows, k=k, **kwargs)
+
+    # ---- consumption ----------------------------------------------------
+    def bounds_table(self):
+        """Per-row footprint bounds (metadata aggregate source)."""
+
+        def fb(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.select(
+                ["image_id", "transform", "w", "h"]
+            ).to_pylist():
+                left, bottom, right, top = aff.bounds(
+                    tuple(row["transform"]), row["w"], row["h"]
+                )
+                out.append(
+                    {
+                        "image_id": row["image_id"],
+                        "left": left,
+                        "bottom": bottom,
+                        "right": right,
+                        "top": top,
+                    }
+                )
+            return pa.Table.from_pylist(out)
+
+        return self.ds.map_batches(
+            fb, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def write_parquet(self, path: str, **kwargs):
+        """to_raster analogue: per-block parallel parquet files — the
+        reference's single-file chunk-lock protocol
+        (raster_writer.py:245-264) is replaced by Ray's per-block naming."""
+        return self.ds.write_parquet(path, **kwargs)
+
+    def count(self) -> int:
+        return self.ds.count()
+
+    def take(self, n: int = 20):
+        return self.ds.take(n)
+
+    def take_all(self):
+        return self.ds.take_all()
+
+    def sort_rows(self) -> "RasterDataset":
+        """Deterministic output order (SURVEY.md §2.9)."""
+        cols = [c for c in ("image_id", "tile_row", "tile_col")
+                if c in self.ds.schema().names]
+        return RasterDataset(self.ds.sort(cols))
+
+    def stats(self) -> str:
+        return self.ds.stats()

@@ -65,9 +65,17 @@ def flagship(
     """
     import pyarrow.compute as pc
 
-    ds = read_corpus(n_images)
+    # split the read into enough blocks to feed every core (shards are 256
+    # rows; Ray splits parquet files further when override_num_blocks asks)
+    ds = read_corpus(n_images, override_num_blocks=max(n_images // 64, 8))
     decoded = decode_stage_mod.decode_stage(ds)
     tiles = tile_mod.tile_stage(decoded, tile_size=tile_size)
+    # stage boundary: the tile set feeds BOTH the join branch and the final
+    # warp branch; pin it once instead of re-executing decode+tile per
+    # consumer.  (At 100 TB this boundary is a checkpointed parquet dir —
+    # state/manifest.py; in-memory materialization is the single-node
+    # equivalent and spills via the object store.)
+    tiles = tiles.materialize()
     geoms = [
         g for g in corpus.geometry_table(n_geoms) if g["kind"] != "point"
     ]

@@ -341,28 +341,77 @@ class KNNJoinActor:
         order = np.argsort(d, kind="stable")[: self.k]
         return [(float(d[j]), int(j)) for j in order]
 
+    # below this many points, a vectorized batch x points distance matrix
+    # beats grid walking outright (the broadcast small side IS small)
+    _BRUTE_LIMIT = 10_000
+
+    def _centroids(self, batch: pa.Table):
+        """Vectorized tile-centroid lon/lat for a whole batch."""
+        t = np.asarray(batch["transform"].to_pylist(), dtype=np.float64)
+        w = np.asarray(batch["w"].to_pylist(), dtype=np.float64)
+        h = np.asarray(batch["h"].to_pylist(), dtype=np.float64)
+        cx = t[:, 0] * (w / 2.0) + t[:, 1] * (h / 2.0) + t[:, 2]
+        cy = t[:, 3] * (w / 2.0) + t[:, 4] * (h / 2.0) + t[:, 5]
+        lon = cx.copy()
+        lat = cy.copy()
+        crs_col = batch["crs"].to_pylist()
+        # group projected rows by CRS string, inverse-project vectorized
+        by_crs: dict[str, list[int]] = {}
+        for i, s in enumerate(crs_col):
+            if s:
+                by_crs.setdefault(s, []).append(i)
+        for s, idxs in by_crs.items():
+            c = crs_mod.from_user_input(s)
+            if c.is_projected:
+                ii = np.asarray(idxs)
+                lo, la = c.inverse(cx[ii], cy[ii])
+                lon[ii] = lo
+                lat[ii] = la
+        return lon, lat
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(self.ids) == 0 or batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=KNN_SCHEMA)
+        lon, lat = self._centroids(batch)
+        ids = batch["image_id"].to_pylist()
+        trs = batch["tile_row"].to_pylist()
+        tcs = batch["tile_col"].to_pylist()
         out = []
-        for row in batch.to_pylist():
-            cx, cy = aff.apply(
-                tuple(row["transform"]), row["w"] / 2.0, row["h"] / 2.0
+        if len(self.ids) <= self._BRUTE_LIMIT:
+            d = np.hypot(
+                lon[:, None] - self.pts[None, :, 0],
+                lat[:, None] - self.pts[None, :, 1],
             )
-            c = crs_mod.from_user_input(row["crs"]) if row["crs"] else None
-            if c is not None and c.is_projected:
-                lon, lat = (float(v) for v in c.inverse(cx, cy))
-            else:
-                lon, lat = float(cx), float(cy)
-            for rank, (d, j) in enumerate(self._knn_point(lon, lat), 1):
-                out.append(
-                    {
-                        "image_id": row["image_id"],
-                        "tile_row": row["tile_row"],
-                        "tile_col": row["tile_col"],
-                        "geom_id": self.ids[j],
-                        "dist": d,
-                        "rank": rank,
-                    }
-                )
+            k = min(self.k, d.shape[1])
+            order = np.argsort(d, axis=1, kind="stable")[:, :k]
+            for i in range(d.shape[0]):
+                for rank in range(k):
+                    j = int(order[i, rank])
+                    out.append(
+                        {
+                            "image_id": ids[i],
+                            "tile_row": trs[i],
+                            "tile_col": tcs[i],
+                            "geom_id": self.ids[j],
+                            "dist": float(d[i, j]),
+                            "rank": rank + 1,
+                        }
+                    )
+        else:
+            for i in range(len(ids)):
+                for rank, (dd, j) in enumerate(
+                    self._knn_point(float(lon[i]), float(lat[i])), 1
+                ):
+                    out.append(
+                        {
+                            "image_id": ids[i],
+                            "tile_row": trs[i],
+                            "tile_col": tcs[i],
+                            "geom_id": self.ids[j],
+                            "dist": dd,
+                            "rank": rank,
+                        }
+                    )
         return pa.Table.from_pylist(out, schema=KNN_SCHEMA)
 
 

@@ -1,0 +1,99 @@
+"""Accessor-API tests (the .rio-analogue surface, SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rioxarray_ray import api
+from rioxarray_ray.sources import corpus
+
+
+@pytest.fixture(scope="module")
+def rds(ray_session):
+    return api.open_corpus(24)
+
+
+def test_open_and_count(rds):
+    assert rds.count() == 24
+
+
+def test_write_crs_and_crs_set(rds):
+    out = rds.write_crs("EPSG:3857")
+    assert out.crs_set() == {"EPSG:3857"}
+    assert len(rds.crs_set()) > 1  # corpus mixes 4326 + projected
+
+
+def test_chain_tile_clip_reproject(rds, ray_session):
+    out = (
+        rds.tile(64)
+        .clip_box(-59.9, 36.0, -57.0, 40.0)
+        .reproject("EPSG:3857", resampling="nearest", concurrency=2)
+    )
+    rows = out.take(5)
+    assert rows and all(r["crs"] == "EPSG:3857" for r in rows)
+
+
+def test_band_as_variable(ray_session):
+    rds = api.open_corpus(6)  # includes idx 0 and 5 (3-band)
+    rows = rds.band_as_variable().take_all()
+    by_id = {}
+    for r in rows:
+        assert r["band_count"] == 1
+        by_id.setdefault(r["image_id"].split("#")[0], []).append(r)
+    assert len(by_id["img00000000"]) == 3
+    assert len(by_id["img00000001"]) == 1
+
+
+def test_isel_window_and_pad_box(ray_session):
+    rds = api.open_corpus(3)
+    sub = rds.isel_window(5, 10, 15, 20)
+    rows = sub.take_all()
+    assert all(r["h"] == 15 and r["w"] == 20 for r in rows)
+    # pad back out to each row's original bounds round-trips the shape
+    ref = corpus.raster_for(1)
+    row1 = [r for r in rows if r["image_id"] == "img00000001"][0]
+    from rioxarray_ray.stages.schema import row_to_raster
+
+    padded = row_to_raster(row1).pad_box(*ref.bounds())
+    assert padded.shape == ref.shape
+
+
+def test_write_nodata_overflow_contract(rds):
+    with pytest.raises(Exception, match="cannot be represented"):
+        rds.write_nodata(1e12).count()  # int16 overflow surfaces on execute
+
+
+def test_reproject_match_api(ray_session):
+    rds = api.open_corpus(8)
+    first = rds.ds.take(1)[0]
+    out = rds.reproject_match(first, concurrency=2)
+    rows = out.take_all()
+    assert all(
+        (r["h"], r["w"]) == (first["h"], first["w"])
+        and r["transform"] == first["transform"]
+        for r in rows
+    )
+
+
+def test_merge_api(ray_session):
+    rds = api.open_corpus(4)
+
+    import pyarrow.compute as pc
+
+    one = api.wrap(
+        rds.ds.map_batches(
+            lambda b: b.filter(pc.equal(b["image_id"], "img00000001")),
+            batch_format="pyarrow",
+        )
+    ).tile(64)
+    mosaic, (t, w, h) = one.merge(method="first")
+    ref = corpus.raster_for(1)
+    assert (w, h) == (ref.width, ref.height)
+    assert mosaic.count() >= 1
+
+
+def test_sort_rows_deterministic(rds):
+    a = [r["image_id"] for r in rds.sort_rows().take(10)]
+    b = [r["image_id"] for r in rds.sort_rows().take(10)]
+    assert a == b == sorted(a)
