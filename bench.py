@@ -58,15 +58,18 @@ def run_bench() -> dict:
 
     import pyarrow.parquet as pq
 
-    n_images = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    # headline corpus = 4x the sf's document count, so per-image work
+    # dominates fixed session overheads at every parallelism level (the
+    # scaling criterion compares the SAME input across num_cpus)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_images = int(os.environ.get("GRAFT_BENCH_IMAGES", str(4 * n_docs)))
 
     from rioxarray_ray.pipelines import flagship as fpipe
 
+    ray = _init_ray(num_cpus)
     # corpus synthesis is input preparation, not engine work: materialize
     # the parquet cache (and warm the page cache) before any timer starts
     fpipe.corpus_parquet(n_images)
-
-    ray = _init_ray(num_cpus)
     concurrency = max(num_cpus // 2, 2)
 
     timings: dict[str, float] = {}

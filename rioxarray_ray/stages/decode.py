@@ -62,3 +62,66 @@ def decode_stage(ds, **map_kwargs):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return ds.map_batches(decode_batch, **kwargs)
+
+
+def mask_and_scale_batch(
+    batch: pa.Table,
+    scale: float = 1.0,
+    offset: float = 0.0,
+    masked: bool = True,
+    unsigned: bool = False,
+) -> pa.Table:
+    """The masked / mask_and_scale open options
+    (/root/reference/rioxarray/_io.py:175-184,326-343,440-451):
+
+    - ``unsigned``: reinterpret signed payloads as their unsigned dtype
+      (the _Unsigned convention);
+    - ``masked``: promote to float64 and replace nodata with NaN
+      (maybe_promote semantics);
+    - scale/offset: ``out = decoded * scale + offset`` per band.
+
+    Vectorized numpy per row; output dtype float64 when masked or scaled,
+    else the (possibly reinterpreted) source dtype.
+    """
+    from .schema import pixels_from_row, pixels_to_bytes
+
+    rows = []
+    for row in batch.to_pylist():
+        px = pixels_from_row(row)
+        nod = row["nodata"]
+        if unsigned and px.dtype.kind == "i":
+            px = px.view(px.dtype.str.replace("i", "u"))
+            if nod == nod:
+                nod = float(
+                    np.array(nod).astype(px.dtype.str.replace("u", "i")).view(
+                        px.dtype
+                    )
+                )
+        new = dict(row)
+        if masked or scale != 1.0 or offset != 0.0:
+            out = px.astype(np.float64)
+            if masked and nod == nod:
+                out[px == np.asarray(nod, dtype=px.dtype)] = np.nan
+                nod = float("nan")
+            out = out * scale + offset
+            new["dtype"] = "float64"
+            new["pixels"] = pixels_to_bytes(out)
+            new["nodata"] = nod if nod == nod else float("nan")
+        else:
+            new["dtype"] = px.dtype.name
+            new["pixels"] = pixels_to_bytes(px)
+            new["nodata"] = nod
+        rows.append(new)
+    return pa.Table.from_pylist(rows, schema=batch.schema)
+
+
+def mask_and_scale_stage(ds, scale=1.0, offset=0.0, masked=True,
+                         unsigned=False, **map_kwargs):
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return ds.map_batches(
+        lambda b: mask_and_scale_batch(
+            b, scale=scale, offset=offset, masked=masked, unsigned=unsigned
+        ),
+        **kwargs,
+    )

@@ -289,3 +289,34 @@ def test_flagship_caption_passthrough(ray_session):
     for r in rows:
         idx = int(r["image_id"][3:])
         assert r["caption"] == corpus.caption_for(idx)
+
+
+def test_mask_and_scale(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.stages import decode
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    ds = rd.from_arrow(corpus.corpus_table([4]))  # raw16, nodata -28672
+    dec = decode.decode_stage(ds)
+    out = decode.mask_and_scale_stage(dec, scale=0.5, offset=10.0).take_all()
+    assert len(out) == 1
+    ref = corpus.raster_for(4)
+    got = pixels_from_row(out[0])
+    assert out[0]["dtype"] == "float64"
+    vm = ref.pixels != -28672
+    assert np.allclose(got[vm], ref.pixels[vm] * 0.5 + 10.0)
+    assert np.isnan(got[~vm]).all()
+
+
+def test_gcps_roundtrip():
+    from rioxarray_ray.kernels import gcps as gcp_mod
+
+    pts = [
+        gcp_mod.GCP(row=0, col=0, x=-60.0, y=40.0, z=1.5, id="g1", info="tl"),
+        gcp_mod.GCP(row=10, col=20, x=-59.9, y=39.9),
+    ]
+    back = gcp_mod.geojson_to_gcps(gcp_mod.gcps_to_geojson(pts))
+    assert back == pts
+    with pytest.raises(NotImplementedError, match="flag-gated"):
+        gcp_mod.warp_from_gcps()
