@@ -1,0 +1,90 @@
+"""Resumable pipeline runs (north rule: a killed job restarts mid-stream
+without recomputing completed partitions; per-partition lineage + metrics).
+
+Partitioning key: the image-id shard prefix (``image_id[:len-3]`` → one
+partition per 1000 ids, matching the corpus shard layout), so a partition's
+work is reproducible from its input shard alone.  Each partition is written
+atomically with a completion marker (state/manifest.py); ``run_resumable``
+anti-joins the corpus against completed markers before doing ANY decode
+work, so a resumed run re-reads only unfinished shards.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages import decode as decode_stage_mod
+from ..stages import tile as tile_stage_mod
+from ..stages import warp as warp_stage_mod
+from ..state.manifest import PartitionManifest
+
+
+def partition_key_expr(batch: pa.Table) -> pa.Table:
+    """image_id -> partition key (shard of 100 ids)."""
+    idx = pc.cast(
+        pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+    )
+    part = pc.cast(pc.divide(idx, 100), pa.string())
+    return batch.append_column("part", part)
+
+
+def run_resumable(
+    corpus_ds,
+    out_root: str,
+    dst_crs: str = "EPSG:3857",
+    tile_size: int = 64,
+    concurrency: int = 4,
+) -> dict:
+    """decode -> tile -> warp, written per partition with completion
+    markers.  Returns {'written': [...keys...], 'skipped': [...keys...]}.
+    """
+    manifest = PartitionManifest(out_root)
+    done = manifest.completed_keys()
+
+    keyed = corpus_ds.map_batches(
+        partition_key_expr, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if done:
+        done_arr = pa.array(sorted(done))
+        keyed = keyed.map_batches(
+            lambda b: b.filter(
+                pc.invert(pc.is_in(b["part"], value_set=done_arr))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    remaining = keyed.count()
+    written: list[str] = []
+    if remaining:
+        tiles = tile_stage_mod.tile_stage(
+            decode_stage_mod.decode_stage(keyed.drop_columns(["part"])),
+            tile_size=tile_size,
+        )
+        warped = warp_stage_mod.reproject_stage(
+            tiles, dst_crs, concurrency=concurrency
+        )
+        keyed_out = warped.map_batches(
+            partition_key_expr, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def write_partition(group):
+            """Per-group atomic write + manifest record (lineage)."""
+            import pandas as pd
+
+            key = str(group["part"].iloc[0])
+            m = PartitionManifest(out_root)
+            tbl = pa.Table.from_pandas(
+                group.drop(columns=["part"]), preserve_index=False
+            )
+            m.write_partition(key, tbl)
+            return pd.DataFrame([{"part": key, "rows": len(group)}])
+
+        results = (
+            keyed_out.groupby("part")
+            .map_groups(write_partition, batch_format="pandas")
+            .take_all()
+        )
+        written = sorted(r["part"] for r in results)
+    return {"written": written, "skipped": sorted(done)}

@@ -320,3 +320,42 @@ def test_gcps_roundtrip():
     assert back == pts
     with pytest.raises(NotImplementedError, match="flag-gated"):
         gcp_mod.warp_from_gcps()
+
+
+def test_resumable_pipeline_skips_completed(tmp_path, ray_session):
+    """S16 pipeline-level: kill-and-resume produces identical output and
+    does not recompute completed partitions."""
+    import ray.data as rd
+
+    from rioxarray_ray.pipelines import resumable
+    from rioxarray_ray.state.manifest import PartitionManifest
+
+    out = str(tmp_path / "warped")
+    ds = rd.from_arrow(corpus.corpus_table(range(300)))  # parts 0,1,2
+
+    # full run (the uninterrupted baseline)
+    full = resumable.run_resumable(ds, str(tmp_path / "baseline"), concurrency=2)
+    assert sorted(full["written"]) == ["0", "1", "2"]
+
+    # "killed" run: only partition 0 completed
+    first = resumable.run_resumable(
+        rd.from_arrow(corpus.corpus_table(range(100))), out, concurrency=2
+    )
+    assert first["written"] == ["0"]
+
+    # resume over the whole input: 0 skipped, 1+2 computed
+    second = resumable.run_resumable(ds, out, concurrency=2)
+    assert second["skipped"] == ["0"]
+    assert sorted(second["written"]) == ["1", "2"]
+
+    # output identical to the uninterrupted run, row for row
+    a = PartitionManifest(out).read_all().to_pandas()
+    b = PartitionManifest(str(tmp_path / "baseline")).read_all().to_pandas()
+    key = ["image_id", "tile_row", "tile_col"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+    # lineage records exist with metrics
+    lin = PartitionManifest(out).lineage()
+    assert {r["partition_key"] for r in lin} == {"0", "1", "2"}
+    assert all(r["rows"] > 0 and r["bytes"] > 0 for r in lin)
