@@ -359,3 +359,26 @@ def test_resumable_pipeline_skips_completed(tmp_path, ray_session):
     lin = PartitionManifest(out).lineage()
     assert {r["partition_key"] for r in lin} == {"0", "1", "2"}
     assert all(r["rows"] > 0 and r["bytes"] > 0 for r in lin)
+
+
+def test_multimodal_feature_stage(ray_session):
+    """Real Ray plumbing over stubbed codecs (image fake decoder; audio
+    decode raises a clear NotImplementedError)."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+
+    rows = [
+        {"media_id": f"m{i}", "payload": bytes([i]) * 64,
+         "media_type": "image", "meta": "{}"}
+        for i in range(8)
+    ]
+    ds = rd.from_items(rows)
+    out = multimodal.feature_stage(ds, feature_dim=16, concurrency=2).take_all()
+    assert len(out) == 8
+    assert all(len(r["feature"]) == 16 for r in out)
+    # deterministic: same payload -> same feature
+    again = multimodal.feature_stage(ds, feature_dim=16, concurrency=2).take_all()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+    with pytest.raises(NotImplementedError, match="audio"):
+        multimodal.DECODERS["audio"](b"x")
