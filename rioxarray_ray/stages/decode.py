@@ -28,33 +28,55 @@ class PhashMismatch(RuntimeError):
 
 
 def decode_batch(batch: pa.Table, verify_phash: bool = True) -> pa.Table:
-    """bytes+fmt -> pixels + derived geo columns; one output row per image."""
-    out = {name: [] for name in RASTER_SCHEMA.names}
+    """bytes+fmt -> pixels + derived geo columns; one output row per image.
+
+    Columnar hot path: payloads are read as zero-copy Arrow buffer views
+    and decoded pixels land in ONE contiguous output buffer (BinaryBuilder)
+    — no per-row python bytes objects.
+    """
+    from .schema import BinaryBuilder, binary_views
+
     ids = batch["image_id"].to_pylist()
-    payloads = batch["bytes"].to_pylist()
     fmts = batch["fmt"].to_pylist()
-    caps = batch["caption"].to_pylist()
-    phashes = batch["phash"].to_pylist()
-    for image_id, payload, fmt, caption, phash in zip(
-        ids, payloads, fmts, caps, phashes
-    ):
-        idx = int(image_id[3:])
+    phashes = batch["phash"].to_numpy(zero_copy_only=False)
+    bands, hs, ws, dtypes, nodatas, crss, transforms = [], [], [], [], [], [], []
+    builder = BinaryBuilder()
+    for i, payload in enumerate(binary_views(batch, "bytes")):
+        idx = int(ids[i][3:])
         meta = corpus.geo_meta_for(idx)
-        decoded = codecs.decode(payload, fmt)
-        if verify_phash and corpus.phash_of(decoded) != phash:
-            raise PhashMismatch(f"phash mismatch for {image_id}")
-        out["image_id"].append(image_id)
-        out["band_count"].append(decoded.shape[0])
-        out["h"].append(decoded.shape[1])
-        out["w"].append(decoded.shape[2])
-        out["dtype"].append(decoded.dtype.name)
-        out["nodata"].append(float(meta["nodata"]))
-        out["crs"].append(meta["crs"])
-        out["transform"].append([float(v) for v in meta["transform"]])
-        out["pixels"].append(pixels_to_bytes(decoded))
-        out["caption"].append(caption)
-        out["phash"].append(phash)
-    return pa.Table.from_pydict(out, schema=RASTER_SCHEMA)
+        decoded = codecs.decode(payload, fmts[i])
+        if verify_phash and corpus.phash_of(decoded) != int(phashes[i]):
+            raise PhashMismatch(f"phash mismatch for {ids[i]}")
+        bands.append(decoded.shape[0])
+        hs.append(decoded.shape[1])
+        ws.append(decoded.shape[2])
+        dtypes.append(decoded.dtype.name)
+        nodatas.append(float(meta["nodata"]))
+        crss.append(meta["crs"])
+        transforms.append([float(v) for v in meta["transform"]])
+        builder.append(decoded)
+    return pa.Table.from_arrays(
+        [
+            batch["image_id"].combine_chunks()
+            if isinstance(batch["image_id"], pa.ChunkedArray)
+            else batch["image_id"],
+            pa.array(bands, pa.int32()),
+            pa.array(hs, pa.int32()),
+            pa.array(ws, pa.int32()),
+            pa.array(dtypes, pa.string()),
+            pa.array(nodatas, pa.float64()),
+            pa.array(crss, pa.string()),
+            pa.array(transforms, RASTER_SCHEMA.field("transform").type),
+            builder.finish(),
+            batch["caption"].combine_chunks()
+            if isinstance(batch["caption"], pa.ChunkedArray)
+            else batch["caption"],
+            batch["phash"].combine_chunks()
+            if isinstance(batch["phash"], pa.ChunkedArray)
+            else batch["phash"],
+        ],
+        schema=RASTER_SCHEMA,
+    )
 
 
 def decode_stage(ds, **map_kwargs):

@@ -148,8 +148,19 @@ class PIPJoinActor:
             self.geoms.append(geom)
             for cell in geometry_cells(geom, cell_res):
                 self.by_cell.setdefault(cell, []).append(gi)
+        self._cell_set = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # vectorized coarse join first: drop every tile whose cell has no
+        # candidate geometry BEFORE any python-side row conversion (most
+        # tiles match nothing; their pixel payloads never leave Arrow)
+        if self._cell_set is None:
+            self._cell_set = pa.array(sorted(self.by_cell), type=pa.int64())
+        batch = batch.filter(pc.is_in(batch["cell"], value_set=self._cell_set))
+        if batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=PIP_SCHEMA)
         out = []
         for row in batch.to_pylist():
             cand = self.by_cell.get(int(row["cell"]), ())

@@ -47,6 +47,68 @@ def pixels_to_bytes(arr: np.ndarray) -> bytes:
     return np.ascontiguousarray(arr.astype(arr.dtype.newbyteorder("<"))).tobytes()
 
 
+def binary_views(batch: pa.Table, column: str):
+    """ZERO-COPY uint8 numpy views of every value in a binary column.
+
+    Reads the Arrow offsets+data buffers directly — no python ``bytes``
+    objects, no copies.  Views are read-only slices of the Arrow buffer.
+    """
+    col = batch[column]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    for chunk in chunks:
+        buffers = chunk.buffers()
+        offsets = np.frombuffer(
+            buffers[1], dtype=np.int32, count=len(chunk) + 1,
+            offset=chunk.offset * 4,
+        )
+        data = np.frombuffer(buffers[2], dtype=np.uint8)
+        for j in range(len(chunk)):
+            yield data[offsets[j] : offsets[j + 1]]
+
+
+def pixel_views(batch: pa.Table):
+    """ZERO-COPY (bands, h, w) numpy views of every row's pixels column."""
+    bands = batch["band_count"].to_numpy(zero_copy_only=False)
+    hs = batch["h"].to_numpy(zero_copy_only=False)
+    ws = batch["w"].to_numpy(zero_copy_only=False)
+    dtypes = batch["dtype"].to_pylist()
+    for i, raw in enumerate(binary_views(batch, "pixels")):
+        dt = np.dtype(dtypes[i]).newbyteorder("<")
+        yield raw.view(dt).reshape(int(bands[i]), int(hs[i]), int(ws[i]))
+
+
+class BinaryBuilder:
+    """Accumulate numpy pixel arrays into ONE contiguous buffer and emit a
+    pyarrow BinaryArray without creating per-row python bytes objects."""
+
+    def __init__(self):
+        self._buf = bytearray()
+        self._offsets = [0]
+
+    def append(self, arr: np.ndarray):
+        if arr.dtype.byteorder == ">":
+            arr = arr.astype(arr.dtype.newbyteorder("<"))
+        self._buf += np.ascontiguousarray(arr).data
+        self._offsets.append(len(self._buf))
+
+    def finish(self) -> pa.Array:
+        n = len(self._offsets) - 1
+        offsets_buf = pa.py_buffer(
+            np.asarray(self._offsets, dtype=np.int32).tobytes()
+        )
+        data_buf = pa.py_buffer(bytes(self._buf))
+        return pa.Array.from_buffers(
+            pa.binary(), n, [None, offsets_buf, data_buf]
+        )
+
+
+def build_binary_array(arrays) -> pa.Array:
+    b = BinaryBuilder()
+    for a in arrays:
+        b.append(a)
+    return b.finish()
+
+
 def pixels_from_row(row: dict) -> np.ndarray:
     """Rebuild the (bands, h, w) array from a row dict (zero-copy view when
     the buffer alignment allows)."""

@@ -84,8 +84,13 @@ class WarpActor:
             self._lonlat_cache[key] = hit
         return hit
 
-    def _warp_row(self, row: dict) -> dict:
-        src = row_to_raster(row)
+    def _warp_pixels(self, pixels, transform, src_crs, src_nodata):
+        """Warp one (bands,h,w) array; returns (out, dst_transform, dcrs,
+        dst_nodata).  Shared by the columnar __call__ path."""
+        from ..kernels.nodata import valid_mask
+        from ..kernels.raster import Raster
+
+        src = Raster(pixels, transform, src_crs, src_nodata)
         if self.grid is not None:
             dcrs = self.grid.crs
             dst_transform, (dh, dw) = self.grid.transform, self.grid.shape
@@ -131,22 +136,63 @@ class WarpActor:
                 vals = np.clip(vals, info.min, info.max)
             fill = float(dst_nodata) if dst_nodata == dst_nodata else np.nan
             out[b] = np.where(ok, vals, fill).astype(out_dtype)
-        new = dict(row)
-        new.update(
-            h=dh,
-            w=dw,
-            crs=dcrs.to_string(),
-            transform=[float(v) for v in dst_transform],
-            nodata=float(dst_nodata),
-            pixels=pixels_to_bytes(out),
-            dtype=out.dtype.name,
-        )
-        return new
+        return out, dst_transform, dcrs, float(dst_nodata)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = [self._warp_row(r) for r in batch.to_pylist()]
-        schema = batch.schema
-        return pa.Table.from_pylist(rows, schema=schema)
+        """Columnar hot path: pixels via zero-copy views, warped payloads
+        into one contiguous output buffer; untouched columns are reused
+        from the input batch without conversion."""
+        from .schema import BinaryBuilder, pixel_views
+
+        crss = batch["crs"].to_pylist()
+        nodatas = batch["nodata"].to_numpy(zero_copy_only=False)
+        transforms = batch["transform"].to_pylist()
+        dtypes = batch["dtype"].to_pylist()
+        hs, ws, out_crs, out_t, out_nod, out_dt = [], [], [], [], [], []
+        builder = BinaryBuilder()
+        for i, pixels in enumerate(pixel_views(batch)):
+            nod = float(nodatas[i])
+            src_nodata = nod if nod == nod else (
+                None if np.dtype(dtypes[i]).kind in "iu" else float("nan")
+            )
+            out, dst_transform, dcrs, dst_nodata = self._warp_pixels(
+                pixels,  # read-only view; the warp only gathers from it
+                tuple(transforms[i]),
+                crs_mod.from_user_input(crss[i]),
+                src_nodata,
+            )
+            hs.append(out.shape[1])
+            ws.append(out.shape[2])
+            out_crs.append(dcrs.to_string())
+            out_t.append([float(v) for v in dst_transform])
+            out_nod.append(dst_nodata)
+            out_dt.append(out.dtype.name)
+            builder.append(out)
+        arrays = []
+        for field in batch.schema:
+            name = field.name
+            if name == "h":
+                arrays.append(pa.array(hs, pa.int32()))
+            elif name == "w":
+                arrays.append(pa.array(ws, pa.int32()))
+            elif name == "crs":
+                arrays.append(pa.array(out_crs, pa.string()))
+            elif name == "transform":
+                arrays.append(pa.array(out_t, field.type))
+            elif name == "nodata":
+                arrays.append(pa.array(out_nod, pa.float64()))
+            elif name == "dtype":
+                arrays.append(pa.array(out_dt, pa.string()))
+            elif name == "pixels":
+                arrays.append(builder.finish())
+            else:
+                col = batch[name]
+                arrays.append(
+                    col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray)
+                    else col
+                )
+        return pa.Table.from_arrays(arrays, schema=batch.schema)
 
 
 def reproject_stage(
