@@ -182,6 +182,20 @@ def q_geo_pip_rect(sf_dir: str):
     )
 
 
+def q_geo_pip_shuffle(sf_dir: str):
+    """Same join as geo_pip_rect via the SALTED SHUFFLE plan — must match
+    the same SQL oracle row-for-row (plan equivalence at the gate)."""
+    from rioxarray_ray.stages import join as jstage
+
+    tiles = _tiles_4326(sf_dir)
+    joined = jstage.pip_join_shuffle(
+        tiles, _geoms("rect"), cell_res=_CELL_RES, salt=4
+    )
+    return joined.select_columns(
+        ["image_id", "tile_row", "tile_col", "geom_id", "n_pixels"]
+    )
+
+
 def q_geo_knn(sf_dir: str):
     from rioxarray_ray.stages import join as jstage
 
@@ -591,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_cells": q_geo_tile_cells,
         "geo_clip_box": q_geo_clip_box,
         "geo_pip_rect": q_geo_pip_rect,
+        "geo_pip_shuffle": q_geo_pip_shuffle,
         "geo_knn": q_geo_knn,
         "geo_reproject_grid": q_geo_reproject_grid,
         "geo_pixel_checksum": q_geo_pixel_checksum,
@@ -690,6 +705,23 @@ points AS (
 )
 """
 
+_PIP_RECT_SQL = f"""
+WITH {_TILES_CTE},
+{_GEOMS_CTE.strip().lstrip()}
+SELECT t.image_id, t.tile_row, t.tile_col, r.geom_id,
+       CAST(
+         GREATEST(0, LEAST(r.gx + r.wpx, t.gx0 + t.win_col_off + t.tw)
+                     - GREATEST(r.gx, t.gx0 + t.win_col_off))
+         * GREATEST(0, LEAST(r.gy + r.hpx, t.gy0 + t.win_row_off + t.th)
+                       - GREATEST(r.gy, t.gy0 + t.win_row_off))
+         AS BIGINT) AS n_pixels
+FROM tiles_c t CROSS JOIN rects r
+WHERE GREATEST(0, LEAST(r.gx + r.wpx, t.gx0 + t.win_col_off + t.tw)
+                  - GREATEST(r.gx, t.gx0 + t.win_col_off))
+    * GREATEST(0, LEAST(r.gy + r.hpx, t.gy0 + t.win_row_off + t.th)
+                  - GREATEST(r.gy, t.gy0 + t.win_row_off)) > 0
+"""
+
 
 def oracle_sql() -> dict[str, str]:
     box = _BOX
@@ -754,22 +786,8 @@ SELECT image_id, tile_row, tile_col,
 FROM sliced
 WHERE LEAST(cw, tw - ci) >= 1 AND LEAST(rh, th - ri) >= 1
 """,
-        "geo_pip_rect": f"""
-WITH {_TILES_CTE},
-{_GEOMS_CTE.strip().lstrip()}
-SELECT t.image_id, t.tile_row, t.tile_col, r.geom_id,
-       CAST(
-         GREATEST(0, LEAST(r.gx + r.wpx, t.gx0 + t.win_col_off + t.tw)
-                     - GREATEST(r.gx, t.gx0 + t.win_col_off))
-         * GREATEST(0, LEAST(r.gy + r.hpx, t.gy0 + t.win_row_off + t.th)
-                       - GREATEST(r.gy, t.gy0 + t.win_row_off))
-         AS BIGINT) AS n_pixels
-FROM tiles_c t CROSS JOIN rects r
-WHERE GREATEST(0, LEAST(r.gx + r.wpx, t.gx0 + t.win_col_off + t.tw)
-                  - GREATEST(r.gx, t.gx0 + t.win_col_off))
-    * GREATEST(0, LEAST(r.gy + r.hpx, t.gy0 + t.win_row_off + t.th)
-                  - GREATEST(r.gy, t.gy0 + t.win_row_off)) > 0
-""",
+        "geo_pip_rect": _PIP_RECT_SQL,
+        "geo_pip_shuffle": _PIP_RECT_SQL,
         "geo_knn": f"""
 WITH {_TILES_CTE},
 {_GEOMS_CTE.strip().lstrip()},

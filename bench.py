@@ -70,9 +70,10 @@ def run_bench() -> dict:
     # corpus synthesis is input preparation, not engine work: materialize
     # the parquet cache (and warm the page cache) before any timer starts
     fpipe.corpus_parquet(n_images)
-    # the flagship's stages run one-at-a-time against the pinned tile set,
-    # so each pool gets the full width of the machine
-    concurrency = max(num_cpus, 2)
+    # actor pools take half the machine; the streaming producer tasks
+    # (read/decode/tile) fill the other half — a full-width pool starves
+    # its own upstream and deadlocks the stream
+    concurrency = max(num_cpus // 2, 2)
 
     timings: dict[str, float] = {}
 

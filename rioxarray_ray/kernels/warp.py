@@ -117,7 +117,12 @@ def _gather(band, rows, cols, valid):
 
 
 def _resample_band(band, vmask, fcol, frow, method):
-    """Resample one (h, w) band at fractional coords. Returns (values, ok)."""
+    """Resample one (h, w) band at fractional coords. Returns (values, ok).
+
+    ``fcol``/``frow`` may be broadcastable shapes (e.g. (1, w) and (h, 1)
+    from the separable fast path) — every op below broadcasts.
+    """
+    shape = np.broadcast_shapes(fcol.shape, frow.shape)
     if method == "nearest":
         c = np.floor(fcol).astype(np.int64)
         r = np.floor(frow).astype(np.int64)
@@ -131,8 +136,8 @@ def _resample_band(band, vmask, fcol, frow, method):
         y0 = np.floor(y).astype(np.int64)
         fx = x - x0
         fy = y - y0
-        acc = np.zeros(x.shape, dtype=np.float64)
-        wacc = np.zeros(x.shape, dtype=np.float64)
+        acc = np.zeros(shape, dtype=np.float64)
+        wacc = np.zeros(shape, dtype=np.float64)
         for dy_ in (0, 1):
             wy = np.where(dy_ == 0, 1.0 - fy, fy)
             for dx_ in (0, 1):
@@ -152,8 +157,8 @@ def _resample_band(band, vmask, fcol, frow, method):
         fy = y - y0
         wx = [_keys(fx + 1.0), _keys(fx), _keys(1.0 - fx), _keys(2.0 - fx)]
         wy = [_keys(fy + 1.0), _keys(fy), _keys(1.0 - fy), _keys(2.0 - fy)]
-        acc = np.zeros(x.shape, dtype=np.float64)
-        wacc = np.zeros(x.shape, dtype=np.float64)
+        acc = np.zeros(shape, dtype=np.float64)
+        wacc = np.zeros(shape, dtype=np.float64)
         for j in range(4):
             for i in range(4):
                 v, ok = _gather(band, y0 + j - 1, x0 + i - 1, vmask)

@@ -96,12 +96,13 @@ def flagship(
     )
     decoded = decode_stage_mod.decode_stage(ds)
     tiles = tile_mod.tile_stage(decoded, tile_size=tile_size)
-    # stage boundary: the tile set feeds BOTH the join branch and the final
-    # warp branch; pin it once instead of re-executing decode+tile per
-    # consumer.  (At 100 TB this boundary is a checkpointed parquet dir —
-    # state/manifest.py; in-memory materialization is the single-node
-    # equivalent and spills via the object store.)
-    tiles = tiles.materialize()
+    # stage boundary: the tile set feeds BOTH the join branch and the warp
+    # branch.  The tile chain stays LAZY — each consumer re-executes the
+    # deterministic decode+tile lineage, which measures FASTER and scales
+    # better than pinning 5+ GB of tiles in the object store (plasma
+    # writes contend under high parallelism; streaming blocks are freed as
+    # consumed).  At 100 TB this boundary is a checkpointed parquet dir
+    # instead (pipelines/resumable.py) so consumers re-read, not recompute.
     geoms = [
         g for g in corpus.geometry_table(n_geoms) if g["kind"] != "point"
     ]

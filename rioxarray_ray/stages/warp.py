@@ -84,6 +84,50 @@ class WarpActor:
             self._lonlat_cache[key] = hit
         return hit
 
+    @staticmethod
+    def _separable(c) -> bool:
+        """x depends only on lon and y only on lat (so the inverse mapping
+        factorizes into two 1-D problems)."""
+        return c.kind in ("geographic", "mercator")
+
+    def _fractional_coords(self, dst_transform, dst_shape, dcrs, src):
+        """Fractional src pixel coords of dst pixel centers.
+
+        SEPARABLE FAST PATH: when both CRSs are lon/lat- or mercator-like
+        and both transforms are rectilinear, the mapping factorizes —
+        compute 1-D fcol (per dst column) and frow (per dst row) and let
+        every downstream resample op broadcast.  ~10x less coordinate
+        memory traffic than the dense 2-D grid; results are bit-identical
+        (same IEEE ops per element, and the dropped rectilinear cross
+        terms are exact +-0.0 no-ops).
+        """
+        dh, dw = dst_shape
+        if (
+            not aff.has_rotation(dst_transform)
+            and not aff.has_rotation(src.transform)
+            and self._separable(dcrs)
+            and self._separable(src.crs)
+        ):
+            cols = np.arange(dw, dtype=np.float64) + 0.5
+            rows = np.arange(dh, dtype=np.float64) + 0.5
+            a, _, c0, _, e, f0 = dst_transform
+            dx = a * cols + c0
+            dy = e * rows + f0
+            lon, _ = dcrs.inverse(dx, np.zeros_like(dx))
+            _, lat = dcrs.inverse(np.zeros_like(dy), dy)
+            sx, _ = src.crs.forward(lon, np.zeros_like(lon))
+            _, sy = src.crs.forward(np.zeros_like(lat), lat)
+            inv = aff.invert(src.transform)
+            ia, _, ic = inv[0], inv[1], inv[2]
+            ie, if_ = inv[4], inv[5]
+            fcol = (ia * sx + ic)[None, :]
+            frow = (ie * sy + if_)[:, None]
+            return fcol, frow
+        lon, lat = self._dst_lonlat(dst_transform, dst_shape, dcrs)
+        sx, sy = src.crs.forward(lon, lat)
+        fcol, frow = aff.apply_inverse(src.transform, sx, sy)
+        return fcol.reshape(dh, dw), frow.reshape(dh, dw)
+
     def _warp_pixels(self, pixels, transform, src_crs, src_nodata):
         """Warp one (bands,h,w) array; returns (out, dst_transform, dcrs,
         dst_nodata).  Shared by the columnar __call__ path."""
@@ -108,11 +152,9 @@ class WarpActor:
                 top,
                 resolution=self.resolution,
             )
-        lon, lat = self._dst_lonlat(dst_transform, (dh, dw), dcrs)
-        sx, sy = src.crs.forward(lon, lat)
-        fcol, frow = aff.apply_inverse(src.transform, sx, sy)
-        fcol = fcol.reshape(dh, dw)
-        frow = frow.reshape(dh, dw)
+        fcol, frow = self._fractional_coords(
+            dst_transform, (dh, dw), dcrs, src
+        )
         out_dtype = src.pixels.dtype
         dst_nodata = self.nodata
         if dst_nodata is None:
