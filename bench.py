@@ -144,18 +144,23 @@ def run_scaling():
     # N -> 4N on 6 vs 24 of the 32 cores: the high leg leaves headroom for
     # the Ray control plane (raylet/GCS/driver share the box in local mode;
     # on a real cluster they live beside, not inside, the worker pool)
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
     for ncpu in (6, 24):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_HEADLINE_ONLY="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
-        rec = json.loads(proc.stdout.strip().splitlines()[-1])
-        out[ncpu] = rec
+        best = None
+        for _ in range(trials):  # best-of-n: shared-VM noise is +-15%
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            if best is None or rec["value"] < best["value"]:
+                best = rec
+        out[ncpu] = best
     lo, hi = 6, 24
     t_lo = out[lo]["value"]
     t_hi = out[hi]["value"]

@@ -116,6 +116,12 @@ def _gather(band, rows, cols, valid):
     return band[r, c], valid[r, c] & inb
 
 
+def _floor_idx(f):
+    """floor to int32 (raster dims stay far below 2**31; halves the index
+    traffic of the gather stage)."""
+    return np.floor(f).astype(np.int32)
+
+
 def _resample_band(band, vmask, fcol, frow, method):
     """Resample one (h, w) band at fractional coords. Returns (values, ok).
 
@@ -124,16 +130,16 @@ def _resample_band(band, vmask, fcol, frow, method):
     """
     shape = np.broadcast_shapes(fcol.shape, frow.shape)
     if method == "nearest":
-        c = np.floor(fcol).astype(np.int64)
-        r = np.floor(frow).astype(np.int64)
+        c = _floor_idx(fcol)
+        r = _floor_idx(frow)
         vals, ok = _gather(band, r, c, vmask)
         return vals.astype(np.float64), ok
     # pixel-center sample position
     x = fcol - 0.5
     y = frow - 0.5
     if method == "bilinear":
-        x0 = np.floor(x).astype(np.int64)
-        y0 = np.floor(y).astype(np.int64)
+        x0 = _floor_idx(x)
+        y0 = _floor_idx(y)
         fx = x - x0
         fy = y - y0
         acc = np.zeros(shape, dtype=np.float64)
@@ -151,8 +157,8 @@ def _resample_band(band, vmask, fcol, frow, method):
             out = acc / wacc
         return out, ok
     if method == "cubic":
-        x0 = np.floor(x).astype(np.int64)
-        y0 = np.floor(y).astype(np.int64)
+        x0 = _floor_idx(x)
+        y0 = _floor_idx(y)
         fx = x - x0
         fy = y - y0
         wx = [_keys(fx + 1.0), _keys(fx), _keys(1.0 - fx), _keys(2.0 - fx)]

@@ -96,7 +96,9 @@ class BinaryBuilder:
         offsets_buf = pa.py_buffer(
             np.asarray(self._offsets, dtype=np.int32).tobytes()
         )
-        data_buf = pa.py_buffer(bytes(self._buf))
+        # wrap the accumulated bytearray WITHOUT copying: py_buffer keeps
+        # the base object alive and nothing mutates it after finish()
+        data_buf = pa.py_buffer(memoryview(self._buf))
         return pa.Array.from_buffers(
             pa.binary(), n, [None, offsets_buf, data_buf]
         )
