@@ -23,7 +23,7 @@ from ..kernels import affine as aff
 from ..kernels import cellindex
 from ..kernels import crs as crs_mod
 from ..kernels import geometry as geom_mod
-from ..kernels.raster import NoDataInBounds, Raster
+from ..kernels.raster import Raster  # noqa: F401  (re-export for callers)
 from ..sources.corpus import CELL_RES
 from .schema import pixels_to_bytes, row_to_raster
 

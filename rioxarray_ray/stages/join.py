@@ -216,6 +216,11 @@ def pip_join_shuffle(
     salt bucket) it covers, union with salted tiles, ``groupby`` on the
     composite key, exact PIP per group.  Salting splits hot cells (skewed
     geometry concentrations, FIXTURES.md F2) across ``salt`` reducers.
+
+    Scale note: the (geometry x cell x salt) replication is built
+    driver-side here; when the vector side itself is a large Dataset, emit
+    the replicated rows with a ``flat_map`` over the geometry Dataset
+    instead — the groupby plan downstream is unchanged.
     """
     import ray.data as rd
 

