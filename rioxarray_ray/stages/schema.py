@@ -35,6 +35,12 @@ TILE_FIELDS = RASTER_FIELDS + [
     ("cell", pa.int64()),
     ("win_row_off", pa.int32()),
     ("win_col_off", pa.int32()),
+    # halo bookkeeping (== 0/h/w when tiled without halo): core region
+    # position within the (possibly expanded) pixel window
+    ("core_roff", pa.int32()),
+    ("core_coff", pa.int32()),
+    ("core_h", pa.int32()),
+    ("core_w", pa.int32()),
 ]
 
 TILE_SCHEMA = pa.schema(TILE_FIELDS)

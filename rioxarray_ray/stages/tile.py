@@ -23,11 +23,24 @@ from .schema import TILE_SCHEMA, pixels_from_row, pixels_to_bytes
 
 
 def tile_batch(
-    batch: pa.Table, tile_size: int = 64, cell_res: int = CELL_RES
+    batch: pa.Table,
+    tile_size: int = 64,
+    cell_res: int = CELL_RES,
+    halo: int = 0,
 ) -> pa.Table:
     """Columnar hot path: pixels are read as zero-copy views and tile
     payloads land in one contiguous output buffer; only small scalar
-    columns go through python lists."""
+    columns go through python lists.
+
+    ``halo > 0`` ships each tile with up to ``halo`` extra source pixels on
+    every side (clamped at image edges) so downstream resampling kernels
+    have full support at tile boundaries (SURVEY.md §7.4 halo correctness;
+    kernels.warp.KERNEL_MARGIN gives the per-kernel need).  The row's
+    ``transform``/``h``/``w`` describe the EXPANDED window; the core region
+    is recovered from ``win_row_off``/``win_col_off`` (absolute, core) and
+    ``tile_row``/``tile_col`` (grid position) with core size =
+    ``min(tile_size, image_extent - core_off)``.
+    """
     from .schema import BinaryBuilder, pixel_views
 
     ids = batch["image_id"].to_pylist()
@@ -52,9 +65,15 @@ def tile_batch(
             for tc in range(n_tc):
                 c0 = tc * tile_size
                 tw = min(tile_size, w - c0)
-                sub = pixels[:, r0 : r0 + th, c0 : c0 + tw]
-                sub_t = aff.window_transform(transform, c0, r0)
-                cx, cy = aff.apply(sub_t, tw / 2.0, th / 2.0)
+                er0 = max(r0 - halo, 0)
+                ec0 = max(c0 - halo, 0)
+                er1 = min(r0 + th + halo, h)
+                ec1 = min(c0 + tw + halo, w)
+                sub = pixels[:, er0:er1, ec0:ec1]
+                sub_t = aff.window_transform(transform, ec0, er0)
+                # cell from the CORE centroid (halo must not move cells)
+                core_t = aff.window_transform(transform, c0, r0)
+                cx, cy = aff.apply(core_t, tw / 2.0, th / 2.0)
                 if projected:
                     lon, lat = c.inverse(cx, cy)
                 else:
@@ -62,8 +81,8 @@ def tile_batch(
                 cell = int(cellindex.cell(float(lon), float(lat), cell_res))
                 out["image_id"].append(ids[i])
                 out["band_count"].append(sub.shape[0])
-                out["h"].append(th)
-                out["w"].append(tw)
+                out["h"].append(er1 - er0)
+                out["w"].append(ec1 - ec0)
                 out["dtype"].append(dtypes[i])
                 out["nodata"].append(float(nodatas[i]))
                 out["crs"].append(crss[i])
@@ -76,6 +95,10 @@ def tile_batch(
                 out["cell"].append(cell)
                 out["win_row_off"].append(r0)
                 out["win_col_off"].append(c0)
+                out["core_roff"].append(r0 - er0)
+                out["core_coff"].append(c0 - ec0)
+                out["core_h"].append(th)
+                out["core_w"].append(tw)
     arrays = []
     for field in TILE_SCHEMA:
         if field.name == "pixels":
@@ -85,9 +108,13 @@ def tile_batch(
     return pa.Table.from_arrays(arrays, schema=TILE_SCHEMA)
 
 
-def tile_stage(ds, tile_size: int = 64, cell_res: int = CELL_RES, **map_kwargs):
+def tile_stage(ds, tile_size: int = 64, cell_res: int = CELL_RES, halo: int = 0,
+               **map_kwargs):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return ds.map_batches(
-        lambda b: tile_batch(b, tile_size=tile_size, cell_res=cell_res), **kwargs
+        lambda b: tile_batch(
+            b, tile_size=tile_size, cell_res=cell_res, halo=halo
+        ),
+        **kwargs,
     )

@@ -264,6 +264,162 @@ def reproject_stage(
     )
 
 
+class TiledMatchWarpActor(WarpActor):
+    """Halo-correct tiled warp onto one shared grid (SURVEY.md §2.4's
+    scale path + §7.4 halo correctness).
+
+    Each (halo-expanded) tile warps the dst sub-window covering its CORE
+    footprint; a dst pixel is OWNED by the tile whose core contains its
+    inverse-mapped src sample (0.25-px overlap margin — overlapping
+    assignments compute identical values because the halo supplies full
+    kernel support, and the downstream 'first' merge is nodata-transparent,
+    so seams can neither hole nor conflict).  Mosaicking the emitted dst
+    tiles reproduces the whole-image warp (tested pixel-exact).
+    """
+
+    _OWN_MARGIN = 0.25
+
+    def __init__(self, grid_spec: GridSpec, resampling: str = "nearest",
+                 nodata=None):
+        super().__init__(grid_spec=grid_spec, resampling=resampling,
+                         nodata=nodata)
+        self._grid_inv = aff.invert(grid_spec.transform)
+
+    def _warp_tile_row(self, pixels, row):
+        from ..kernels import crs as crs_mod2
+        from ..kernels.nodata import valid_mask
+        from ..kernels.raster import Raster
+
+        grid = self.grid
+        src_crs = crs_mod.from_user_input(row["crs"])
+        t_exp = tuple(row["transform"])
+        core_roff, core_coff = row["core_roff"], row["core_coff"]
+        core_h, core_w = row["core_h"], row["core_w"]
+        t_core = aff.window_transform(t_exp, core_coff, core_roff)
+        left, bottom, right, top = aff.bounds(t_core, core_w, core_h)
+        gl, gb, gr, gt = crs_mod.transform_bounds(
+            src_crs, grid.crs, left, bottom, right, top
+        )
+        c0f, r0f, wf, hf = aff.window_from_bounds(grid.transform, gl, gb, gr, gt)
+        margin = warp_mod.KERNEL_MARGIN[self.resampling] + 1
+        H, W = grid.shape
+        dr0 = max(int(np.floor(r0f)) - margin, 0)
+        dc0 = max(int(np.floor(c0f)) - margin, 0)
+        dr1 = min(int(np.ceil(r0f + hf)) + margin, H)
+        dc1 = min(int(np.ceil(c0f + wf)) + margin, W)
+        if dr0 >= dr1 or dc0 >= dc1:
+            return None
+        dh, dw = dr1 - dr0, dc1 - dc0
+        dst_t = aff.window_transform(grid.transform, dc0, dr0)
+        nod = float(row["nodata"])
+        src_nodata = nod if nod == nod else (
+            None if np.dtype(row["dtype"]).kind in "iu" else float("nan")
+        )
+        src = Raster(pixels, t_exp, src_crs, src_nodata)
+        fcol, frow = self._fractional_coords(dst_t, (dh, dw), grid.crs, src)
+        # ownership: src sample inside this tile's CORE (+margin)
+        own = (
+            (fcol >= core_coff - self._OWN_MARGIN)
+            & (fcol < core_coff + core_w + self._OWN_MARGIN)
+            & (frow >= core_roff - self._OWN_MARGIN)
+            & (frow < core_roff + core_h + self._OWN_MARGIN)
+        )
+        own = np.broadcast_to(own, (dh, dw))
+        out_dtype = src.pixels.dtype
+        dst_nodata = self.nodata
+        if dst_nodata is None:
+            dst_nodata = (
+                src.nodata if src.nodata is not None
+                else warp_mod.default_nodata(out_dtype)
+            )
+        bands = src.count
+        out = np.empty((bands, dh, dw), dtype=out_dtype)
+        fill = float(dst_nodata) if dst_nodata == dst_nodata else np.nan
+        for b in range(bands):
+            vm = valid_mask(src.pixels[b], src.nodata)
+            vals, ok = warp_mod._resample_band(
+                src.pixels[b], vm, fcol, frow, self.resampling
+            )
+            if out_dtype.kind in "iu":
+                vals = np.rint(vals)
+                info = np.iinfo(out_dtype)
+                vals = np.clip(vals, info.min, info.max)
+            out[b] = np.where(ok & own, vals, fill).astype(out_dtype)
+        return out, dst_t, float(dst_nodata)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .schema import BinaryBuilder, pixel_views
+
+        rows = batch.to_pylist()
+        keep_idx, hs, ws, out_t, out_nod, out_dt, out_crs = (
+            [], [], [], [], [], [], []
+        )
+        builder = BinaryBuilder()
+        for i, pixels in enumerate(pixel_views(batch)):
+            res = self._warp_tile_row(pixels, rows[i])
+            if res is None:
+                continue
+            out, dst_t, dst_nod = res
+            keep_idx.append(i)
+            hs.append(out.shape[1])
+            ws.append(out.shape[2])
+            out_t.append([float(v) for v in dst_t])
+            out_nod.append(dst_nod)
+            out_dt.append(out.dtype.name)
+            out_crs.append(self.grid.crs.to_string())
+            builder.append(out)
+        kept = batch.take(pa.array(keep_idx, pa.int32())) if keep_idx else batch.slice(0, 0)
+        arrays = []
+        for field in batch.schema:
+            name = field.name
+            if name == "h":
+                arrays.append(pa.array(hs, pa.int32()))
+            elif name == "w":
+                arrays.append(pa.array(ws, pa.int32()))
+            elif name == "crs":
+                arrays.append(pa.array(out_crs, pa.string()))
+            elif name == "transform":
+                arrays.append(pa.array(out_t, field.type))
+            elif name == "nodata":
+                arrays.append(pa.array(out_nod, pa.float64()))
+            elif name == "dtype":
+                arrays.append(pa.array(out_dt, pa.string()))
+            elif name == "pixels":
+                arrays.append(builder.finish())
+            else:
+                col = kept[name]
+                arrays.append(
+                    col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray)
+                    else col
+                )
+        return pa.Table.from_arrays(arrays, schema=batch.schema)
+
+
+def reproject_match_tiled(
+    tiles_ds,
+    grid_spec: GridSpec,
+    resampling: str = "nearest",
+    nodata=None,
+    concurrency=4,
+    batch_size: int | None = None,
+    **map_kwargs,
+):
+    """Halo-correct tiled warp onto a shared grid; requires tiles built with
+    ``tile_stage(halo >= KERNEL_MARGIN[resampling])``."""
+    return tiles_ds.map_batches(
+        TiledMatchWarpActor,
+        fn_constructor_kwargs=dict(
+            grid_spec=grid_spec, resampling=resampling, nodata=nodata
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        **map_kwargs,
+    )
+
+
 def reproject_match_stage(
     ds,
     grid_spec: GridSpec,

@@ -382,3 +382,57 @@ def test_multimodal_feature_stage(ray_session):
     assert sorted(map(str, out)) == sorted(map(str, again))
     with pytest.raises(NotImplementedError, match="audio"):
         multimodal.DECODERS["audio"](b"x")
+
+
+@pytest.mark.parametrize("resampling", ["nearest", "bilinear", "cubic"])
+def test_tiled_halo_warp_equals_whole_image(ray_session, resampling):
+    """SURVEY §7.4 halo correctness: warping halo tiles onto a shared grid
+    and mosaicking the owned dst windows reproduces the WHOLE-image warp."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels import warp as warp_kernel
+    from rioxarray_ray.stages import decode, tile, warp
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    ids = [3, 8, 15]  # single-band int16 images, mixed sizes
+    grid = warp.GridSpec(
+        "EPSG:3857",
+        (600.0, 0.0, -6690000.0, 0.0, -600.0, 4790000.0),
+        (220, 260),
+    )
+    halo = warp_kernel.KERNEL_MARGIN[resampling] + 1
+    ds = rd.from_arrow(corpus.corpus_table(ids))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64, halo=halo)
+    out_rows = warp.reproject_match_tiled(
+        tiles, grid, resampling=resampling, concurrency=2
+    ).take_all()
+
+    for idx in ids:
+        ref = corpus.raster_for(idx).reproject_match(
+            type("M", (), {
+                "crs": grid.crs, "transform": grid.transform,
+                "shape": grid.shape,
+            })(),
+            resampling=resampling,
+        )
+        # mosaic this image's dst windows (nodata-transparent first)
+        nod = ref.nodata
+        acc = np.full((ref.count,) + grid.shape, nod, dtype=ref.pixels.dtype)
+        got_any = np.zeros(grid.shape, dtype=bool)
+        inv = __import__(
+            "rioxarray_ray.kernels.affine", fromlist=["invert"]
+        )
+        for r in out_rows:
+            if r["image_id"] != f"img{idx:08d}":
+                continue
+            px = pixels_from_row(r)
+            t = r["transform"]
+            c0 = round((t[2] - grid.transform[2]) / grid.transform[0])
+            r0 = round((t[5] - grid.transform[5]) / grid.transform[4])
+            sub = acc[:, r0 : r0 + r["h"], c0 : c0 + r["w"]]
+            valid = px != np.asarray(nod, dtype=px.dtype)
+            first = valid & ~got_any[r0 : r0 + r["h"], c0 : c0 + r["w"]][None]
+            sub[first] = px[first]
+            got_any[r0 : r0 + r["h"], c0 : c0 + r["w"]] |= valid[0]
+        mismatches = int((acc != ref.pixels).sum())
+        assert mismatches == 0, (resampling, idx, mismatches)
