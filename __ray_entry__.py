@@ -537,25 +537,21 @@ def q_ann_topk(sf_dir: str):
 
 
 def q_events_window(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Min
+    from rioxarray_ray.functions import events
 
     ds = _rd().read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
+    return events.tumbling_window(ds, unit="hour")
 
-    def window(batch: pa.Table) -> pa.Table:
-        win = pc.floor_temporal(batch["ts"], unit="hour")
-        return batch.append_column("win", win)
 
-    return (
-        ds.map_batches(window, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "win"])
-        .aggregate(
-            Count(alias_name="n"),
-            Min("event_id", alias_name="min_event"),
-            Max("event_id", alias_name="max_event"),
-        )
+def q_events_sessionize(sf_dir: str):
+    from rioxarray_ray.functions import events
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
+    return events.sessionize(ds, gap_minutes=30)
 
 
 def q_agg_pricing(sf_dir: str):
@@ -623,6 +619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "events_window": q_events_window,
+        "events_sessionize": q_events_sessionize,
         "agg_pricing": q_agg_pricing,
     }
 
@@ -870,6 +867,25 @@ SELECT user_id, date_trunc('hour', ts) AS win,
        count(*) AS n,
        min(event_id) AS min_event, max(event_id) AS max_event
 FROM events GROUP BY 1, 2
+""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY 1, 2
 """,
         "agg_pricing": """
 SELECT l_returnflag, l_linestatus,

@@ -238,6 +238,33 @@ class RasterDataset:
     def union(self, other: "RasterDataset") -> "RasterDataset":
         return RasterDataset(self.ds.union(other.ds))
 
+    def reproject_match_tiled(self, grid, resampling="nearest", **kwargs):
+        """Halo-correct tiled warp onto a shared grid; requires this dataset
+        to be tiled with ``tile(halo >= KERNEL_MARGIN[resampling])``."""
+        from .stages import warp as warp_stage_mod2
+
+        if not isinstance(grid, warp_stage_mod.GridSpec):
+            grid = warp_stage_mod.GridSpec.from_raster_row(grid)
+        return RasterDataset(
+            warp_stage_mod.reproject_match_tiled(
+                self.ds, grid, resampling=resampling, **kwargs
+            )
+        )
+
+    def tile_halo(self, tile_size: int = 64, resampling: str = "cubic",
+                  cell_res: int = CELL_RES) -> "RasterDataset":
+        """Tile with the halo the given resampling kernel needs."""
+        from .kernels.warp import KERNEL_MARGIN
+
+        return RasterDataset(
+            tile_stage_mod.tile_stage(
+                self.ds,
+                tile_size=tile_size,
+                cell_res=cell_res,
+                halo=KERNEL_MARGIN[resampling] + 1,
+            )
+        )
+
     # ---- joins ----------------------------------------------------------
     def pip_join(self, geom_rows, plan="broadcast", **kwargs):
         if plan == "broadcast":
@@ -297,3 +324,19 @@ class RasterDataset:
 
     def stats(self) -> str:
         return self.ds.stats()
+
+
+def merge_datasets(named: dict, method="first", resolution=None,
+                   dst_tile_size: int = 256) -> dict:
+    """Per-variable mosaic (merge_datasets semantics,
+    /root/reference/rioxarray/merge.py:226-291): each named RasterDataset
+    merges independently onto its own union grid; returns
+    ``{name: (mosaic RasterDataset, grid)}`` — the reference's per-variable
+    loop expressed over named datasets."""
+    out = {}
+    for name, rds in named.items():
+        mosaic, grid = rds.merge(
+            method=method, resolution=resolution, dst_tile_size=dst_tile_size
+        )
+        out[name] = (mosaic, grid)
+    return out

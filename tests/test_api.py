@@ -97,3 +97,45 @@ def test_sort_rows_deterministic(rds):
     a = [r["image_id"] for r in rds.sort_rows().take(10)]
     b = [r["image_id"] for r in rds.sort_rows().take(10)]
     assert a == b == sorted(a)
+
+
+def test_merge_datasets_per_variable(ray_session):
+    import pyarrow.compute as pc
+
+    from rioxarray_ray import api
+    from rioxarray_ray.sources import corpus
+
+    rds = api.open_corpus(4)
+
+    def one(iid):
+        return api.wrap(
+            rds.ds.map_batches(
+                lambda b, iid=iid: b.filter(pc.equal(b["image_id"], iid)),
+                batch_format="pyarrow",
+            )
+        ).tile(64)
+
+    out = api.merge_datasets(
+        {"red": one("img00000001"), "nir": one("img00000002")}
+    )
+    assert set(out) == {"red", "nir"}
+    for name, iid in [("red", 1), ("nir", 2)]:
+        mosaic, (t, w, h) = out[name]
+        ref = corpus.raster_for(iid)
+        assert (w, h) == (ref.width, ref.height)
+
+
+def test_tile_halo_plus_tiled_match(ray_session):
+    from rioxarray_ray import api
+    from rioxarray_ray.stages.warp import GridSpec
+
+    rds = api.open_corpus(4)
+    grid = GridSpec(
+        "EPSG:3857", (600.0, 0.0, -6690000.0, 0.0, -600.0, 4790000.0),
+        (200, 200),
+    )
+    out = rds.tile_halo(64, resampling="bilinear").reproject_match_tiled(
+        grid, resampling="bilinear", concurrency=2
+    )
+    rows = out.take(5)
+    assert rows and all(r["crs"] == "EPSG:3857" for r in rows)
