@@ -413,6 +413,47 @@ def q_geo_interpolate_na(sf_dir: str):
 # --------------------------------------------------------------------------
 
 
+def q_multimodal_features(sf_dir: str):
+    """Multimodal plumbing over the documents table (payload = utf-8 text
+    bytes through the deterministic stub decoder): schema/actor/fan-out are
+    the real engine path; the codec boundary is the documented stub."""
+    from rioxarray_ray.functions import multimodal
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(
+                    [f"m{v}" for v in batch["doc_id"].to_pylist()]
+                ),
+                "payload": pa.array(
+                    [(t or "").encode() for t in batch["text"].to_pylist()],
+                    pa.binary(),
+                ),
+                "media_type": pa.array(["image"] * batch.num_rows),
+                "meta": pa.array(["{}"] * batch.num_rows),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow", zero_copy_batch=True)
+    out = multimodal.feature_stage(media, feature_dim=8, concurrency=2)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        feats = [
+            round(float(np.sum(f)), 6) for f in batch["feature"].to_pylist()
+        ]
+        return pa.Table.from_pydict(
+            {"media_id": batch["media_id"], "feat_sum": pa.array(feats)}
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_dedup_exact(sf_dir: str):
     from rioxarray_ray.functions import dedup
 
@@ -609,6 +650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_clip_geometry": q_geo_clip_geometry,
         "geo_merge": q_geo_merge,
         "geo_interpolate_na": q_geo_interpolate_na,
+        "multimodal_features": q_multimodal_features,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash": q_dedup_minhash,

@@ -88,3 +88,76 @@ def feature_stage(ds, feature_dim: int = 16, concurrency=2, batch_size: int = 64
         concurrency=concurrency,
         batch_size=batch_size,
     )
+
+
+class Resizer:
+    """Decode -> nearest-neighbor resize -> re-encode as raw bytes.
+
+    The resize math itself is real numpy (index-gather); only the media
+    decode is the stubbed boundary.  Output rows carry the resized raw
+    payload + its shape metadata.
+    """
+
+    def __init__(self, out_h: int = 16, out_w: int = 16):
+        self.decoders = DECODERS
+        self.out_h = out_h
+        self.out_w = out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, shapes = [], []
+        for payload, mtype in zip(
+            batch["payload"].to_pylist(), batch["media_type"].to_pylist()
+        ):
+            arr = self.decoders[mtype](payload)
+            _, h, w = arr.shape
+            ri = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
+            ci = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
+            resized = arr[:, ri[:, None], ci[None, :]]
+            payloads.append(resized.tobytes())
+            shapes.append([arr.shape[0], self.out_h, self.out_w])
+        return pa.Table.from_pydict(
+            {
+                "media_id": batch["media_id"].to_pylist(),
+                "payload": pa.array(payloads, pa.binary()),
+                "shape": pa.array(shapes, pa.list_(pa.int32())),
+            }
+        )
+
+
+def resize_stage(ds, out_h: int = 16, out_w: int = 16, concurrency=2,
+                 batch_size: int = 64):
+    return ds.map_batches(
+        Resizer,
+        fn_constructor_kwargs=dict(out_h=out_h, out_w=out_w),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def frame_sample_stage(ds, every_nth: int = 10, concurrency=2):
+    """Video frame sampling plumbing: one output row per sampled frame
+    (flat-map shape).  The video decode boundary is stubbed — the emitted
+    rows carry (media_id, frame_index) so the downstream contract (schema,
+    fan-out factor, ordering) is real and tested."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids, frames = [], []
+        for media_id, meta in zip(
+            batch["media_id"].to_pylist(), batch["meta"].to_pylist()
+        ):
+            import json
+
+            n_frames = int(json.loads(meta or "{}").get("n_frames", 0))
+            for f in range(0, n_frames, every_nth):
+                ids.append(media_id)
+                frames.append(f)
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame_index": pa.array(frames, pa.int32()),
+            }
+        )
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)

@@ -436,3 +436,25 @@ def test_tiled_halo_warp_equals_whole_image(ray_session, resampling):
             got_any[r0 : r0 + r["h"], c0 : c0 + r["w"]] |= valid[0]
         mismatches = int((acc != ref.pixels).sum())
         assert mismatches == 0, (resampling, idx, mismatches)
+
+
+def test_multimodal_resize_and_frame_sample(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+
+    rows = [
+        {"media_id": f"m{i}", "payload": bytes([i]) * 32,
+         "media_type": "image", "meta": '{"n_frames": 25}'}
+        for i in range(4)
+    ]
+    ds = rd.from_items(rows)
+    resized = multimodal.resize_stage(ds, out_h=8, out_w=8).take_all()
+    assert all(r["shape"] == [3, 8, 8] for r in resized)
+    assert all(len(r["payload"]) == 3 * 8 * 8 for r in resized)
+    frames = multimodal.frame_sample_stage(ds, every_nth=10).take_all()
+    # 25 frames sampled every 10th -> frames 0, 10, 20 per media
+    per = {}
+    for r in frames:
+        per.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 10, 20] for v in per.values())
