@@ -66,6 +66,17 @@ def geojson_to_gcps(payload: str | dict) -> list[GCP]:
     return out
 
 
+def rpcs_to_json(rpcs: dict) -> str:
+    """Rational polynomial coefficients round-trip (the reference stores
+    RPCs as a JSON attr, rioxarray.py:1066-1134).  Stored verbatim; RPC
+    warping is flag-gated with GCP warping."""
+    return json.dumps(rpcs, sort_keys=True)
+
+
+def json_to_rpcs(payload: str) -> dict:
+    return json.loads(payload)
+
+
 def warp_from_gcps(*_args, **_kwargs):
     raise NotImplementedError(
         "GCP-based warping is flag-gated out of the MVP (SURVEY.md §2.2); "

@@ -458,3 +458,51 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     for r in frames:
         per.setdefault(r["media_id"], []).append(r["frame_index"])
     assert all(sorted(v) == [0, 10, 20] for v in per.values())
+
+
+def test_pip_shuffle_salting_splits_hot_cell(ray_session):
+    """Pathological skew: every geometry in ONE cell — the salted shuffle
+    must split that cell's work across `salt` reducer keys and still match
+    the broadcast plan."""
+    import json
+
+    import ray.data as rd
+
+    from rioxarray_ray.kernels import cellindex
+    from rioxarray_ray.stages import decode, join, tile
+
+    # all rects overlapping image 1's footprint (one hot neighborhood)
+    ref = corpus.raster_for(1)
+    left, bottom, right, top = ref.bounds()
+    geoms = []
+    for k in range(24):
+        dx = (k % 6) * 0.01
+        dy = (k // 6) * 0.01
+        from rioxarray_ray.kernels.geometry import rect_geometry
+
+        geoms.append(
+            {
+                "geom_id": f"hot{k:03d}",
+                "kind": "rect",
+                "geometry": rect_geometry(
+                    left + dx, top - 0.05 - dy, left + dx + 0.04, top - dy
+                ),
+            }
+        )
+    ds = rd.from_arrow(corpus.corpus_table([1]))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64)
+    key = lambda r: (r["image_id"], r["tile_row"], r["tile_col"], r["geom_id"],
+                     r["n_pixels"])
+    b = sorted(key(r) for r in join.pip_join_broadcast(
+        tiles, geoms, concurrency=2).take_all())
+    s = sorted(key(r) for r in join.pip_join_shuffle(
+        tiles, geoms, salt=4).take_all())
+    assert len(b) > 0 and b == s
+
+
+def test_rpc_roundtrip():
+    from rioxarray_ray.kernels import gcps
+
+    rpcs = {"LINE_OFF": 1234.5, "SAMP_OFF": 99.0,
+            "LINE_NUM_COEFF": list(range(20))}
+    assert gcps.json_to_rpcs(gcps.rpcs_to_json(rpcs)) == rpcs
