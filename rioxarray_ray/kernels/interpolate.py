@@ -85,16 +85,74 @@ def nearest_fill(band: np.ndarray, nodata) -> np.ndarray:
     return out
 
 
+def _dilate(mask: np.ndarray, r: int) -> np.ndarray:
+    """r-step chebyshev binary dilation via shifts (no scipy)."""
+    out = mask.copy()
+    for _ in range(r):
+        grown = out.copy()
+        grown[1:, :] |= out[:-1, :]
+        grown[:-1, :] |= out[1:, :]
+        grown[:, 1:] |= out[:, :-1]
+        grown[:, :-1] |= out[:, 1:]
+        out = grown
+    return out
+
+
+def linear_fill(band: np.ndarray, nodata, band_radius: int = 4) -> np.ndarray:
+    """Fill nodata by barycentric-linear scattered interpolation
+    (griddata(method='linear') semantics via the from-scratch Delaunay in
+    kernels/delaunay.py).
+
+    Cost control: only valid pixels within ``band_radius`` (chebyshev) of a
+    hole are triangulated — linear interpolation inside a hole is governed
+    by nearby points; far-field points only matter for degenerate hulls
+    (falls back to them being absent: out-of-hull pixels stay nodata, the
+    griddata contract).  Holes that remain (outside the local hull) are
+    left at nodata.
+    """
+    from .delaunay import interpolate_linear
+
+    vm = valid_mask(band, nodata)
+    if vm.all() or not vm.any():
+        return band.copy()
+    holes = ~vm
+    support = _dilate(holes, band_radius) & vm
+    ys, xs = np.nonzero(support)
+    if len(ys) < 3:
+        return band.copy()
+    qy, qx = np.nonzero(holes)
+    pts = np.stack([xs, ys], axis=1).astype(np.float64)
+    vals = band[ys, xs].astype(np.float64)
+    q = np.stack([qx, qy], axis=1).astype(np.float64)
+    filled = interpolate_linear(pts, vals, q)
+    out = band.astype(np.float64, copy=True)
+    ok = ~np.isnan(filled)
+    out[qy[ok], qx[ok]] = filled[ok]
+    if band.dtype.kind in "iu":
+        result = band.copy()
+        result[qy[ok], qx[ok]] = np.rint(filled[ok]).astype(band.dtype)
+        return result
+    return out.astype(band.dtype)
+
+
 def interpolate_na(pixels: np.ndarray, nodata, method: str = "nearest") -> np.ndarray:
     """Per-band infill ((bands, h, w) or (h, w)); the band loop mirrors
-    /root/reference/rioxarray/raster_array.py:942-951."""
-    if method != "nearest":
-        raise NotImplementedError(
-            f"interpolate_na method {method!r} requires scattered Delaunay "
-            "interpolation (scipy.griddata); only 'nearest' is implemented "
-            "in this environment (SURVEY.md §7.4)"
-        )
+    /root/reference/rioxarray/raster_array.py:942-951.
+
+    Methods: 'nearest' (exact euclidean EDT) and 'linear' (from-scratch
+    Delaunay + barycentric, exact for locally-planar data); 'cubic' needs
+    Clough-Tocher and stays flag-gated (SURVEY.md §7.4).
+    """
     squeeze = pixels.ndim == 2
     arr = pixels[None] if squeeze else pixels
-    out = np.stack([nearest_fill(b, nodata) for b in arr])
+    if method == "nearest":
+        out = np.stack([nearest_fill(b, nodata) for b in arr])
+    elif method == "linear":
+        out = np.stack([linear_fill(b, nodata) for b in arr])
+    else:
+        raise NotImplementedError(
+            f"interpolate_na method {method!r} is not implemented; "
+            "'nearest' and 'linear' are available (cubic needs a "
+            "Clough-Tocher spline; SURVEY.md §7.4)"
+        )
     return out[0] if squeeze else out

@@ -394,3 +394,51 @@ def test_bbox_index():
     idx = geom.BBoxIndex(geoms)
     hits = idx.query(2.5, 2.5, 4.5, 4.5)
     assert set(hits.tolist()) == {2, 3, 4}
+
+
+def test_delaunay_plane_reproduction():
+    """Linear scattered interpolation reproduces a PLANE exactly for any
+    valid triangulation — the triangulation-independent oracle."""
+    from rioxarray_ray.kernels.delaunay import delaunay, interpolate_linear
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 10, size=(120, 2))
+    plane = lambda p: 3.0 * p[:, 0] - 2.0 * p[:, 1] + 7.0
+    vals = plane(pts)
+    tris = delaunay(pts)
+    assert len(tris) > 0
+    # every triangle references valid vertex ids
+    assert tris.min() >= 0 and tris.max() < len(pts)
+    q = rng.uniform(1, 9, size=(200, 2))  # interior queries
+    got = interpolate_linear(pts, vals, q)
+    inside = ~np.isnan(got)
+    assert inside.mean() > 0.95
+    np.testing.assert_allclose(got[inside], plane(q[inside]), atol=1e-8)
+
+
+def test_interpolate_na_linear_plane(demo_raster):
+    """interpolate_na('linear'): holes in a planar raster fill exactly."""
+    from rioxarray_ray.kernels.interpolate import interpolate_na
+
+    yy, xx = np.mgrid[0:40, 0:50]
+    plane = (2.0 * xx - 3.0 * yy + 100.0).astype(np.float64)
+    holed = plane.copy()
+    holed[10:16, 12:20] = np.nan
+    holed[25:28, 35:44] = np.nan
+    out = interpolate_na(holed, float("nan"), method="linear")
+    assert not np.isnan(out).any()
+    np.testing.assert_allclose(out, plane, atol=1e-8)
+    # integer dtype path with explicit nodata
+    ip = np.rint(plane).astype(np.int16)
+    ih = ip.copy()
+    ih[10:16, 12:20] = -28672
+    iout = interpolate_na(ih, -28672, method="linear")
+    assert (iout != -28672).all()
+    np.testing.assert_allclose(iout, ip, atol=1)
+
+
+def test_interpolate_na_cubic_still_gated(demo_raster):
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="cubic|Clough"):
+        demo_raster.interpolate_na("cubic")
