@@ -1,0 +1,119 @@
+"""Pluggable metadata conventions (SURVEY.md §2.10).
+
+The reference dispatches CRS/transform encoding through a convention
+protocol (CF or Zarr — /root/reference/rioxarray/_convention/_base.py:13-58,
+registry _core.py:19-23, auto-detect fallback chain _core.py:46-176).  The
+engine's analogue: dataset-level geo metadata is encoded into Arrow schema
+metadata by a registered codec when writing parquet, and auto-detected on
+read by trying each codec in order.
+
+- ``CFConvention``  — CF-style keys: ``spatial_ref`` (WKT) + ``GeoTransform``
+  (GDAL-order space-separated string, cf.py:59-85/139-200 semantics).
+- ``ZarrConvention`` — Zarr-geo style keys: ``proj:wkt`` + ``proj:transform``
+  (JSON list, zarr.py:228-370 semantics).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..kernels import affine as aff
+from ..kernels import crs as crs_mod
+
+
+class CFConvention:
+    name = "cf"
+
+    @staticmethod
+    def encode(crs, transform) -> dict[bytes, bytes]:
+        c = crs_mod.from_user_input(crs)
+        gdal = aff.to_gdal(tuple(transform))
+        return {
+            b"spatial_ref": c.to_wkt().encode(),
+            b"GeoTransform": " ".join(repr(v) for v in gdal).encode(),
+        }
+
+    @staticmethod
+    def decode(meta: dict[bytes, bytes]):
+        if b"spatial_ref" not in meta:
+            return None
+        c = crs_mod.from_user_input(meta[b"spatial_ref"].decode())
+        transform = None
+        if b"GeoTransform" in meta:
+            gdal = [float(v) for v in meta[b"GeoTransform"].decode().split()]
+            transform = aff.from_gdal(*gdal)
+        return c, transform
+
+
+class ZarrConvention:
+    name = "zarr"
+
+    @staticmethod
+    def encode(crs, transform) -> dict[bytes, bytes]:
+        c = crs_mod.from_user_input(crs)
+        payload = {"proj:wkt": c.to_wkt()}
+        epsg = c.to_epsg()
+        if epsg is not None:
+            payload["proj:epsg"] = epsg
+        payload["proj:transform"] = [float(v) for v in transform]
+        return {b"zarr_geo": json.dumps(payload).encode()}
+
+    @staticmethod
+    def decode(meta: dict[bytes, bytes]):
+        if b"zarr_geo" not in meta:
+            return None
+        payload = json.loads(meta[b"zarr_geo"].decode())
+        if "proj:epsg" in payload:
+            c = crs_mod.from_epsg(int(payload["proj:epsg"]))
+        else:
+            c = crs_mod.from_user_input(payload["proj:wkt"])
+        transform = tuple(payload["proj:transform"])
+        return c, transform
+
+
+# registry + auto-detect chain (first match wins, _core.py:46-102 pattern)
+CONVENTIONS: dict[str, type] = {
+    "cf": CFConvention,
+    "zarr": ZarrConvention,
+}
+
+
+def encode_schema(schema: pa.Schema, crs, transform,
+                  convention: str = "cf") -> pa.Schema:
+    codec = CONVENTIONS[convention]
+    meta = dict(schema.metadata or {})
+    meta.update(codec.encode(crs, transform))
+    meta[b"rioxarray_ray:convention"] = codec.name.encode()
+    return schema.with_metadata(meta)
+
+
+def decode_schema(schema: pa.Schema):
+    """Auto-detect: try each registered convention; None when absent."""
+    meta = schema.metadata or {}
+    preferred = meta.get(b"rioxarray_ray:convention")
+    order = list(CONVENTIONS.values())
+    if preferred:
+        order.sort(key=lambda c: c.name.encode() != preferred)
+    for codec in order:
+        got = codec.decode(meta)
+        if got is not None:
+            return got
+    return None
+
+
+def write_parquet_with_meta(table: pa.Table, path: str, crs, transform,
+                            convention: str = "cf"):
+    """Write a table with dataset-level geo metadata (grid-mapping
+    analogue: the scalar-coordinate trick of cf.py:180-196 becomes schema
+    metadata)."""
+    schema = encode_schema(table.schema, crs, transform, convention)
+    pq.write_table(table.cast(schema), path)
+
+
+def read_parquet_with_meta(path: str):
+    """Returns (table, (crs, transform) | None)."""
+    table = pq.read_table(path)
+    return table, decode_schema(table.schema)

@@ -506,3 +506,33 @@ def test_rpc_roundtrip():
     rpcs = {"LINE_OFF": 1234.5, "SAMP_OFF": 99.0,
             "LINE_NUM_COEFF": list(range(20))}
     assert gcps.json_to_rpcs(gcps.rpcs_to_json(rpcs)) == rpcs
+
+
+def test_convention_codecs_round_trip(tmp_path):
+    """§2.10 convention protocol: CF + Zarr codecs round-trip crs/transform
+    through parquet schema metadata with auto-detection."""
+    import pyarrow as pa
+
+    from rioxarray_ray.kernels import crs as crs_mod
+    from rioxarray_ray.stages import convention
+
+    t = (0.005, 0.0, -60.0, 0.0, -0.005, 40.0)
+    tbl = pa.table({"x": [1, 2, 3]})
+    for conv in ("cf", "zarr"):
+        path = str(tmp_path / f"{conv}.parquet")
+        convention.write_parquet_with_meta(
+            tbl, path, "EPSG:32615", t, convention=conv
+        )
+        back, geo = convention.read_parquet_with_meta(path)
+        assert back["x"].to_pylist() == [1, 2, 3]
+        assert geo is not None
+        c, transform = geo
+        assert c == crs_mod.utm(15)
+        assert tuple(transform) == t
+    # plain parquet (no convention) -> None
+    plain = str(tmp_path / "plain.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, plain)
+    _, geo = convention.read_parquet_with_meta(plain)
+    assert geo is None
