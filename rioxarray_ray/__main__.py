@@ -57,12 +57,11 @@ def main(argv=None):
         from .pipelines.flagship import corpus_parquet
 
         _ray()
-        path = corpus_parquet(args.n) if args.out is None else None
-        if args.out is not None:
+        path = corpus_parquet(args.n)
+        if args.out:
             import shutil
 
-            src = corpus_parquet(args.n)
-            shutil.copytree(src, args.out, dirs_exist_ok=True)
+            shutil.copytree(path, args.out, dirs_exist_ok=True)
             path = args.out
         print(json.dumps({"corpus": path, "n_images": args.n}))
     elif args.cmd == "flagship":

@@ -30,11 +30,11 @@ class CFConvention:
     @staticmethod
     def encode(crs, transform) -> dict[bytes, bytes]:
         c = crs_mod.from_user_input(crs)
-        gdal = aff.to_gdal(tuple(transform))
-        return {
-            b"spatial_ref": c.to_wkt().encode(),
-            b"GeoTransform": " ".join(repr(v) for v in gdal).encode(),
-        }
+        out = {b"spatial_ref": c.to_wkt().encode()}
+        if transform is not None:
+            gdal = aff.to_gdal(tuple(transform))
+            out[b"GeoTransform"] = " ".join(repr(v) for v in gdal).encode()
+        return out
 
     @staticmethod
     def decode(meta: dict[bytes, bytes]):
@@ -58,7 +58,8 @@ class ZarrConvention:
         epsg = c.to_epsg()
         if epsg is not None:
             payload["proj:epsg"] = epsg
-        payload["proj:transform"] = [float(v) for v in transform]
+        if transform is not None:
+            payload["proj:transform"] = [float(v) for v in transform]
         return {b"zarr_geo": json.dumps(payload).encode()}
 
     @staticmethod
@@ -70,8 +71,8 @@ class ZarrConvention:
             c = crs_mod.from_epsg(int(payload["proj:epsg"]))
         else:
             c = crs_mod.from_user_input(payload["proj:wkt"])
-        transform = tuple(payload["proj:transform"])
-        return c, transform
+        transform = payload.get("proj:transform")
+        return c, (tuple(transform) if transform is not None else None)
 
 
 # registry + auto-detect chain (first match wins, _core.py:46-102 pattern)
@@ -83,7 +84,13 @@ CONVENTIONS: dict[str, type] = {
 
 def encode_schema(schema: pa.Schema, crs, transform,
                   convention: str = "cf") -> pa.Schema:
-    codec = CONVENTIONS[convention]
+    try:
+        codec = CONVENTIONS[convention]
+    except KeyError:
+        raise ValueError(
+            f"unknown convention {convention!r}; registered: "
+            f"{sorted(CONVENTIONS)}"
+        ) from None
     meta = dict(schema.metadata or {})
     meta.update(codec.encode(crs, transform))
     meta[b"rioxarray_ray:convention"] = codec.name.encode()
@@ -98,7 +105,13 @@ def decode_schema(schema: pa.Schema):
     if preferred:
         order.sort(key=lambda c: c.name.encode() != preferred)
     for codec in order:
-        got = codec.decode(meta)
+        try:
+            got = codec.decode(meta)
+        except Exception:
+            # unparseable/foreign metadata for this codec -> fall through,
+            # mirroring the reference's auto-detect fallback chain
+            # (_convention/_core.py:46-176)
+            continue
         if got is not None:
             return got
     return None
@@ -110,7 +123,7 @@ def write_parquet_with_meta(table: pa.Table, path: str, crs, transform,
     analogue: the scalar-coordinate trick of cf.py:180-196 becomes schema
     metadata)."""
     schema = encode_schema(table.schema, crs, transform, convention)
-    pq.write_table(table.cast(schema), path)
+    pq.write_table(table.replace_schema_metadata(schema.metadata), path)
 
 
 def read_parquet_with_meta(path: str):

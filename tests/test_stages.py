@@ -536,3 +536,39 @@ def test_convention_codecs_round_trip(tmp_path):
     pq.write_table(tbl, plain)
     _, geo = convention.read_parquet_with_meta(plain)
     assert geo is None
+
+
+def test_convention_foreign_and_partial_metadata(tmp_path):
+    """Auto-detect must fall through (not crash) on foreign metadata, and
+    transform-less CF files must round-trip read->re-encode."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rioxarray_ray.stages import convention
+
+    tbl = pa.table({"x": [1]})
+    # foreign WKT (non-whitelisted CRS) -> None, no crash
+    foreign = tbl.replace_schema_metadata(
+        {b"spatial_ref": b'PROJCS["x",AUTHORITY["EPSG","2193"]]'}
+    )
+    fpath = str(tmp_path / "foreign.parquet")
+    pq.write_table(foreign, fpath)
+    _, geo = convention.read_parquet_with_meta(fpath)
+    assert geo is None
+    # CF without GeoTransform -> (crs, None), re-encodable
+    partial = tbl.replace_schema_metadata(
+        {b"spatial_ref": convention.CFConvention.encode("EPSG:4326", None)[
+            b"spatial_ref"
+        ]}
+    )
+    ppath = str(tmp_path / "partial.parquet")
+    pq.write_table(partial, ppath)
+    _, geo = convention.read_parquet_with_meta(ppath)
+    assert geo is not None and geo[1] is None
+    convention.write_parquet_with_meta(
+        tbl, str(tmp_path / "re.parquet"), geo[0], geo[1]
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="registered"):
+        convention.encode_schema(tbl.schema, "EPSG:4326", None, convention="zar")
