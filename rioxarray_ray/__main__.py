@@ -56,14 +56,15 @@ def main(argv=None):
     if args.cmd == "synth":
         from .pipelines.flagship import corpus_parquet
 
-        _ray()
+        ray = _ray()
         path = corpus_parquet(args.n)
-        if args.out:
+        if args.out is not None:
             import shutil
 
             shutil.copytree(path, args.out, dirs_exist_ok=True)
             path = args.out
         print(json.dumps({"corpus": path, "n_images": args.n}))
+        ray.shutdown()
     elif args.cmd == "flagship":
         ray = _ray()
         if args.resume:

@@ -32,8 +32,8 @@ class CFConvention:
         c = crs_mod.from_user_input(crs)
         out = {b"spatial_ref": c.to_wkt().encode()}
         if transform is not None:
-            gdal = aff.to_gdal(tuple(transform))
-            out[b"GeoTransform"] = " ".join(repr(v) for v in gdal).encode()
+            gdal = aff.to_gdal(tuple(float(v) for v in transform))
+            out[b"GeoTransform"] = " ".join(repr(float(v)) for v in gdal).encode()
         return out
 
     @staticmethod
@@ -43,8 +43,12 @@ class CFConvention:
         c = crs_mod.from_user_input(meta[b"spatial_ref"].decode())
         transform = None
         if b"GeoTransform" in meta:
-            gdal = [float(v) for v in meta[b"GeoTransform"].decode().split()]
-            transform = aff.from_gdal(*gdal)
+            try:
+                gdal = [float(v) for v in meta[b"GeoTransform"].decode().split()]
+                transform = aff.from_gdal(*gdal)
+            except (ValueError, TypeError):
+                # salvage the valid CRS when only the transform is corrupt
+                transform = None
         return c, transform
 
 
@@ -92,6 +96,12 @@ def encode_schema(schema: pa.Schema, crs, transform,
             f"{sorted(CONVENTIONS)}"
         ) from None
     meta = dict(schema.metadata or {})
+    # strip every registered convention's keys first — stale geo metadata
+    # from a previous encode must not survive a re-encode (it would
+    # resurrect an old transform/CRS on read)
+    stale = {b"spatial_ref", b"GeoTransform", b"zarr_geo",
+             b"rioxarray_ray:convention"}
+    meta = {k: v for k, v in meta.items() if k not in stale}
     meta.update(codec.encode(crs, transform))
     meta[b"rioxarray_ray:convention"] = codec.name.encode()
     return schema.with_metadata(meta)
@@ -107,10 +117,12 @@ def decode_schema(schema: pa.Schema):
     for codec in order:
         try:
             got = codec.decode(meta)
-        except Exception:
-            # unparseable/foreign metadata for this codec -> fall through,
+        except (ValueError, KeyError, TypeError, crs_mod.CRSError,
+                json.JSONDecodeError):
+            # unparseable/foreign metadata for THIS codec -> fall through,
             # mirroring the reference's auto-detect fallback chain
-            # (_convention/_core.py:46-176)
+            # (_convention/_core.py:46-176); genuine codec bugs (other
+            # exception types) still surface
             continue
         if got is not None:
             return got

@@ -572,3 +572,37 @@ def test_convention_foreign_and_partial_metadata(tmp_path):
 
     with _pytest.raises(ValueError, match="registered"):
         convention.encode_schema(tbl.schema, "EPSG:4326", None, convention="zar")
+
+
+def test_convention_reencode_strips_stale_keys(tmp_path):
+    """Re-encoding must not resurrect a previous convention's metadata."""
+    import pyarrow as pa
+
+    from rioxarray_ray.stages import convention
+
+    tbl = pa.table({"x": [1]})
+    t = (0.005, 0.0, -60.0, 0.0, -0.005, 40.0)
+    p1 = str(tmp_path / "a.parquet")
+    convention.write_parquet_with_meta(tbl, p1, "EPSG:32615", t, "cf")
+    back, geo = convention.read_parquet_with_meta(p1)
+    # re-encode transform-less with a different CRS: old transform must die
+    p2 = str(tmp_path / "b.parquet")
+    convention.write_parquet_with_meta(back, p2, "EPSG:4326", None, "cf")
+    _, geo2 = convention.read_parquet_with_meta(p2)
+    assert geo2 == (convention.crs_mod.GEOGRAPHIC, None)
+    # convention switch: no CF keys left behind
+    p3 = str(tmp_path / "c.parquet")
+    convention.write_parquet_with_meta(back, p3, "EPSG:3857", t, "zarr")
+    import pyarrow.parquet as pq
+
+    meta = pq.read_schema(p3).metadata
+    assert b"spatial_ref" not in meta and b"GeoTransform" not in meta
+    # corrupt GeoTransform salvages the CRS
+    corrupt = tbl.replace_schema_metadata(
+        {b"spatial_ref": convention.CFConvention.encode("EPSG:4326", None)[
+            b"spatial_ref"], b"GeoTransform": b"1 2 3"}
+    )
+    p4 = str(tmp_path / "d.parquet")
+    pq.write_table(corrupt, p4)
+    _, geo4 = convention.read_parquet_with_meta(p4)
+    assert geo4 == (convention.crs_mod.GEOGRAPHIC, None)
