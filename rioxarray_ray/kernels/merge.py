@@ -125,12 +125,15 @@ def merge_tiles(
             acc[:, dr0:dr1, dc0:dc1], accv[:, dr0:dr1, dc0:dc1], sub, subv, method
         )
     out_dtype = np.dtype(dtype) if dtype is not None else sources[0][0].dtype
-    fill = np.nan if (nodata is None or nodata != nodata) else float(nodata)
-    if method in ("sum", "count"):
-        out = np.where(accv, acc, fill)
-    else:
-        out = np.where(accv, acc, fill)
+    no_nodata = nodata is None or nodata != nodata
     if out_dtype.kind in "iu":
+        # integer mosaic without nodata fills 0 (rasterio.merge behavior);
+        # NaN would cast to platform-dependent garbage
+        fill = 0.0 if no_nodata else float(nodata)
+        out = np.where(accv, acc, fill)
         info = np.iinfo(out_dtype)
-        out = np.clip(np.rint(np.nan_to_num(out, nan=fill)), info.min, info.max)
+        out = np.clip(np.rint(out), info.min, info.max)
+    else:
+        fill = np.nan if no_nodata else float(nodata)
+        out = np.where(accv, acc, fill)
     return out.astype(out_dtype)

@@ -104,10 +104,13 @@ class Raster:
         """Coordinate-space slice honoring descending y
         (/root/reference/rioxarray/rioxarray.py:906-949)."""
         c0, r0, w, h = aff.window_from_bounds(self.transform, minx, miny, maxx, maxy)
-        ri, ci = int(np.floor(r0 + 1e-9)), int(np.floor(c0 + 1e-9))
-        rh, cw = int(np.ceil(r0 + h - 1e-9)) - ri, int(np.ceil(c0 + w - 1e-9)) - ci
-        ri, ci = max(ri, 0), max(ci, 0)
-        return self.isel_window(ri, ci, rh, cw)
+        r1 = int(np.ceil(r0 + h - 1e-9))
+        c1 = int(np.ceil(c0 + w - 1e-9))
+        # clamp the origin FIRST so a bbox extending past the top/left edge
+        # shrinks the window instead of shifting it (the end stays fixed)
+        ri = max(int(np.floor(r0 + 1e-9)), 0)
+        ci = max(int(np.floor(c0 + 1e-9)), 0)
+        return self.isel_window(ri, ci, r1 - ri, c1 - ci)
 
     # -- clip_box (raster_array.py:628-761) ------------------------------
     def clip_box(
@@ -264,6 +267,10 @@ class Raster:
             )
         dst_crs = crs_mod.from_user_input(dst_crs)
         left, bottom, right, top = self.bounds()
+        if transform is not None and shape is None:
+            # transform without shape: dst shape = src shape (reference
+            # semantics, raster_array.py:397-402)
+            shape = (self.height, self.width)
         if transform is not None and shape is not None:
             dst_transform, dw, dh = tuple(transform), shape[1], shape[0]
         else:

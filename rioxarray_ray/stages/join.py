@@ -95,7 +95,9 @@ def _refine_tile(row: dict, cand_ids, cand_geoms) -> list[dict]:
     lon, lat = _tile_lonlat_grid(row)
     pixels = pixels_from_row(row)
     nod = row["nodata"]
-    vm = valid_mask(pixels, nod if nod == nod else None)
+    if nod != nod:  # NaN sentinel: no-nodata for ints, NaN for floats
+        nod = None if np.dtype(row["dtype"]).kind in "iu" else float("nan")
+    vm = valid_mask(pixels, nod)
     cx, cy = aff.apply(tuple(row["transform"]), row["w"] / 2.0, row["h"] / 2.0)
     c = crs_mod.from_user_input(row["crs"]) if row["crs"] else None
     if c is not None and c.is_projected:
@@ -224,6 +226,8 @@ def pip_join_shuffle(
     """
     import ray.data as rd
 
+    if not 1 <= salt <= 16:
+        raise ValueError("salt must be in [1, 16] (4-bit field in the key)")
     geom_broadcast = []
     for g in geom_rows:
         geom = geom_mod.parse_geometry(g["geometry"])

@@ -112,7 +112,12 @@ def merge_stage(
     **map_kwargs,
 ):
     """Mosaic all rows of ``ds`` (same CRS) into dst tiles. Returns a Dataset
-    of raster rows, one per non-empty dst tile, image_id = ``mosaic/r/c``."""
+    of raster rows, one per non-empty dst tile, image_id = ``mosaic/r/c``.
+
+    Pins the input first: the plan needs two passes (bounds aggregate +
+    first-source fetch) and the placement a third — against an
+    unmaterialized lineage those would re-execute the whole upstream."""
+    ds = ds.materialize()
     transform, width, height, crs_str, nodata, dtype = plan_union_grid(
         ds, resolution=resolution
     )
@@ -180,7 +185,13 @@ def merge_stage(
         dt = np.dtype(group["dtype"].iloc[0])
         acc = np.zeros((bands, th, tw), dtype=np.float64)
         accv = np.zeros((bands, th, tw), dtype=bool)
-        nod = nodata if nodata == nodata else None
+        # NaN sentinel means "no nodata" ONLY for integer dtypes; float
+        # rasters use NaN itself as nodata (engine convention, schema.py)
+        nod = (
+            nodata
+            if nodata == nodata
+            else (None if dt.kind in "iu" else float("nan"))
+        )
         from ..kernels.nodata import valid_mask
 
         for _, piece in group.iterrows():
@@ -197,12 +208,17 @@ def merge_stage(
                 subv,
                 method,
             )
-        fill = nod if nod is not None else np.nan
-        out = np.where(accv, acc, fill)
-        if dt.kind in "iu":
+        if method == "count":
+            out = np.where(accv, acc, 0.0)
+            out = np.rint(out).astype(np.int64)
+        elif dt.kind in "iu":
+            fill = 0.0 if nod is None else float(nod)  # rasterio: 0 when unset
+            out = np.where(accv, acc, fill)
             info = np.iinfo(dt)
-            out = np.clip(np.rint(np.nan_to_num(out, nan=fill)), info.min, info.max)
-        out = out.astype(dt if method not in ("count",) else np.int64)
+            out = np.clip(np.rint(out), info.min, info.max).astype(dt)
+        else:
+            fill = np.nan if nod is None or nod != nod else float(nod)
+            out = np.where(accv, acc, fill).astype(dt)
         tile_transform = aff.window_transform(
             transform, tc * dst_tile_size, tr * dst_tile_size
         )

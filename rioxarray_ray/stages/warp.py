@@ -26,7 +26,7 @@ import pyarrow as pa
 from ..kernels import affine as aff
 from ..kernels import crs as crs_mod
 from ..kernels import warp as warp_mod
-from .schema import RASTER_SCHEMA, pixels_to_bytes, row_to_raster, raster_to_row
+from .schema import pixels_to_bytes, row_to_raster  # noqa: F401 (row_to_raster kept for callers)
 
 
 class GridSpec:
@@ -69,6 +69,15 @@ class WarpActor:
         self._lonlat_cache: dict = {}
 
     def _dst_lonlat(self, transform, shape, dcrs):
+        if self.grid is None:
+            # per-row mode: every row has a unique dst grid — caching would
+            # only accumulate full-size arrays with a zero hit rate
+            h, w = shape
+            cols = np.arange(w, dtype=np.float64) + 0.5
+            rows = np.arange(h, dtype=np.float64) + 0.5
+            cgrid, rgrid = np.meshgrid(cols, rows)
+            dx, dy = aff.apply(transform, cgrid, rgrid)
+            return dcrs.inverse(dx.ravel(), dy.ravel())
         key = (transform, shape, dcrs.to_string())
         hit = self._lonlat_cache.get(key)
         if hit is None:
@@ -286,7 +295,6 @@ class TiledMatchWarpActor(WarpActor):
         self._grid_inv = aff.invert(grid_spec.transform)
 
     def _warp_tile_row(self, pixels, row):
-        from ..kernels import crs as crs_mod2
         from ..kernels.nodata import valid_mask
         from ..kernels.raster import Raster
 

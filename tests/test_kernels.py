@@ -442,3 +442,36 @@ def test_interpolate_na_cubic_still_gated(demo_raster):
 
     with _pytest.raises(NotImplementedError, match="cubic|Clough"):
         demo_raster.interpolate_na("cubic")
+
+
+def test_slice_xy_clamps_origin_not_extent(demo_raster):
+    """A bbox extending past the top/left edge must SHRINK the window, not
+    shift it past the requested extent (review finding r1)."""
+    left, bottom, right, top = demo_raster.bounds()
+    out = demo_raster.slice_xy(left - 0.05, top - 0.015, left + 0.025, top + 0.05)
+    # only the intersecting 3 rows x 5 cols
+    assert out.shape == (3, 5)
+    assert np.array_equal(out.pixels, demo_raster.pixels[:, :3, :5])
+    assert np.allclose(out.transform, demo_raster.transform)
+
+
+def test_reproject_transform_only_uses_src_shape(demo_raster):
+    """transform= without shape= -> dst shape == src shape
+    (raster_array.py:397-402 semantics; review finding r4)."""
+    t = (0.004, 0.0, -60.01, 0.0, -0.004, 40.01)
+    out = demo_raster.reproject(crs.GEOGRAPHIC, transform=t)
+    assert out.shape == demo_raster.shape
+    assert out.transform == t
+
+
+def test_merge_int_no_nodata_fills_zero(demo_raster):
+    """Integer mosaic without nodata fills 0 (rasterio behavior), never a
+    NaN-cast (review finding r3)."""
+    px = np.ones((1, 4, 4), dtype=np.int16) * 7
+    t = aff.compose(aff.translation(0, 4), aff.scale(1, -1))
+    mt, mw, mh = merge_mod.union_grid([(0, -4, 4, 4)], (1.0, 1.0))
+    out = merge_mod.merge_tiles([(px, t)], mt, (mh, mw), None, "first",
+                                dtype=np.int16)
+    assert out.shape == (1, 8, 4)
+    assert (out[0][:4] == 7).all()
+    assert (out[0][4:] == 0).all()  # uncovered -> 0, not garbage
