@@ -43,6 +43,42 @@ class GridSpec:
         return cls(row["crs"], tuple(row["transform"]), (row["h"], row["w"]))
 
 
+
+def _finalize_band(vals, ok, out_dtype, fill):
+    """Round/clip for integer outputs and fill rejected pixels — the shared
+    tail of every per-band warp (also the kernel's reproject_array tail)."""
+    if out_dtype.kind in "iu":
+        vals = np.rint(vals)
+        info = np.iinfo(out_dtype)
+        vals = np.clip(vals, info.min, info.max)
+    return np.where(ok, vals, fill).astype(out_dtype)
+
+
+def _rebuild_table(batch, updates, builder, keep_idx=None):
+    """Reassemble an output table on the input schema: ``updates`` maps
+    column name -> pa.Array; ``builder.finish()`` supplies pixels; all other
+    columns pass through (optionally row-filtered by ``keep_idx``)."""
+    base = batch
+    if keep_idx is not None:
+        base = (
+            batch.take(pa.array(keep_idx, pa.int32()))
+            if keep_idx
+            else batch.slice(0, 0)
+        )
+    arrays = []
+    for field in batch.schema:
+        if field.name in updates:
+            arrays.append(updates[field.name])
+        elif field.name == "pixels":
+            arrays.append(builder.finish())
+        else:
+            col = base[field.name]
+            arrays.append(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+    return pa.Table.from_arrays(arrays, schema=batch.schema)
+
+
 class WarpActor:
     """Actor-pool warp worker with pinned projection grids.
 
@@ -176,17 +212,13 @@ class WarpActor:
 
         bands = src.count
         out = np.empty((bands, dh, dw), dtype=out_dtype)
+        fill = float(dst_nodata) if dst_nodata == dst_nodata else np.nan
         for b in range(bands):
             vm = valid_mask(src.pixels[b], src.nodata)
             vals, ok = warp_mod._resample_band(
                 src.pixels[b], vm, fcol, frow, self.resampling
             )
-            if out_dtype.kind in "iu":
-                vals = np.rint(vals)
-                info = np.iinfo(out_dtype)
-                vals = np.clip(vals, info.min, info.max)
-            fill = float(dst_nodata) if dst_nodata == dst_nodata else np.nan
-            out[b] = np.where(ok, vals, fill).astype(out_dtype)
+            out[b] = _finalize_band(vals, ok, out_dtype, fill)
         return out, dst_transform, dcrs, float(dst_nodata)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -219,31 +251,20 @@ class WarpActor:
             out_nod.append(dst_nodata)
             out_dt.append(out.dtype.name)
             builder.append(out)
-        arrays = []
-        for field in batch.schema:
-            name = field.name
-            if name == "h":
-                arrays.append(pa.array(hs, pa.int32()))
-            elif name == "w":
-                arrays.append(pa.array(ws, pa.int32()))
-            elif name == "crs":
-                arrays.append(pa.array(out_crs, pa.string()))
-            elif name == "transform":
-                arrays.append(pa.array(out_t, field.type))
-            elif name == "nodata":
-                arrays.append(pa.array(out_nod, pa.float64()))
-            elif name == "dtype":
-                arrays.append(pa.array(out_dt, pa.string()))
-            elif name == "pixels":
-                arrays.append(builder.finish())
-            else:
-                col = batch[name]
-                arrays.append(
-                    col.combine_chunks()
-                    if isinstance(col, pa.ChunkedArray)
-                    else col
-                )
-        return pa.Table.from_arrays(arrays, schema=batch.schema)
+        return _rebuild_table(
+            batch,
+            {
+                "h": pa.array(hs, pa.int32()),
+                "w": pa.array(ws, pa.int32()),
+                "crs": pa.array(out_crs, pa.string()),
+                "transform": pa.array(
+                    out_t, batch.schema.field("transform").type
+                ),
+                "nodata": pa.array(out_nod, pa.float64()),
+                "dtype": pa.array(out_dt, pa.string()),
+            },
+            builder,
+        )
 
 
 def reproject_stage(
@@ -376,32 +397,21 @@ class TiledMatchWarpActor(WarpActor):
             out_dt.append(out.dtype.name)
             out_crs.append(self.grid.crs.to_string())
             builder.append(out)
-        kept = batch.take(pa.array(keep_idx, pa.int32())) if keep_idx else batch.slice(0, 0)
-        arrays = []
-        for field in batch.schema:
-            name = field.name
-            if name == "h":
-                arrays.append(pa.array(hs, pa.int32()))
-            elif name == "w":
-                arrays.append(pa.array(ws, pa.int32()))
-            elif name == "crs":
-                arrays.append(pa.array(out_crs, pa.string()))
-            elif name == "transform":
-                arrays.append(pa.array(out_t, field.type))
-            elif name == "nodata":
-                arrays.append(pa.array(out_nod, pa.float64()))
-            elif name == "dtype":
-                arrays.append(pa.array(out_dt, pa.string()))
-            elif name == "pixels":
-                arrays.append(builder.finish())
-            else:
-                col = kept[name]
-                arrays.append(
-                    col.combine_chunks()
-                    if isinstance(col, pa.ChunkedArray)
-                    else col
-                )
-        return pa.Table.from_arrays(arrays, schema=batch.schema)
+        return _rebuild_table(
+            batch,
+            {
+                "h": pa.array(hs, pa.int32()),
+                "w": pa.array(ws, pa.int32()),
+                "crs": pa.array(out_crs, pa.string()),
+                "transform": pa.array(
+                    out_t, batch.schema.field("transform").type
+                ),
+                "nodata": pa.array(out_nod, pa.float64()),
+                "dtype": pa.array(out_dt, pa.string()),
+            },
+            builder,
+            keep_idx=keep_idx,
+        )
 
 
 def reproject_match_tiled(
