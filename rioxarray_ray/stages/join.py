@@ -215,63 +215,100 @@ def pip_join_shuffle(
     **map_kwargs,
 ):
     """Explicit co-shuffle plan: replicate each geometry to every (cell,
-    salt bucket) it covers, union with salted tiles, ``groupby`` on the
-    composite key, exact PIP per group.  Salting splits hot cells (skewed
-    geometry concentrations, FIXTURES.md F2) across ``salt`` reducers.
+    salt bucket) it covers, union with salted tiles on ONE aligned Arrow
+    schema, ``groupby`` on the composite key, exact PIP per group.  Salting
+    splits hot cells (skewed geometry concentrations, FIXTURES.md F2)
+    across ``salt`` reducers.
 
-    Scale note: the (geometry x cell x salt) replication is built
-    driver-side here; when the vector side itself is a large Dataset, emit
-    the replicated rows with a ``flat_map`` over the geometry Dataset
-    instead — the groupby plan downstream is unchanged.
+    Scale notes: tile rows flow through the shuffle as their native columns
+    (no pickling, no duplicated payloads); the (geometry x cell x salt)
+    replication is built driver-side here — when the vector side itself is
+    a large Dataset, emit the replicated rows with a ``flat_map`` over it
+    instead, the groupby plan downstream is unchanged.
     """
+    import json
+
+    import pyarrow.compute as pc
     import ray.data as rd
 
     if not 1 <= salt <= 16:
         raise ValueError("salt must be in [1, 16] (4-bit field in the key)")
-    geom_broadcast = []
+
+    tile_schema = tiles_ds.schema().base_schema
+    union_schema = pa.schema(
+        list(tile_schema)
+        + [
+            pa.field("key", pa.int64()),
+            pa.field("side", pa.string()),
+            pa.field("geom_id", pa.string()),
+            pa.field("geometry", pa.string()),
+        ]
+    )
+
+    geom_rows_aligned = []
+    tile_defaults = {
+        f.name: (
+            b""
+            if pa.types.is_binary(f.type)
+            else ""
+            if pa.types.is_string(f.type)
+            else [0.0] * 6
+            if f.name == "transform"
+            else 0
+        )
+        for f in tile_schema
+    }
     for g in geom_rows:
         geom = geom_mod.parse_geometry(g["geometry"])
         if geom["type"] not in ("Polygon", "MultiPolygon"):
             continue
+        gj = json.dumps(geom)
         for cell in geometry_cells(geom, cell_res):
             for s in range(salt):
-                geom_broadcast.append(
-                    {
-                        "key": (int(cell) << 4) | s,
-                        "side": "geom",
-                        "geom_id": g["geom_id"],
-                        "payload": b"",
-                        "geometry": __import__("json").dumps(geom),
-                    }
+                row = dict(tile_defaults)
+                row.update(
+                    key=(int(cell) << 4) | s,
+                    side="geom",
+                    geom_id=g["geom_id"],
+                    geometry=gj,
                 )
-    geoms_ds = rd.from_items(geom_broadcast)
-
-    import pyarrow.compute as pc
+                geom_rows_aligned.append(row)
+    geoms_ds = rd.from_arrow(
+        pa.Table.from_pylist(geom_rows_aligned, schema=union_schema)
+    )
 
     def keyed_tiles(batch: pa.Table) -> pa.Table:
-        # salt bucket from a stable hash of the tile identity
+        # deterministic salt bucket from a stable hash of the tile identity
         import zlib
 
         ids = batch["image_id"].to_pylist()
         trs = batch["tile_row"].to_pylist()
         tcs = batch["tile_col"].to_pylist()
-        cells = batch["cell"].to_pylist()
-        salts = [
-            zlib.crc32(f"{i}/{r}/{c}".encode()) % salt
-            for i, r, c in zip(ids, trs, tcs)
-        ]
-        key = [(int(cl) << 4) | s for cl, s in zip(cells, salts)]
-        import pickle
-
-        payloads = [pickle.dumps(row) for row in batch.to_pylist()]
-        return pa.Table.from_pydict(
-            {
-                "key": pa.array(key, pa.int64()),
-                "side": pa.array(["tile"] * len(key)),
-                "geom_id": pa.array([""] * len(key)),
-                "payload": pa.array(payloads, pa.binary()),
-                "geometry": pa.array([""] * len(key)),
-            }
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        salts = np.fromiter(
+            (
+                zlib.crc32(f"{i}/{r}/{c}".encode()) % salt
+                for i, r, c in zip(ids, trs, tcs)
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        key = (cells.astype(np.int64) << 4) | salts
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                *(
+                    batch[f.name].combine_chunks()
+                    if isinstance(batch[f.name], pa.ChunkedArray)
+                    else batch[f.name]
+                    for f in tile_schema
+                ),
+                pa.array(key, pa.int64()),
+                pa.array(["tile"] * n),
+                pa.array([""] * n),
+                pa.array([""] * n),
+            ],
+            schema=union_schema,
         )
 
     tiles_keyed = tiles_ds.map_batches(
@@ -279,9 +316,6 @@ def pip_join_shuffle(
     )
 
     def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        import json
-        import pickle
-
         gmask = group["side"] == "geom"
         geoms = [
             (gid, json.loads(gj))
@@ -289,11 +323,15 @@ def pip_join_shuffle(
         ]
         if not geoms:
             return _empty_pip_df()
-        rows = [pickle.loads(p) for p in group["payload"][~gmask] if p is not None]
         out = []
-        for row in rows:
+        tile_cols = [f.name for f in tile_schema]
+        for _, row in group[~gmask].iterrows():
             out.extend(
-                _refine_tile(row, [g[0] for g in geoms], [g[1] for g in geoms])
+                _refine_tile(
+                    {k: row[k] for k in tile_cols},
+                    [g[0] for g in geoms],
+                    [g[1] for g in geoms],
+                )
             )
         if not out:
             return _empty_pip_df()
