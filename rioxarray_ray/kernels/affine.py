@@ -168,8 +168,14 @@ def window_from_bounds(
 
     rasterio.windows.from_bounds semantics (used by clip_box,
     /root/reference/rioxarray/raster_array.py:705-717): transform the two
-    opposite corners through the inverse affine and order them.
+    opposite corners through the inverse affine and order them.  Rotated
+    transforms raise, mirroring rasterio's WindowError contract (two
+    corners cannot describe a rotated window).
     """
+    if has_rotation(t):
+        raise ValueError(
+            "window_from_bounds requires a rectilinear (non-rotated) transform"
+        )
     cols, rows = apply_inverse(t, np.array([left, right]), np.array([top, bottom]))
     c0, c1 = float(min(cols)), float(max(cols))
     r0, r1 = float(min(rows)), float(max(rows))

@@ -76,6 +76,8 @@ def parent(cell_id, parent_res: int):
 def children(cell_id: int) -> list[int]:
     res, row, col = unpack(int(cell_id))
     res, row, col = int(res), int(row), int(col)
+    if res >= MAX_RES:
+        raise ValueError(f"children beyond MAX_RES={MAX_RES} would overflow")
     return [
         int(pack(res + 1, 2 * row + dr, 2 * col + dc))
         for dr in (0, 1)
@@ -90,12 +92,16 @@ def ring(cell_id: int, k: int) -> list[int]:
     res, row, col = int(res), int(row), int(col)
     n = 1 << res
     out = []
+    seen = set()
     for dr in range(-k, k + 1):
         r = row + dr
         if r < 0 or r >= n:
             continue
         for dc in range(-k, k + 1):
-            out.append(int(pack(res, r, (col + dc) % n)))
+            cid = int(pack(res, r, (col + dc) % n))
+            if cid not in seen:  # lon wrap can revisit cells when 2k+1 > n
+                seen.add(cid)
+                out.append(cid)
     return out
 
 
@@ -108,16 +114,21 @@ def shell(cell_id: int, k: int) -> list[int]:
     res, row, col = int(res), int(row), int(col)
     n = 1 << res
     out = []
-    for dc in range(-k, k + 1):
-        for dr in (-k, k):
-            r = row + dr
-            if 0 <= r < n:
-                out.append(int(pack(res, r, (col + dc) % n)))
-    for dr in range(-k + 1, k):
-        r = row + dr
+    seen = set()
+
+    def add(r, c):
         if 0 <= r < n:
-            for dc in (-k, k):
-                out.append(int(pack(res, r, (col + dc) % n)))
+            cid = int(pack(res, r, c % n))
+            if cid not in seen:  # dedupe lon wrap (2k+1 > n)
+                seen.add(cid)
+                out.append(cid)
+
+    for dc in range(-k, k + 1):
+        add(row - k, col + dc)
+        add(row + k, col + dc)
+    for dr in range(-k + 1, k):
+        add(row + dr, col - k)
+        add(row + dr, col + k)
     return out
 
 
@@ -133,6 +144,11 @@ def cells_for_bbox(
     c1 = int(np.clip(np.floor((lon_max - eps + 180.0) / 360.0 * n), 0, n - 1))
     r0 = int(np.clip(np.floor((90.0 - lat_max) / 180.0 * n), 0, n - 1))
     r1 = int(np.clip(np.floor((90.0 - lat_min - eps) / 180.0 * n), 0, n - 1))
+    # degenerate (point/edge) bboxes on a cell boundary: the eps shift can
+    # land the "max" cell west/north of the "min" cell — clamp so the
+    # containing cell is always returned
+    c1 = max(c1, c0)
+    r1 = max(r1, r0)
     rows, cols = np.meshgrid(
         np.arange(r0, r1 + 1, dtype=np.int64),
         np.arange(c0, c1 + 1, dtype=np.int64),

@@ -49,10 +49,10 @@ def encode(pixels: np.ndarray, fmt: str, nodata: float | None = None) -> bytes:
             np.ascontiguousarray(pixels, dtype="<i2").tobytes(), 6
         )
     if fmt == "lq8":
+        from .nodata import valid_mask
+
         arr = pixels.astype(np.float64)
-        valid = (
-            np.ones(arr.shape, dtype=bool) if nodata is None else pixels != nodata
-        )
+        valid = valid_mask(pixels, nodata)  # None/NaN/value-aware
         body = bytearray()
         codes = np.empty(arr.shape, dtype=np.uint8)
         for b in range(bands):
@@ -62,7 +62,10 @@ def encode(pixels: np.ndarray, fmt: str, nodata: float | None = None) -> bytes:
             if hi <= lo:
                 hi = lo + 1.0
             step = (hi - lo) / 254.0
-            q = np.clip(np.rint((arr[b] - lo) / step), 0, 254).astype(np.uint8)
+            # neutralize invalid pixels (NaN-safe) before the uint8 cast;
+            # they are overwritten with the reserved code right after
+            band = np.where(valid[b], arr[b], lo)
+            q = np.clip(np.rint((band - lo) / step), 0, 254).astype(np.uint8)
             q[~valid[b]] = NODATA_CODE
             codes[b] = q
             body += struct.pack("<dd", lo, step)

@@ -266,15 +266,44 @@ def from_user_input(value) -> CRS:
             return GEOGRAPHIC
         if proj == "sinu":
             return SINUSOIDAL
-        if proj in ("merc", "webmerc"):
+        if proj == "webmerc":
             return WEB_MERCATOR
+        if proj == "merc":
+            # spherical web-mercator only; ellipsoidal Mercator (EPSG:3395
+            # family) is NOT the same projection (~30 km error at lat 45)
+            r_val = kv.get("+R") or kv.get("+a")
+            if r_val is not None and float(r_val) == _MERC_R and (
+                kv.get("+b") in (None, r_val)
+            ):
+                return WEB_MERCATOR
+            raise CRSError(
+                "ellipsoidal '+proj=merc' is outside the whitelist "
+                "(only spherical web mercator, EPSG:3857, is supported)"
+            )
         if proj == "utm":
             zone = int(kv.get("+zone", 0))
             return utm(zone, south="+south" in s)
         if proj == "tmerc":
+            # accept tmerc ONLY when its parameters are exactly a UTM zone
             lon0 = float(kv.get("+lon_0", 0))
             zone = int(round((lon0 + 183.0) / 6.0))
-            return utm(zone, south=float(kv.get("+y_0", 0) or 0) > 0)
+            k = float(kv.get("+k", kv.get("+k_0", _K0)) or _K0)
+            x0 = float(kv.get("+x_0", 500000) or 500000)
+            y0 = float(kv.get("+y_0", 0) or 0)
+            lat0 = float(kv.get("+lat_0", 0) or 0)
+            if (
+                1 <= zone <= 60
+                and lon0 == (zone - 1) * 6.0 - 180.0 + 3.0
+                and k == _K0
+                and x0 == 500000.0
+                and lat0 == 0.0
+                and y0 in (0.0, 10000000.0)
+            ):
+                return utm(zone, south=y0 == 10000000.0)
+            raise CRSError(
+                f"generic '+proj=tmerc' ({s[:80]}) is outside the whitelist "
+                "(only exact UTM parameterizations are supported)"
+            )
         raise CRSError(f"unsupported proj4 string: {s}")
     # minimal WKT: find the last EPSG authority/id code
     codes = re.findall(r'(?:AUTHORITY|ID)\[\s*"?EPSG"?\s*,\s*"?(\d+)"?', s)

@@ -44,54 +44,85 @@ def delaunay(points: np.ndarray) -> np.ndarray:
     allp = np.vstack([pts, sp])
     s0, s1, s2 = n, n + 1, n + 2
 
-    # triangle store as a growing array; circumcenters/radii cached
-    tris = [(s0, s1, s2)]
-    cc, r2 = _circum(allp, np.array(tris))
-    cc = list(cc)
-    r2 = list(r2)
-    alive = [True]
+    # triangle store: parallel numpy arrays grown geometrically, with a
+    # live mask; compacted when the dead fraction exceeds 1/2 so every
+    # insertion's circumcircle test is one vectorized pass over ~live
+    # triangles (amortized near-linear instead of O(n^2) python scans)
+    cap = 16
+    tris_a = np.zeros((cap, 3), dtype=np.int64)
+    cc_a = np.zeros((cap, 2), dtype=np.float64)
+    r2_a = np.zeros(cap, dtype=np.float64)
+    alive = np.zeros(cap, dtype=bool)
+    tris_a[0] = (s0, s1, s2)
+    c0_, r0_ = _circum(allp, tris_a[:1])
+    cc_a[0] = c0_[0]
+    r2_a[0] = r0_[0]
+    alive[0] = True
+    m = 1  # high-water mark
+
+    def grow(need):
+        nonlocal cap, tris_a, cc_a, r2_a, alive
+        while m + need > cap:
+            cap *= 2
+            tris_a = np.resize(tris_a, (cap, 3))
+            cc_a = np.resize(cc_a, (cap, 2))
+            r2_a = np.resize(r2_a, cap)
+            alive = np.resize(alive, cap)
+            alive[m:] = False
+
+    def compact():
+        nonlocal m, tris_a, cc_a, r2_a, alive
+        keep = np.nonzero(alive[:m])[0]
+        k = len(keep)
+        tris_a[:k] = tris_a[keep]
+        cc_a[:k] = cc_a[keep]
+        r2_a[:k] = r2_a[keep]
+        alive[:m] = False
+        alive[:k] = True
+        m = k
 
     # randomized insertion order (deterministic seed) keeps cavities small
     order = np.random.default_rng(0).permutation(n)
     for ip in order:
         p = allp[ip]
-        live_idx = [i for i, a in enumerate(alive) if a]
-        ccs = np.array([cc[i] for i in live_idx])
-        rr = np.array([r2[i] for i in live_idx])
-        d2 = (ccs[:, 0] - p[0]) ** 2 + (ccs[:, 1] - p[1]) ** 2
-        bad = d2 <= rr * (1.0 + 1e-12)
-        bad_tris = [live_idx[i] for i in np.nonzero(bad)[0]]
-        if not bad_tris:
+        if m > 64 and alive[:m].sum() * 2 < m:
+            compact()
+        d2 = (cc_a[:m, 0] - p[0]) ** 2 + (cc_a[:m, 1] - p[1]) ** 2
+        bad = alive[:m] & (d2 <= r2_a[:m] * (1.0 + 1e-12))
+        bad_tris = np.nonzero(bad)[0]
+        if len(bad_tris) == 0:
             # numerical corner: force-include the containing triangle
-            for i in live_idx:
-                if _in_triangle(allp, tris[i], p):
-                    bad_tris = [i]
+            hit = None
+            for i in np.nonzero(alive[:m])[0]:
+                if _in_triangle(allp, tris_a[i], p):
+                    hit = i
                     break
-            if not bad_tris:
+            if hit is None:
                 continue
+            bad_tris = np.array([hit])
         # cavity boundary = edges appearing exactly once among bad triangles
         edge_count: dict[tuple[int, int], int] = {}
         for i in bad_tris:
-            a, b, c = tris[i]
+            a, b, c = (int(v) for v in tris_a[i])
             for e in ((a, b), (b, c), (c, a)):
                 key = (min(e), max(e))
                 edge_count[key] = edge_count.get(key, 0) + 1
             alive[i] = False
-        for (a, b), cnt in edge_count.items():
-            if cnt != 1:
-                continue
-            tri = (a, b, int(ip))
-            tris.append(tri)
-            c_, r_ = _circum(allp, np.array([tri]))
-            cc.append(c_[0])
-            r2.append(r_[0])
-            alive.append(True)
-    out = [
-        t
-        for t, a in zip(tris, alive)
-        if a and all(v < n for v in t)
-    ]
-    return np.array(out, dtype=np.int64).reshape(-1, 3)
+        new_tris = [
+            (a, b, int(ip)) for (a, b), cnt in edge_count.items() if cnt == 1
+        ]
+        if new_tris:
+            grow(len(new_tris))
+            nt = np.asarray(new_tris, dtype=np.int64)
+            c_, r_ = _circum(allp, nt)
+            tris_a[m : m + len(nt)] = nt
+            cc_a[m : m + len(nt)] = c_
+            r2_a[m : m + len(nt)] = r_
+            alive[m : m + len(nt)] = True
+            m += len(nt)
+    live = tris_a[:m][alive[:m]]
+    keep = (live < n).all(axis=1)
+    return live[keep].astype(np.int64).reshape(-1, 3)
 
 
 def _circum(allp: np.ndarray, tris: np.ndarray):

@@ -42,7 +42,16 @@ def geometry_rings(geom) -> list[np.ndarray]:
         polys = geom["coordinates"]
     else:
         raise ValueError(f"not a polygon geometry: {gtype}")
-    return [np.asarray(r, dtype=np.float64) for poly in polys for r in poly]
+    out = []
+    for poly in polys:
+        for r in poly:
+            ring = np.asarray(r, dtype=np.float64)
+            # auto-close unclosed rings (GDAL/shapely do the same): the
+            # ray-cast edge walk needs the implicit closing edge explicit
+            if len(ring) and not np.array_equal(ring[0], ring[-1]):
+                ring = np.vstack([ring, ring[:1]])
+            out.append(ring)
+    return out
 
 
 def geometry_points(geom) -> np.ndarray:

@@ -475,3 +475,65 @@ def test_merge_int_no_nodata_fills_zero(demo_raster):
     assert out.shape == (1, 8, 4)
     assert (out[0][:4] == 7).all()
     assert (out[0][4:] == 0).all()  # uncovered -> 0, not garbage
+
+
+def test_unclosed_rings_auto_close():
+    """GeoJSON rings without the duplicate closing vertex must behave
+    identically to closed ones (review finding k1)."""
+    open_sq = {"type": "Polygon",
+               "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10]]]}
+    closed_sq = {"type": "Polygon",
+                 "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]]}
+    px = np.array([-5.0, 5.0])
+    py = np.array([5.0, 5.0])
+    a = geom.points_in_geometry(px, py, open_sq)
+    b = geom.points_in_geometry(px, py, closed_sq)
+    assert np.array_equal(a, b) and list(a) == [False, True]
+
+
+def test_window_from_bounds_rejects_rotation():
+    rot = (1.0, 0.3, 0.0, 0.2, -1.0, 0.0)
+    with pytest.raises(ValueError, match="rectilinear"):
+        aff.window_from_bounds(rot, 0, 0, 10, 10)
+
+
+def test_crs_rejects_ellipsoidal_merc_and_generic_tmerc():
+    with pytest.raises(crs.CRSError, match="ellipsoidal"):
+        crs.from_user_input("+proj=merc +datum=WGS84")
+    # spherical web-mercator spelling is still accepted
+    assert crs.from_user_input("+proj=merc +R=6378137") == crs.WEB_MERCATOR
+    with pytest.raises(crs.CRSError, match="tmerc"):
+        crs.from_user_input("+proj=tmerc +lon_0=10.5 +k=1 +x_0=0")
+    # exact UTM parameterization as tmerc is accepted
+    assert crs.from_user_input(
+        "+proj=tmerc +lon_0=-93 +k=0.9996 +x_0=500000 +y_0=0 +lat_0=0"
+    ) == crs.utm(15)
+
+
+def test_lq8_nan_nodata(rng):
+    fpx = rng.uniform(-100, 100, size=(1, 16, 16))
+    fpx[0, 2:5, 2:5] = np.nan
+    # lq8 stores int16; cast a float-with-NaN scenario through the
+    # NaN-aware validity path (finding k5): encode must not warn/garbage
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        payload = codecs.encode(fpx, "lq8", nodata=float("nan"))
+    dec = codecs.decode(payload, "lq8")
+    assert (dec[0, 2:5, 2:5] == -32768).all()  # NaN nodata -> int16 sentinel
+    m = ~np.isnan(fpx)
+    assert codecs.psnr(fpx[m], dec[m].astype(np.float64)) >= 40
+
+
+def test_cellindex_wrap_dedupe_and_degenerate_bbox():
+    cid = int(cellindex.cell(0.0, 0.0, 2))
+    s = cellindex.shell(cid, 2)
+    assert len(s) == len(set(s))  # no duplicates when ring wraps the globe
+    r = cellindex.ring(cid, 3)
+    assert len(r) == len(set(r))
+    # degenerate bbox on a cell boundary still returns the containing cell
+    cells = cellindex.cells_for_bbox(0.0, 0.0, 0.0, 0.0, 4)
+    assert len(cells) >= 1
+    with pytest.raises(ValueError, match="MAX_RES"):
+        cellindex.children(int(cellindex.cell(0, 0, cellindex.MAX_RES)))
