@@ -147,7 +147,9 @@ def q_geo_clip_box(sf_dir: str):
     from rioxarray_ray.stages import clip as cstage
 
     tiles = _tiles_4326(sf_dir)
-    clipped = cstage.clip_box_stage(tiles, _BOX, cell_res=_CELL_RES)
+    clipped = cstage.clip_box_stage(
+        tiles, _BOX, box_crs="EPSG:4326", cell_res=_CELL_RES
+    )
 
     def project(batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()

@@ -271,21 +271,16 @@ def embedding_near_dup(
     probe on the weakest plane) — documented recall<1 tradeoff; the exact
     variant for tests is brute force within groups.
     """
-    rng = np.random.default_rng(seed)
-    planes = None  # built lazily per actor from the seed
-
     class Bucketer:
         def __init__(self, n_planes, seed):
-            self.rng = np.random.default_rng(seed)
             self.n_planes = n_planes
-            self.planes = None
+            self.seed = seed
+            self.planes = None  # built on first batch (needs the dim)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            import numpy as np
-
             vecs = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
             if self.planes is None:
-                self.planes = np.random.default_rng(seed).standard_normal(
+                self.planes = np.random.default_rng(self.seed).standard_normal(
                     (vecs.shape[1], self.n_planes)
                 )
             proj = vecs @ self.planes
@@ -294,7 +289,6 @@ def embedding_near_dup(
             # multiprobe: also emit the bucket with the weakest bit flipped
             weakest = np.abs(proj).argmin(axis=1)
             probe = bucket ^ (1 << weakest.astype(np.int64))
-            n = len(bucket)
             return pa.Table.from_pydict(
                 {
                     "vec_id": pa.concat_arrays(

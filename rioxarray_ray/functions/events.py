@@ -41,14 +41,13 @@ def sessionize(ds, gap_minutes: int = 30):
     ``session_id`` = 0-based session ordinal per user.  The groupby ships
     only (event_id, ts, user_id) — pre-projected, no payload columns.
     """
-    gap_us = np.int64(gap_minutes * 60 * 1_000_000)
+    gap = pd.Timedelta(minutes=gap_minutes)
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values("ts", kind="stable")
-        ts = g["ts"].astype("int64").to_numpy()
-        new_session = np.empty(len(ts), dtype=bool)
-        new_session[0] = True
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
+        # timedelta comparison is unit-safe (datetime64[us] vs [ns] both work)
+        diffs = g["ts"].diff()
+        new_session = (diffs.isna() | (diffs > gap)).to_numpy()
         sid = np.cumsum(new_session) - 1
         g = g.assign(session_id=sid.astype(np.int64))
         out = (

@@ -39,21 +39,15 @@ def run_resumable(
     """decode -> tile -> warp, written per partition with completion
     markers.  Returns {'written': [...keys...], 'skipped': [...keys...]}.
     """
+    from ..state.manifest import resume_filter
+
     manifest = PartitionManifest(out_root)
     done = manifest.completed_keys()
 
     keyed = corpus_ds.map_batches(
         partition_key_expr, batch_format="pyarrow", zero_copy_batch=True
     )
-    if done:
-        done_arr = pa.array(sorted(done))
-        keyed = keyed.map_batches(
-            lambda b: b.filter(
-                pc.invert(pc.is_in(b["part"], value_set=done_arr))
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
+    keyed = resume_filter(keyed, manifest, "part")
 
     remaining = keyed.count()
     written: list[str] = []
@@ -69,22 +63,14 @@ def run_resumable(
             partition_key_expr, batch_format="pyarrow", zero_copy_batch=True
         )
 
-        def write_partition(group):
-            """Per-group atomic write + manifest record (lineage)."""
-            import pandas as pd
-
-            key = str(group["part"].iloc[0])
-            m = PartitionManifest(out_root)
-            tbl = pa.Table.from_pandas(
-                group.drop(columns=["part"]), preserve_index=False
-            )
-            m.write_partition(key, tbl)
-            return pd.DataFrame([{"part": key, "rows": len(group)}])
+        from ..state.manifest import checkpointed_writer
 
         results = (
             keyed_out.groupby("part")
-            .map_groups(write_partition, batch_format="pandas")
+            .map_groups(
+                checkpointed_writer(out_root, "part"), batch_format="pandas"
+            )
             .take_all()
         )
-        written = sorted(r["part"] for r in results)
+        written = sorted(r["partition_key"] for r in results)
     return {"written": written, "skipped": sorted(done)}

@@ -33,19 +33,40 @@ def footprint_bounds(row: dict):
 
 
 def clip_box_batch(batch: pa.Table, bounds, box_crs=None) -> pa.Table:
-    """Slice every intersecting row to the box; drop the rest."""
-    minx, miny, maxx, maxy = bounds
+    """Slice every intersecting row to the box; drop the rest.
+
+    ``box_crs=None`` means the bounds are in each ROW's native CRS (the
+    rioxarray clip_box convention).  The box is reprojected once per
+    distinct row CRS, and the cheap bbox rejection runs on metadata before
+    any pixel buffer is touched.
+    """
+    bcrs = crs_mod.from_user_input(box_crs) if box_crs is not None else None
+    bb_cache: dict[str, tuple] = {}
+
+    def box_for(crs_str: str):
+        bb = bb_cache.get(crs_str)
+        if bb is None:
+            if bcrs is not None and crs_str:
+                rcrs = crs_mod.from_user_input(crs_str)
+                bb = (
+                    crs_mod.transform_bounds(bcrs, rcrs, *bounds)
+                    if bcrs != rcrs
+                    else tuple(bounds)
+                )
+            else:
+                bb = tuple(bounds)
+            bb_cache[crs_str] = bb
+        return bb
+
     rows = []
     for row in batch.to_pylist():
-        r = row_to_raster(row)
-        bb = bounds
-        if box_crs is not None and r.crs is not None:
-            bcrs = crs_mod.from_user_input(box_crs)
-            if bcrs != r.crs:
-                bb = crs_mod.transform_bounds(bcrs, r.crs, *bounds)
-        left, bottom, right, top = r.bounds()
+        bb = box_for(row["crs"])
+        left, bottom, right, top = aff.bounds(
+            tuple(row["transform"]), row["w"], row["h"]
+        )
         if bb[0] >= right or bb[2] <= left or bb[1] >= top or bb[3] <= bottom:
             continue
+        r = row_to_raster(row)
         # corpus-level semantics: rows wholly outside are FILTERED; rows that
         # intersect are sliced (window math of clip_box) and kept even when
         # all-nodata — the single-raster NoDataInBounds contract lives on
@@ -71,17 +92,32 @@ def clip_box_batch(batch: pa.Table, bounds, box_crs=None) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=batch.schema)
 
 
-def clip_box_stage(ds, bounds, box_crs=None, cell_res: int = CELL_RES, **map_kwargs):
-    """Cell pushdown (when a ``cell`` column exists) + per-row slice."""
+def clip_box_stage(ds, bounds, box_crs=None, cell_res: int = CELL_RES,
+                   pushdown_ring: int = 1, **map_kwargs):
+    """Cell pushdown (when a ``cell`` column exists) + per-row slice.
+
+    The pushdown only engages when the box is EXPLICITLY geographic
+    (``box_crs`` parses to EPSG:4326) — with ``box_crs=None`` the bounds
+    are in each row's native CRS and cannot index the lon/lat cell grid.
+    ``pushdown_ring`` must cover the worst-case distance (in cells) from a
+    tile's centroid cell to the box: >= ceil(tile_half_extent/cell_size);
+    1 suffices for 64-px tiles at RES=0.005 deg and cell_res=10.
+    """
     schema_names = ds.schema().names
-    if "cell" in schema_names and box_crs in (None, "EPSG:4326"):
+    pushdown_ok = False
+    if box_crs is not None:
+        try:
+            pushdown_ok = crs_mod.from_user_input(box_crs).is_geographic
+        except crs_mod.CRSError:
+            pushdown_ok = False
+    if "cell" in schema_names and pushdown_ok:
         wanted = set(
             int(c) for c in cellindex.cells_for_bbox(*_reorder(bounds), cell_res)
         )
-        # ring of 1 to keep boundary tiles whose centroid fell one cell out
+        # expand so boundary tiles whose centroid fell outside survive
         expanded = set()
         for c in wanted:
-            expanded.update(cellindex.ring(c, 1))
+            expanded.update(cellindex.ring(c, pushdown_ring))
         lst = pa.array(sorted(expanded), type=pa.int64())
         ds = ds.map_batches(
             lambda b: b.filter(pc.is_in(b["cell"], value_set=lst)),
@@ -145,8 +181,11 @@ class ClipActor:
             r = row_to_raster(row)
             cand = index.query(*r.bounds())
             if len(cand) == 0:
-                if self.invert and not self.drop_empty:
-                    rows.append(row)  # anti-join: untouched tile passes whole
+                if self.invert:
+                    # anti-join: a tile touching NO geometry keeps ALL its
+                    # pixels — always emit it (drop_empty only drops tiles
+                    # whose surviving mask is empty)
+                    rows.append(row)
                 continue
             keep = geom_mod.geometry_mask(
                 [geoms[i] for i in cand],

@@ -126,6 +126,10 @@ def mask_and_scale_batch(
                 out[px == np.asarray(nod, dtype=px.dtype)] = np.nan
                 nod = float("nan")
             out = out * scale + offset
+            if not masked and nod == nod:
+                # unmasked scaling transforms nodata pixels too — keep the
+                # sentinel consistent so valid_mask still identifies them
+                nod = float(nod) * scale + offset
             new["dtype"] = "float64"
             new["pixels"] = pixels_to_bytes(out)
             new["nodata"] = nod if nod == nod else float("nan")

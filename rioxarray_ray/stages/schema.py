@@ -91,10 +91,17 @@ class BinaryBuilder:
         self._buf = bytearray()
         self._offsets = [0]
 
+    _MAX = (1 << 31) - 1  # int32 offsets
+
     def append(self, arr: np.ndarray):
         if arr.dtype.byteorder == ">":
             arr = arr.astype(arr.dtype.newbyteorder("<"))
         self._buf += np.ascontiguousarray(arr).data
+        if len(self._buf) > self._MAX:
+            raise ValueError(
+                "BinaryBuilder output exceeds 2 GiB (int32 offsets); "
+                "use a smaller batch_size / block size for this stage"
+            )
         self._offsets.append(len(self._buf))
 
     def finish(self) -> pa.Array:

@@ -51,7 +51,10 @@ class PartitionManifest:
 
             shutil.rmtree(tmp)
         os.makedirs(tmp, exist_ok=True)
-        pq.write_table(table, os.path.join(tmp, "data.parquet"))
+        data_path = os.path.join(tmp, "data.parquet")
+        pq.write_table(table, data_path)
+        with open(data_path, "rb") as f:
+            os.fsync(f.fileno())
         if os.path.exists(final):
             import shutil
 
@@ -69,7 +72,17 @@ class PartitionManifest:
         tmp_marker = marker + ".tmp"
         with open(tmp_marker, "w") as f:
             json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp_marker, marker)
+        # fsync the directories so neither the rename nor the marker can
+        # survive a crash that loses the data file
+        for d in (self.root, self.manifest_dir):
+            fd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
 
     def lineage(self) -> list[dict]:
         out = []
@@ -106,21 +119,25 @@ def resume_filter(ds, manifest: PartitionManifest, key_fn_column: str):
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
-class CheckpointedWriter:
-    """map_groups-compatible reducer wrapper: each group (one partition key)
-    is written + manifested, emitting a one-row lineage record downstream."""
+def checkpointed_writer(root: str, key_column: str):
+    """map_groups-compatible reducer: each group (one partition key) is
+    written + manifested (key column dropped from the stored table),
+    emitting a one-row lineage record downstream.  Shared by
+    pipelines/resumable.py — keep the two paths from drifting."""
 
-    def __init__(self, root: str, key_column: str):
-        self.root = root
-        self.key_column = key_column
-
-    def __call__(self, group):
+    def write_partition(group):
         import pandas as pd
 
-        key = str(group[self.key_column].iloc[0])
-        manifest = PartitionManifest(self.root)
-        table = pa.Table.from_pandas(group, preserve_index=False)
-        manifest.write_partition(key, table)
-        return pd.DataFrame(
-            [{"partition_key": key, "rows": len(group)}]
+        key = str(group[key_column].iloc[0])
+        manifest = PartitionManifest(root)
+        table = pa.Table.from_pandas(
+            group.drop(columns=[key_column]), preserve_index=False
         )
+        manifest.write_partition(key, table)
+        return pd.DataFrame([{"partition_key": key, "rows": len(group)}])
+
+    return write_partition
+
+
+# backwards-compatible alias
+CheckpointedWriter = checkpointed_writer

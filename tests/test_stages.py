@@ -606,3 +606,34 @@ def test_convention_reencode_strips_stale_keys(tmp_path):
     pq.write_table(corrupt, p4)
     _, geo4 = convention.read_parquet_with_meta(p4)
     assert geo4 == (convention.crs_mod.GEOGRAPHIC, None)
+
+
+def test_clip_anti_join_keeps_untouched_tiles(rds):
+    """invert=True is the ANTI-join: tiles touching no geometry keep all
+    their pixels (review finding s1)."""
+    from rioxarray_ray.kernels.nodata import valid_mask as vmask
+    from rioxarray_ray.stages import clip
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    geoms = [g["geometry"] for g in corpus.geometry_table(N_GEOMS)
+             if g["kind"] == "rect"][:5]
+    inverted = clip.clip_stage(rds["tiles"], geoms, invert=True,
+                               concurrency=2).take_all()
+    normal = clip.clip_stage(rds["tiles"], geoms, concurrency=2).take_all()
+    n_tiles = rds["tiles"].count()
+    # anti-join must cover at least every tile the semi-join does NOT touch
+    assert len(inverted) >= n_tiles - len(normal)
+    # pixel-level complement on a tile present in both outputs
+    norm_keys = {(r["image_id"], r["tile_row"], r["tile_col"]) for r in normal}
+    both = [r for r in inverted
+            if (r["image_id"], r["tile_row"], r["tile_col"]) in norm_keys]
+    assert both, "expected some tile split by the polygon"
+    src = {(r["image_id"], r["tile_row"], r["tile_col"]): r
+           for r in rds["tiles"].take_all()}
+    nm = {(r["image_id"], r["tile_row"], r["tile_col"]): r for r in normal}
+    for r in both[:5]:
+        k = (r["image_id"], r["tile_row"], r["tile_col"])
+        tot = vmask(pixels_from_row(src[k]), src[k]["nodata"]).sum()
+        a = vmask(pixels_from_row(r), r["nodata"]).sum()
+        b = vmask(pixels_from_row(nm[k]), nm[k]["nodata"]).sum()
+        assert a + b == tot  # semi + anti = whole (valid pixels)
