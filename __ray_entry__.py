@@ -310,6 +310,49 @@ def q_geo_reproject_roundtrip(sf_dir: str):
     return warped.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_tiled_halo_warp(sf_dir: str):
+    """Halo-correct tiled warp onto a shared grid (the scale path of
+    SURVEY §2.4): per-dst-window integer checksums.  Pixel-exactness vs
+    the whole-image warp is asserted in
+    tests/test_stages.py::test_tiled_halo_warp_equals_whole_image."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import tile as tstage
+    from rioxarray_ray.stages import warp as wstage
+
+    n = min(_ndocs(sf_dir), 64)
+    ds = fpipe.read_corpus(n)
+    tiles = tstage.tile_stage(dstage.decode_stage(ds), tile_size=_TILE, halo=3)
+    grid = wstage.GridSpec(
+        "EPSG:3857", (600.0, 0.0, -6690000.0, 0.0, -600.0, 4790000.0),
+        (512, 512),
+    )
+    out = wstage.reproject_match_tiled(
+        tiles, grid, resampling="bilinear", concurrency=2
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.kernels.nodata import valid_mask
+        from rioxarray_ray.stages.schema import pixels_from_row
+
+        rows = []
+        for r in batch.to_pylist():
+            px = pixels_from_row(r)
+            vm = valid_mask(px, r["nodata"])
+            rows.append(
+                {
+                    "image_id": r["image_id"],
+                    "tile_row": r["tile_row"],
+                    "tile_col": r["tile_col"],
+                    "n_valid": int(vm.sum()),
+                    "checksum": int(px.astype(np.int64)[vm].sum()),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_geo_clip_geometry(sf_dir: str):
     """Polygon clip (concave stars) over tiles: kept tiles + valid counts."""
     from rioxarray_ray.stages import clip as cstage
@@ -487,10 +530,17 @@ def q_text_quality(sf_dir: str):
     )
 
     def ints(batch: pa.Table) -> pa.Table:
+        import re
+
+        punct = re.compile(r"[^\w\s]")
+        texts = batch["text"].to_pylist()
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_words": batch["n_words"],
+                "n_punct": pa.array(
+                    [len(punct.findall(t or "")) for t in texts], pa.int64()
+                ),
             }
         )
 
@@ -649,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_reproject_grid": q_geo_reproject_grid,
         "geo_pixel_checksum": q_geo_pixel_checksum,
         "geo_reproject_roundtrip": q_geo_reproject_roundtrip,
+        "geo_tiled_halo_warp": q_geo_tiled_halo_warp,
         "geo_clip_geometry": q_geo_clip_geometry,
         "geo_merge": q_geo_merge,
         "geo_interpolate_na": q_geo_interpolate_na,
@@ -878,7 +929,8 @@ FROM documents
 """,
         "text_quality": r"""
 SELECT doc_id,
-       CAST(length(regexp_extract_all(lower(text), '[a-z'']+')) AS BIGINT) AS n_words
+       CAST(length(regexp_extract_all(lower(text), '[a-z'']+')) AS BIGINT) AS n_words,
+       CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
 FROM documents
 """,
         "embedding_near_dup": f"""
