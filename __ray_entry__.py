@@ -526,21 +526,23 @@ def q_text_quality(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     scored = ds.map_batches(
-        text.QualityScorer, batch_format="pandas", concurrency=2
+        text.QualityScorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
     )
 
     def ints(batch: pa.Table) -> pa.Table:
-        import re
+        import pyarrow.compute as _pc
 
-        punct = re.compile(r"[^\w\s]")
-        texts = batch["text"].to_pylist()
+        n_punct = _pc.count_substring_regex(
+            _pc.fill_null(batch["text"], ""), r"[^\w\s]"
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_words": batch["n_words"],
-                "n_punct": pa.array(
-                    [len(punct.findall(t or "")) for t in texts], pa.int64()
-                ),
+                "n_punct": _pc.cast(n_punct, pa.int64()),
             }
         )
 
@@ -553,7 +555,9 @@ def q_text_langid(sf_dir: str):
     ds = _rd().read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    pred = ds.map_batches(text.LangId, batch_format="pandas", concurrency=2)
+    pred = ds.map_batches(
+        text.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
     return pred.select_columns(["doc_id", "lang", "lang_pred"])
 
 

@@ -30,7 +30,15 @@ from .stages import join as join_mod
 from .stages import merge as merge_stage_mod
 from .stages import tile as tile_stage_mod
 from .stages import warp as warp_stage_mod
-from .stages.schema import pixels_from_row, pixels_to_bytes, row_to_raster
+from .stages.schema import (
+    BinaryBuilder,
+    pixel_views,
+    pixels_from_row,
+    pixels_to_bytes,
+    raster_from_view,
+    rebuild_table,
+    row_to_raster,
+)
 
 
 def open_corpus(n_images: int, **read_kwargs) -> "RasterDataset":
@@ -69,6 +77,71 @@ class RasterDataset:
         opts.update(kwargs)
         return RasterDataset(self.ds.map_batches(batch_fn, **opts))
 
+    def _map_raster(self, fn, **kwargs) -> "RasterDataset":
+        """Per-row ``Raster -> Raster | None`` transform, columnar: pixels
+        in as zero-copy views, out through one contiguous buffer; the
+        per-row geo columns are rebuilt from the returned raster."""
+
+        def batch_fn(batch: pa.Table) -> pa.Table:
+            meta = batch.drop_columns(["pixels"]).to_pylist()
+            keep_idx, bands, hs, ws, dts, nods, crss, ts = (
+                [], [], [], [], [], [], [], []
+            )
+            builder = BinaryBuilder()
+            for i, px in enumerate(pixel_views(batch)):
+                r = fn(raster_from_view(px, meta[i]))
+                if r is None:
+                    continue
+                keep_idx.append(i)
+                bands.append(r.count)
+                hs.append(r.height)
+                ws.append(r.width)
+                dts.append(r.pixels.dtype.name)
+                nods.append(
+                    float(r.nodata) if r.nodata is not None else float("nan")
+                )
+                crss.append(r.crs.to_string() if r.crs is not None else "")
+                ts.append([float(v) for v in r.transform])
+                builder.append(r.pixels)
+            return rebuild_table(
+                batch,
+                {
+                    "band_count": pa.array(bands, pa.int32()),
+                    "h": pa.array(hs, pa.int32()),
+                    "w": pa.array(ws, pa.int32()),
+                    "dtype": pa.array(dts, pa.string()),
+                    "nodata": pa.array(nods, pa.float64()),
+                    "crs": pa.array(crss, pa.string()),
+                    "transform": pa.array(
+                        ts, batch.schema.field("transform").type
+                    ),
+                },
+                builder,
+                keep_idx=keep_idx,
+            )
+
+        opts = dict(batch_format="pyarrow", zero_copy_batch=True)
+        opts.update(kwargs)
+        return RasterDataset(self.ds.map_batches(batch_fn, **opts))
+
+    def _set_columns(self, make_updates) -> "RasterDataset":
+        """Metadata-only columnar rewrite: ``make_updates(batch) -> {name:
+        pa.Array}``; the pixels buffer passes through untouched."""
+
+        def batch_fn(batch: pa.Table) -> pa.Table:
+            updates = make_updates(batch)
+            for name, arr in updates.items():
+                batch = batch.set_column(
+                    batch.schema.get_field_index(name), name, arr
+                )
+            return batch
+
+        return RasterDataset(
+            self.ds.map_batches(
+                batch_fn, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+
     @staticmethod
     def _update(row: dict, raster) -> dict:
         new = dict(row)
@@ -89,36 +162,34 @@ class RasterDataset:
     # ---- metadata writers (rioxarray.py:124-607) ------------------------
     def write_crs(self, crs) -> "RasterDataset":
         c = crs_mod.from_user_input(crs).to_string()
-
-        def fn(row):
-            new = dict(row)
-            new["crs"] = c
-            return new
-
-        return self._map_rows(fn)
+        return self._set_columns(
+            lambda b: {"crs": pa.array([c] * b.num_rows, pa.string())}
+        )
 
     def write_nodata(self, nodata) -> "RasterDataset":
         """Set the nodata METADATA (no pixel rewrite) — write_nodata
         semantics, raster_array.py:196-254."""
 
-        def fn(row):
+        def updates(batch: pa.Table):
             from .kernels.nodata import ensure_nodata_dtype
 
-            new = dict(row)
-            new["nodata"] = float(ensure_nodata_dtype(nodata, row["dtype"]))
-            return new
+            vals = [
+                float(ensure_nodata_dtype(nodata, dt))
+                for dt in batch["dtype"].to_pylist()
+            ]
+            return {"nodata": pa.array(vals, pa.float64())}
 
-        return self._map_rows(fn)
+        return self._set_columns(updates)
 
     def write_transform(self, transform) -> "RasterDataset":
         t = [float(v) for v in transform]
-
-        def fn(row):
-            new = dict(row)
-            new["transform"] = t
-            return new
-
-        return self._map_rows(fn)
+        return self._set_columns(
+            lambda b: {
+                "transform": pa.array(
+                    [t] * b.num_rows, b.schema.field("transform").type
+                )
+            }
+        )
 
     def crs_set(self) -> set[str]:
         """Distinct CRSs (Dataset CRS-uniformity check,
@@ -136,16 +207,25 @@ class RasterDataset:
         /root/reference/rioxarray/_io.py:850-900)."""
 
         def batch_fn(batch: pa.Table) -> pa.Table:
-            rows = []
-            for row in batch.to_pylist():
-                px = pixels_from_row(row)
+            ids = batch["image_id"].to_pylist()
+            keep_idx, out_ids = [], []
+            builder = BinaryBuilder()
+            for i, px in enumerate(pixel_views(batch)):
                 for b in range(px.shape[0]):
-                    new = dict(row)
-                    new["image_id"] = f"{row['image_id']}#b{b + 1}"
-                    new["band_count"] = 1
-                    new["pixels"] = pixels_to_bytes(px[b : b + 1])
-                    rows.append(new)
-            return pa.Table.from_pylist(rows, schema=batch.schema)
+                    keep_idx.append(i)
+                    out_ids.append(f"{ids[i]}#b{b + 1}")
+                    builder.append(px[b : b + 1])
+            return rebuild_table(
+                batch,
+                {
+                    "image_id": pa.array(out_ids, pa.string()),
+                    "band_count": pa.array(
+                        [1] * len(keep_idx), pa.int32()
+                    ),
+                },
+                builder,
+                keep_idx=keep_idx,
+            )
 
         return RasterDataset(
             self.ds.map_batches(
@@ -154,11 +234,9 @@ class RasterDataset:
         )
 
     def isel_window(self, row_off, col_off, height, width) -> "RasterDataset":
-        def fn(row):
-            r = row_to_raster(row).isel_window(row_off, col_off, height, width)
-            return self._update(row, r)
-
-        return self._map_rows(fn)
+        return self._map_raster(
+            lambda r: r.isel_window(row_off, col_off, height, width)
+        )
 
     # ---- subsetting -----------------------------------------------------
     def clip_box(self, minx, miny, maxx, maxy, crs=None, **kwargs) -> "RasterDataset":
@@ -183,13 +261,11 @@ class RasterDataset:
         )
 
     def pad_box(self, minx, miny, maxx, maxy, constant_values=None) -> "RasterDataset":
-        def fn(row):
-            r = row_to_raster(row).pad_box(
+        return self._map_raster(
+            lambda r: r.pad_box(
                 minx, miny, maxx, maxy, constant_values=constant_values
             )
-            return self._update(row, r)
-
-        return self._map_rows(fn)
+        )
 
     # ---- warp -----------------------------------------------------------
     def reproject(self, dst_crs, resampling="nearest", resolution=None,
@@ -220,11 +296,7 @@ class RasterDataset:
         )
 
     def interpolate_na(self, method: str = "nearest") -> "RasterDataset":
-        def fn(row):
-            r = row_to_raster(row).interpolate_na(method)
-            return self._update(row, r)
-
-        return self._map_rows(fn)
+        return self._map_raster(lambda r: r.interpolate_na(method))
 
     # ---- n-ary ----------------------------------------------------------
     def merge(self, method="first", resolution=None, dst_tile_size=256):

@@ -44,7 +44,9 @@ def sessionize(ds, gap_minutes: int = 30):
     gap = pd.Timedelta(minutes=gap_minutes)
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts", kind="stable")
+        # (ts, event_id) matches the oracle's ORDER BY — without the id
+        # tie-break, equal-timestamp events make the split nondeterministic
+        g = group.sort_values(["ts", "event_id"], kind="stable")
         # timedelta comparison is unit-safe (datetime64[us] vs [ns] both work)
         diffs = g["ts"].diff()
         new_session = (diffs.isna() | (diffs > gap)).to_numpy()

@@ -70,6 +70,10 @@ def calculate_default_transform(
     dst_crs = crs_mod.from_user_input(dst_crs)
     if resolution is not None and (dst_width or dst_height):
         raise ValueError("resolution and shape cannot both be provided")
+    if bool(dst_width) != bool(dst_height):
+        # shape is a pair: silently auto-resolving the missing side would
+        # produce an unexpected grid (reference passes (height, width) whole)
+        raise ValueError("dst_width and dst_height must be provided together")
     dl, db, dr, dt = crs_mod.transform_bounds(
         src_crs, dst_crs, left, bottom, right, top
     )

@@ -1,8 +1,8 @@
 """Resumable pipeline runs (north rule: a killed job restarts mid-stream
 without recomputing completed partitions; per-partition lineage + metrics).
 
-Partitioning key: the image-id shard prefix (``image_id[:len-3]`` → one
-partition per 1000 ids, matching the corpus shard layout), so a partition's
+Partitioning key: the numeric image-id suffix divided by ``PARTITION_SIZE``
+(one partition per ``PARTITION_SIZE`` consecutive ids), so a partition's
 work is reproducible from its input shard alone.  Each partition is written
 atomically with a completion marker (state/manifest.py); ``run_resumable``
 anti-joins the corpus against completed markers before doing ANY decode
@@ -20,12 +20,15 @@ from ..stages import warp as warp_stage_mod
 from ..state.manifest import PartitionManifest
 
 
+PARTITION_SIZE = 100  # consecutive image ids per checkpoint partition
+
+
 def partition_key_expr(batch: pa.Table) -> pa.Table:
-    """image_id -> partition key (shard of 100 ids)."""
+    """image_id -> partition key (shard of ``PARTITION_SIZE`` ids)."""
     idx = pc.cast(
         pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
     )
-    part = pc.cast(pc.divide(idx, 100), pa.string())
+    part = pc.cast(pc.divide(idx, PARTITION_SIZE), pa.string())
     return batch.append_column("part", part)
 
 

@@ -25,7 +25,14 @@ from ..kernels import crs as crs_mod
 from ..kernels import geometry as geom_mod
 from ..kernels.raster import Raster  # noqa: F401  (re-export for callers)
 from ..sources.corpus import CELL_RES
-from .schema import pixels_to_bytes, row_to_raster
+from .schema import (
+    BinaryBuilder,
+    pixel_views,
+    pixels_to_bytes,  # noqa: F401  (re-export for callers)
+    raster_from_view,
+    rebuild_table,
+    row_to_raster,  # noqa: F401  (re-export for callers)
+)
 
 
 def footprint_bounds(row: dict):
@@ -58,15 +65,18 @@ def clip_box_batch(batch: pa.Table, bounds, box_crs=None) -> pa.Table:
             bb_cache[crs_str] = bb
         return bb
 
-    rows = []
-    for row in batch.to_pylist():
+    meta = batch.drop_columns(["pixels"]).to_pylist()
+    keep_idx, hs, ws, out_t = [], [], [], []
+    builder = BinaryBuilder()
+    for i, pixels in enumerate(pixel_views(batch)):
+        row = meta[i]
         bb = box_for(row["crs"])
         left, bottom, right, top = aff.bounds(
             tuple(row["transform"]), row["w"], row["h"]
         )
         if bb[0] >= right or bb[2] <= left or bb[1] >= top or bb[3] <= bottom:
             continue
-        r = row_to_raster(row)
+        r = raster_from_view(pixels, row)
         # corpus-level semantics: rows wholly outside are FILTERED; rows that
         # intersect are sliced (window math of clip_box) and kept even when
         # all-nodata — the single-raster NoDataInBounds contract lives on
@@ -79,17 +89,21 @@ def clip_box_batch(batch: pa.Table, bounds, box_crs=None) -> pa.Table:
         )
         if clipped.width < 1 or clipped.height < 1:
             continue
-        new = dict(row)
-        new.update(
-            h=clipped.height,
-            w=clipped.width,
-            transform=[float(v) for v in clipped.transform],
-            pixels=pixels_to_bytes(clipped.pixels),
-        )
-        rows.append(new)
-    if not rows:
-        return batch.slice(0, 0)
-    return pa.Table.from_pylist(rows, schema=batch.schema)
+        keep_idx.append(i)
+        hs.append(clipped.height)
+        ws.append(clipped.width)
+        out_t.append([float(v) for v in clipped.transform])
+        builder.append(clipped.pixels)
+    return rebuild_table(
+        batch,
+        {
+            "h": pa.array(hs, pa.int32()),
+            "w": pa.array(ws, pa.int32()),
+            "transform": pa.array(out_t, batch.schema.field("transform").type),
+        },
+        builder,
+        keep_idx=keep_idx,
+    )
 
 
 def clip_box_stage(ds, bounds, box_crs=None, cell_res: int = CELL_RES,
@@ -175,20 +189,24 @@ class ClipActor:
         return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = []
-        for row in batch.to_pylist():
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        keep_idx: list[int] = []
+        builder = BinaryBuilder()
+        for i, pixels in enumerate(pixel_views(batch)):
+            row = meta[i]
             geoms, index = self._geoms_for_crs(row["crs"])
-            r = row_to_raster(row)
+            r = raster_from_view(pixels, row)
             cand = index.query(*r.bounds())
             if len(cand) == 0:
                 if self.invert:
                     # anti-join: a tile touching NO geometry keeps ALL its
                     # pixels — always emit it (drop_empty only drops tiles
                     # whose surviving mask is empty)
-                    rows.append(row)
+                    keep_idx.append(i)
+                    builder.append(pixels)
                 continue
             keep = geom_mod.geometry_mask(
-                [geoms[i] for i in cand],
+                [geoms[j] for j in cand],
                 out_shape=r.shape,
                 transform=r.transform,
                 all_touched=self.all_touched,
@@ -200,12 +218,9 @@ class ClipActor:
             out = np.where(
                 keep[None], r.pixels, np.array(fill).astype(r.pixels.dtype)
             )
-            new = dict(row)
-            new["pixels"] = pixels_to_bytes(out.astype(r.pixels.dtype))
-            rows.append(new)
-        if not rows:
-            return batch.slice(0, 0)
-        return pa.Table.from_pylist(rows, schema=batch.schema)
+            keep_idx.append(i)
+            builder.append(out.astype(r.pixels.dtype))
+        return rebuild_table(batch, {}, builder, keep_idx=keep_idx)
 
 
 def clip_stage(

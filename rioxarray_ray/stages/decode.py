@@ -102,15 +102,17 @@ def mask_and_scale_batch(
       (maybe_promote semantics);
     - scale/offset: ``out = decoded * scale + offset`` per band.
 
-    Vectorized numpy per row; output dtype float64 when masked or scaled,
-    else the (possibly reinterpreted) source dtype.
+    Columnar: pixels arrive as zero-copy views and leave through one
+    contiguous BinaryBuilder buffer; output dtype float64 when masked or
+    scaled, else the (possibly reinterpreted) source dtype.
     """
-    from .schema import pixels_from_row, pixels_to_bytes
+    from .schema import BinaryBuilder, pixel_views, rebuild_table
 
-    rows = []
-    for row in batch.to_pylist():
-        px = pixels_from_row(row)
-        nod = row["nodata"]
+    nodatas = batch["nodata"].to_numpy(zero_copy_only=False)
+    out_dt, out_nod = [], []
+    builder = BinaryBuilder()
+    for i, px in enumerate(pixel_views(batch)):
+        nod = float(nodatas[i])
         if unsigned and px.dtype.kind == "i":
             px = px.view(px.dtype.str.replace("i", "u"))
             if nod == nod:
@@ -119,7 +121,6 @@ def mask_and_scale_batch(
                         px.dtype
                     )
                 )
-        new = dict(row)
         if masked or scale != 1.0 or offset != 0.0:
             out = px.astype(np.float64)
             if masked and nod == nod:
@@ -130,15 +131,21 @@ def mask_and_scale_batch(
                 # unmasked scaling transforms nodata pixels too — keep the
                 # sentinel consistent so valid_mask still identifies them
                 nod = float(nod) * scale + offset
-            new["dtype"] = "float64"
-            new["pixels"] = pixels_to_bytes(out)
-            new["nodata"] = nod if nod == nod else float("nan")
+            out_dt.append("float64")
+            out_nod.append(nod if nod == nod else float("nan"))
+            builder.append(out)
         else:
-            new["dtype"] = px.dtype.name
-            new["pixels"] = pixels_to_bytes(px)
-            new["nodata"] = nod
-        rows.append(new)
-    return pa.Table.from_pylist(rows, schema=batch.schema)
+            out_dt.append(px.dtype.name)
+            out_nod.append(nod)
+            builder.append(px)
+    return rebuild_table(
+        batch,
+        {
+            "dtype": pa.array(out_dt, pa.string()),
+            "nodata": pa.array(out_nod, pa.float64()),
+        },
+        builder,
+    )
 
 
 def mask_and_scale_stage(ds, scale=1.0, offset=0.0, masked=True,

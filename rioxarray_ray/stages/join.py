@@ -87,13 +87,17 @@ def _tile_lonlat_grid(row: dict):
     return lon, lat
 
 
-def _refine_tile(row: dict, cand_ids, cand_geoms) -> list[dict]:
-    """Exact PIP of every candidate polygon against one tile (in lon/lat)."""
+def _refine_tile(row: dict, cand_ids, cand_geoms, pixels=None) -> list[dict]:
+    """Exact PIP of every candidate polygon against one tile (in lon/lat).
+
+    ``pixels`` may be a zero-copy view supplied by the columnar caller;
+    without it the payload is decoded from the row dict (shuffle plan)."""
     from ..kernels.nodata import valid_mask
 
     out = []
     lon, lat = _tile_lonlat_grid(row)
-    pixels = pixels_from_row(row)
+    if pixels is None:
+        pixels = pixels_from_row(row)
     nod = row["nodata"]
     if nod != nod:  # NaN sentinel: no-nodata for ints, NaN for floats
         nod = None if np.dtype(row["dtype"]).kind in "iu" else float("nan")
@@ -163,8 +167,11 @@ class PIPJoinActor:
         batch = batch.filter(pc.is_in(batch["cell"], value_set=self._cell_set))
         if batch.num_rows == 0:
             return pa.Table.from_pylist([], schema=PIP_SCHEMA)
+        from .schema import pixel_views
+
         out = []
-        for row in batch.to_pylist():
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
             cand = self.by_cell.get(int(row["cell"]), ())
             if not cand:
                 continue
@@ -173,6 +180,7 @@ class PIPJoinActor:
                     row,
                     [self.ids[i] for i in cand],
                     [self.geoms[i] for i in cand],
+                    pixels=pixels,
                 )
             )
         return pa.Table.from_pylist(out, schema=PIP_SCHEMA)
@@ -379,10 +387,16 @@ class KNNJoinActor:
             return []
         cid = int(cellindex.cell(lon, lat, self.cell_res))
         seen: list[int] = []
+        seen_set: set[int] = set()
         best: list[tuple[float, int]] = []
         for r in range(self._MAX_RING + 1):
             for c in cellindex.shell(cid, r):
-                seen.extend(self.by_cell.get(int(c), ()))
+                # dedup across shells: small-circumference lon grids wrap,
+                # so outer shells can revisit cells already scanned
+                for i in self.by_cell.get(int(c), ()):
+                    if i not in seen_set:
+                        seen_set.add(i)
+                        seen.append(i)
             if seen:
                 p = self.pts[seen]
                 d = np.hypot(p[:, 0] - lon, p[:, 1] - lat)

@@ -25,7 +25,7 @@ import pyarrow as pa
 from ..kernels import affine as aff
 from ..kernels import merge as merge_kernel
 from ..sources.corpus import CELL_RES
-from .schema import RASTER_SCHEMA, pixels_from_row, pixels_to_bytes
+from .schema import RASTER_SCHEMA, pixels_to_bytes  # noqa: F401 (schema re-export)
 
 
 def plan_union_grid(ds, resolution=None):
@@ -126,7 +126,10 @@ def merge_stage(
     inv = aff.invert(transform)
 
     def place(batch: pa.Table) -> pa.Table:
-        """Emit (dst_tile_id, src piece) rows for every overlap."""
+        """Emit (dst_tile_id, src piece) rows for every overlap (columnar:
+        zero-copy pixel views in, one contiguous piece buffer out)."""
+        from .schema import BinaryBuilder, pixel_views
+
         out = {
             "dst_tile": [],
             "src_index": [],
@@ -136,10 +139,10 @@ def merge_stage(
             "w": [],
             "band_count": [],
             "dtype": [],
-            "pixels": [],
         }
-        for row in batch.to_pylist():
-            pixels = pixels_from_row(row)
+        builder = BinaryBuilder()
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
             t = tuple(row["transform"])
             col0, row0 = aff.apply(inv, t[2], t[5])
             ic0, ir0 = int(round(float(col0))), int(round(float(row0)))
@@ -170,10 +173,21 @@ def merge_stage(
                     out["w"].append(dc1 - dc0)
                     out["band_count"].append(piece.shape[0])
                     out["dtype"].append(row["dtype"])
-                    out["pixels"].append(
-                        pixels_to_bytes(np.ascontiguousarray(piece))
-                    )
-        return pa.Table.from_pydict(out)
+                    builder.append(piece)
+        return pa.Table.from_arrays(
+            [
+                pa.array(out["dst_tile"], pa.int64()),
+                pa.array(out["src_index"], pa.string()),
+                pa.array(out["row_off"], pa.int64()),
+                pa.array(out["col_off"], pa.int64()),
+                pa.array(out["h"], pa.int64()),
+                pa.array(out["w"], pa.int64()),
+                pa.array(out["band_count"], pa.int64()),
+                pa.array(out["dtype"], pa.string()),
+                builder.finish(),
+            ],
+            names=list(out) + ["pixels"],
+        )
 
     def reduce_tile(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values("src_index", kind="stable")

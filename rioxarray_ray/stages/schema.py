@@ -124,6 +124,53 @@ def build_binary_array(arrays) -> pa.Array:
     return b.finish()
 
 
+def rebuild_table(batch, updates, builder, keep_idx=None):
+    """Reassemble an output table on the input schema: ``updates`` maps
+    column name -> pa.Array; ``builder.finish()`` supplies pixels; all other
+    columns pass through (optionally row-filtered by ``keep_idx``)."""
+    base = batch
+    if keep_idx is not None:
+        base = (
+            batch.take(pa.array(keep_idx, pa.int32()))
+            if keep_idx
+            else batch.slice(0, 0)
+        )
+    arrays = []
+    for field in batch.schema:
+        if field.name in updates:
+            arrays.append(updates[field.name])
+        elif field.name == "pixels":
+            arrays.append(builder.finish())
+        else:
+            col = base[field.name]
+            arrays.append(
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            )
+    return pa.Table.from_arrays(arrays, schema=batch.schema)
+
+
+def decode_nodata(nodata: float, dtype: str):
+    """NaN-sentinel convention: NaN = 'no nodata' for int dtypes, a real
+    NaN nodata for float dtypes (round-1 convention, see stages/warp.py)."""
+    if nodata != nodata:
+        return None if np.dtype(dtype).kind in "iu" else float("nan")
+    return nodata
+
+
+def raster_from_view(pixels: np.ndarray, row: dict):
+    """Raster over a zero-copy pixels view + its metadata row (no payload
+    copy — the caller must treat the pixels as read-only)."""
+    from ..kernels import crs as crs_mod
+    from ..kernels.raster import Raster
+
+    return Raster(
+        pixels,
+        tuple(row["transform"]),
+        crs_mod.from_user_input(row["crs"]) if row["crs"] else None,
+        nodata=decode_nodata(row["nodata"], row["dtype"]),
+    )
+
+
 def pixels_from_row(row: dict) -> np.ndarray:
     """Rebuild the (bands, h, w) array from a row dict (zero-copy view when
     the buffer alignment allows)."""

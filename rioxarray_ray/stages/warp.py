@@ -54,29 +54,7 @@ def _finalize_band(vals, ok, out_dtype, fill):
     return np.where(ok, vals, fill).astype(out_dtype)
 
 
-def _rebuild_table(batch, updates, builder, keep_idx=None):
-    """Reassemble an output table on the input schema: ``updates`` maps
-    column name -> pa.Array; ``builder.finish()`` supplies pixels; all other
-    columns pass through (optionally row-filtered by ``keep_idx``)."""
-    base = batch
-    if keep_idx is not None:
-        base = (
-            batch.take(pa.array(keep_idx, pa.int32()))
-            if keep_idx
-            else batch.slice(0, 0)
-        )
-    arrays = []
-    for field in batch.schema:
-        if field.name in updates:
-            arrays.append(updates[field.name])
-        elif field.name == "pixels":
-            arrays.append(builder.finish())
-        else:
-            col = base[field.name]
-            arrays.append(
-                col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            )
-    return pa.Table.from_arrays(arrays, schema=batch.schema)
+from .schema import rebuild_table as _rebuild_table  # shared reassembly helper
 
 
 class WarpActor:
@@ -379,7 +357,9 @@ class TiledMatchWarpActor(WarpActor):
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .schema import BinaryBuilder, pixel_views
 
-        rows = batch.to_pylist()
+        # metadata-only row dicts: dropping pixels first keeps the payload
+        # out of Python (pixel_views supplies the zero-copy views below)
+        rows = batch.drop_columns(["pixels"]).to_pylist()
         keep_idx, hs, ws, out_t, out_nod, out_dt, out_crs = (
             [], [], [], [], [], [], []
         )

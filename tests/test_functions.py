@@ -45,7 +45,7 @@ def test_langid_on_stopword_laden_text(ray_session):
         [{"doc_id": i, "text": t, "lang": l} for i, (l, t) in enumerate(samples)]
     )
     pred = ds.map_batches(
-        text.LangId, batch_format="pandas", concurrency=2
+        text.LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     ).to_pandas()
     pred = pred.sort_values("doc_id")
     assert list(pred["lang_pred"]) == [l for l, _ in samples]
