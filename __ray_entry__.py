@@ -593,6 +593,18 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """GATED SCALE PLAN: exact distributed block-pair cosine join — no
+    driver collect, no whole-corpus broadcast (round-1 verdict item #1)."""
+    from rioxarray_ray.functions import ann
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.blocked_cosine_pairs(ds, threshold=_NEAR_DUP_TAU, n_blocks=8)
+    return out.select_columns(["vec_a", "vec_b"])
+
+
+def q_embedding_near_dup_bcast(sf_dir: str):
+    """Plan-equivalence twin: O(n^2) broadcast brute force against the SAME
+    oracle (the geo_pip_rect/geo_pip_shuffle pattern)."""
     from rioxarray_ray.functions import ann
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -629,6 +641,55 @@ def q_ann_topk(sf_dir: str):
         qdf["vec_id"].to_numpy(),
         np.asarray(qdf["embedding"].to_list(), dtype=np.float64),
         k=_ANN_K,
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_ann_topk_blocked(sf_dir: str):
+    """GATED SCALE PLAN: blocked cross-join exact top-k — the query set
+    stays a Dataset (no driver collect, no broadcast matrix); same oracle
+    as ann_topk (plan equivalence)."""
+    from rioxarray_ray.functions import ann
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    queries_ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        lambda b: b.filter(
+            pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = ann.blocked_topk_cosine(
+        ds, queries_ds, k=_ANN_K, n_query_blocks=4, n_data_blocks=4
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF approximate top-k (recall/throughput tradeoff — rows-only gate;
+    the recall bound vs the exact plan is asserted in pytest)."""
+    from rioxarray_ray.functions import ann
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = (
+        _rd()
+        .read_parquet(f"{sf_dir}/embeddings.parquet")
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    out = ann.ivf_topk(
+        ds,
+        qdf["vec_id"].to_numpy(),
+        np.asarray(qdf["embedding"].to_list(), dtype=np.float64),
+        k=_ANN_K,
+        n_centroids=16,
+        nprobe=4,
     )
     return out.select_columns(["query_id", "vec_id", "rank"])
 
@@ -712,7 +773,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_minhash": q_dedup_minhash,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_bcast": q_embedding_near_dup_bcast,
         "ann_topk": q_ann_topk,
+        "ann_topk_blocked": q_ann_topk_blocked,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -821,7 +885,7 @@ WHERE GREATEST(0, LEAST(r.gx + r.wpx, t.gx0 + t.win_col_off + t.tw)
 
 def oracle_sql() -> dict[str, str]:
     box = _BOX
-    return {
+    sql = {
         "geo_footprint": f"""
 WITH {_IMG_CTE}
 SELECT image_id, w, h, fmt, band_count,
@@ -993,3 +1057,8 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem GROUP BY 1, 2
 """,
     }
+    # plan-equivalence twins: the scalable plan and the brute-force plan are
+    # both gated against ONE oracle (geo_pip_rect/geo_pip_shuffle pattern)
+    sql["embedding_near_dup_bcast"] = sql["embedding_near_dup"]
+    sql["ann_topk_blocked"] = sql["ann_topk"]
+    return sql

@@ -27,14 +27,36 @@ from . import affine as aff
 from . import crs as crs_mod
 from .nodata import default_nodata, valid_mask
 
-RESAMPLING_NAMES = ("nearest", "bilinear", "cubic")
+# point-interpolation kernels: sample at the dst pixel CENTER's preimage
+POINT_METHODS = ("nearest", "bilinear", "cubic", "lanczos")
+# area/statistic kernels: aggregate every valid src pixel whose center falls
+# in the preimage of the dst pixel's FOOTPRINT (GDAL's warp-time average/
+# mode/... family, rasterio.enums.Resampling via raster_array.py:287-298)
+AREA_METHODS = ("average", "sum", "rms", "min", "max", "med", "q1", "q3", "mode")
+RESAMPLING_NAMES = POINT_METHODS + AREA_METHODS
 # extra src pixels a dst pixel may need beyond the containing one (halo width
-# for tiled warps; SURVEY.md §7.4)
-KERNEL_MARGIN = {"nearest": 0, "bilinear": 1, "cubic": 2}
+# for tiled warps; SURVEY.md §7.4).  For AREA methods the true support is the
+# dst pixel footprint (~ the downsampling ratio) — tiled halo warps must size
+# the halo to >= that ratio themselves; 1 covers the same-res case.
+KERNEL_MARGIN = {"nearest": 0, "bilinear": 1, "cubic": 2, "lanczos": 3}
+KERNEL_MARGIN.update({m: 1 for m in AREA_METHODS})
+
+# rasterio.enums.Resampling integer codes (public GDAL mapping) accepted for
+# API parity with the reference's enum passthrough
+_ENUM_CODES = {
+    0: "nearest", 1: "bilinear", 2: "cubic", 4: "lanczos", 5: "average",
+    6: "mode", 8: "max", 9: "min", 10: "med", 11: "q1", 12: "q3",
+    13: "sum", 14: "rms",
+}
 
 
 def resolve_resampling(name) -> str:
-    """Parse a resampling name (semantics of _spatial_utils.py:307-323)."""
+    """Parse a resampling name or rasterio enum code
+    (semantics of _spatial_utils.py:307-323)."""
+    if isinstance(name, int) and not isinstance(name, bool):
+        if name in _ENUM_CODES:
+            return _ENUM_CODES[name]
+        raise ValueError(f"unsupported resampling enum code {name}")
     if isinstance(name, str):
         low = name.lower()
         if low in RESAMPLING_NAMES:

@@ -81,13 +81,15 @@ def test_minhash_lsh_finds_near_duplicates(ray_session):
     docs.append({"doc_id": 61, "text": " ".join(base[:76] + ["x1", "x2", "x3", "x4"])})
     docs.append({"doc_id": 62, "text": " ".join(base)})  # exact dup
     ds = rd.from_items(docs)
-    cand = dedup.minhash_candidates(ds, num_perm=64, bands=16).take_all()
+    cand = dedup.minhash_candidates(
+        ds, num_perm=64, bands=16, concurrency=2, num_partitions=4
+    ).take_all()
     pairs = {(r["doc_a"], r["doc_b"]) for r in cand}
     assert (0, 62) in pairs  # exact dup always collides
     assert (0, 61) in pairs  # high-jaccard near dup
     verified = dedup.verify_jaccard_pairs(
         rd.from_items([{"doc_a": a, "doc_b": b} for a, b in sorted(pairs)]),
-        {d["doc_id"]: d["text"] for d in docs},
+        ds,
         threshold=0.5,
     ).take_all()
     vp = {(r["doc_a"], r["doc_b"]) for r in verified}
