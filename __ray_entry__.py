@@ -277,6 +277,48 @@ def q_geo_pixel_checksum(sf_dir: str):
     return decoded.map_batches(checksum, batch_format="pyarrow")
 
 
+def q_geo_downsample_avg(sf_dir: str):
+    """Area-kernel reproject (resampling='average'): aligned 2x downsample
+    per image; per-image mean is box-mean-invariant, so mean(down) ~=
+    mean(src) — asserted in pytest; driver records rows-only (pixel
+    semantics are covered by kernel/stage pytest oracles)."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import warp as wstage
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    n = min(_ndocs(sf_dir), 64)
+    ds = fpipe.read_corpus(n)
+    decoded = dstage.decode_stage(ds)
+    down = wstage.reproject_stage(
+        decoded,
+        "EPSG:4326",
+        resampling="average",
+        resolution=0.01,  # 2x the corpus RES=5e-3 -> exact 2x2 block means
+        concurrency=2,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            px = pixels_from_row(r)
+            vm = valid_mask(px, r["nodata"])
+            out.append(
+                {
+                    "image_id": r["image_id"],
+                    "h": int(r["h"]),
+                    "w": int(r["w"]),
+                    "mean_valid": float(px.astype(np.float64)[vm].mean())
+                    if vm.any()
+                    else 0.0,
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return down.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_geo_reproject_roundtrip(sf_dir: str):
     """Identity-grid reproject is exact; UTM round trip preserves captions
     and produces deterministic valid-pixel counts."""
@@ -428,8 +470,8 @@ def q_geo_merge(sf_dir: str):
 
 
 def q_geo_interpolate_na(sf_dir: str):
-    """interpolate_na('nearest') on a tile subset: all-valid outputs with
-    deterministic integer checksums."""
+    """interpolate_na on a tile subset (nearest + cubic side by side):
+    all-valid outputs with deterministic integer checksums."""
     from rioxarray_ray.kernels.raster import Raster
     from rioxarray_ray.stages.schema import pixels_from_row, row_to_raster
 
@@ -438,14 +480,16 @@ def q_geo_interpolate_na(sf_dir: str):
     def interp(batch: pa.Table) -> pa.Table:
         out = []
         for r in batch.to_pylist():
-            ras = row_to_raster(r).interpolate_na("nearest")
+            near = row_to_raster(r).interpolate_na("nearest")
+            cub = row_to_raster(r).interpolate_na("cubic")
             out.append(
                 {
                     "image_id": r["image_id"],
                     "tile_row": r["tile_row"],
                     "tile_col": r["tile_col"],
-                    "checksum": int(ras.pixels.astype(np.int64).sum()),
-                    "n_nodata_left": int((~ras.valid_mask()).sum()),
+                    "checksum": int(near.pixels.astype(np.int64).sum()),
+                    "n_nodata_left": int((~near.valid_mask()).sum()),
+                    "checksum_cubic": int(cub.pixels.astype(np.int64).sum()),
                 }
             )
         return pa.Table.from_pylist(out)
@@ -762,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_shuffle": q_geo_pip_shuffle,
         "geo_knn": q_geo_knn,
         "geo_reproject_grid": q_geo_reproject_grid,
+        "geo_downsample_avg": q_geo_downsample_avg,
         "geo_pixel_checksum": q_geo_pixel_checksum,
         "geo_reproject_roundtrip": q_geo_reproject_roundtrip,
         "geo_tiled_halo_warp": q_geo_tiled_halo_warp,

@@ -39,13 +39,47 @@ class CRSError(ValueError):
     pass
 
 
+_E = math.sqrt(_E2)
+
+
+def _m_factor(phi):
+    """Snyder eq 14-15: m = cos(phi)/sqrt(1 - e^2 sin^2 phi)."""
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
+
+
+def _t_factor(phi):
+    """Snyder eq 15-9: t = tan(pi/4 - phi/2) / ((1-e sin)/(1+e sin))^(e/2)."""
+    s = np.sin(phi)
+    return np.tan(math.pi / 4.0 - phi / 2.0) / (
+        ((1.0 - _E * s) / (1.0 + _E * s)) ** (_E / 2.0)
+    )
+
+
+def _q_factor(phi):
+    """Snyder eq 3-12: authalic q."""
+    s = np.sin(phi)
+    return (1.0 - _E2) * (
+        s / (1.0 - _E2 * s * s)
+        - (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s))
+    )
+
+
 @dataclass(frozen=True)
 class CRS:
-    """A supported CRS. ``kind`` in {geographic, mercator, utm, sinusoidal}."""
+    """A supported CRS.
+
+    ``kind`` in {geographic, mercator, utm, sinusoidal, lcc, aea}; the conic
+    kinds (Lambert conformal conic 2SP / Albers equal-area 2SP) carry their
+    projection parameters in ``params`` = (lat_1, lat_2, lat_0, lon_0, x_0,
+    y_0) degrees/meters on the WGS84 ellipsoid (NAD83/GRS80 parameter sets
+    are accepted — the 1/f difference is sub-millimeter).
+    """
 
     kind: str
     zone: int = 0  # UTM only
     south: bool = False  # UTM only
+    params: tuple = ()  # lcc/aea only: (lat_1, lat_2, lat_0, lon_0, x_0, y_0)
 
     # ---- identity / serialization -------------------------------------
     @property
@@ -63,29 +97,114 @@ class CRS:
             return 3857
         if self.kind == "utm":
             return (32700 if self.south else 32600) + self.zone
-        return None  # sinusoidal has no EPSG
+        if self.kind in ("lcc", "aea"):
+            for code, (kind, params) in _CONIC_EPSG.items():
+                if kind == self.kind and params == self.params:
+                    return code
+        return None  # sinusoidal (and generic conics) have no EPSG
 
     def to_string(self) -> str:
         epsg = self.to_epsg()
         if epsg is not None:
             return f"EPSG:{epsg}"
+        if self.kind in ("lcc", "aea"):
+            lat1, lat2, lat0, lon0, x0, y0 = self.params
+            return (
+                f"+proj={self.kind} +lat_1={lat1} +lat_2={lat2} "
+                f"+lat_0={lat0} +lon_0={lon0} +x_0={x0} +y_0={y0} "
+                "+datum=WGS84 +units=m +no_defs"
+            )
         return f"+proj=sinu +R={_SINU_R} +units=m +no_defs"
 
+    _WGS84_GEOGCS = (
+        'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
+        '6378137,298.257223563,AUTHORITY["EPSG","7030"]],'
+        'AUTHORITY["EPSG","6326"]],PRIMEM["Greenwich",0,'
+        'AUTHORITY["EPSG","8901"]],UNIT["degree",0.0174532925199433,'
+        'AUTHORITY["EPSG","9122"]],AUTHORITY["EPSG","4326"]]'
+    )
+    _SPHERE_GEOGCS = (
+        'GEOGCS["Unknown datum based upon the custom spheroid",'
+        'DATUM["Not_specified_based_on_custom_spheroid",'
+        f'SPHEROID["Custom spheroid",{_SINU_R},0]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]]'
+    )
+
     def to_wkt(self) -> str:
+        """Fully-formed WKT1 readable by external GDAL/pyproj consumers
+        (static templates per supported kind; round-tripped in tests)."""
         epsg = self.to_epsg()
-        if self.kind == "geographic":
-            return (
-                'GEOGCS["WGS 84",DATUM["WGS_1984",SPHEROID["WGS 84",'
-                '6378137,298.257223563]],PRIMEM["Greenwich",0],'
-                'UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]]'
-            )
-        name = {
-            "mercator": "WGS 84 / Pseudo-Mercator",
-            "utm": f"WGS 84 / UTM zone {self.zone}{'S' if self.south else 'N'}",
-            "sinusoidal": "MODIS Sinusoidal",
-        }[self.kind]
         auth = f',AUTHORITY["EPSG","{epsg}"]' if epsg is not None else ""
-        return f'PROJCS["{name}",GEOGCS["WGS 84"],UNIT["metre",1]{auth}]'
+        if self.kind == "geographic":
+            return self._WGS84_GEOGCS
+        if self.kind == "mercator":
+            return (
+                'PROJCS["WGS 84 / Pseudo-Mercator",'
+                + self._WGS84_GEOGCS.replace(
+                    ',AUTHORITY["EPSG","4326"]]', "]"
+                )
+                + ',PROJECTION["Mercator_1SP"],'
+                'PARAMETER["central_meridian",0],'
+                'PARAMETER["scale_factor",1],'
+                'PARAMETER["false_easting",0],'
+                'PARAMETER["false_northing",0],'
+                'UNIT["metre",1,AUTHORITY["EPSG","9001"]]' + auth + "]"
+            )
+        if self.kind == "utm":
+            hemi = "S" if self.south else "N"
+            return (
+                f'PROJCS["WGS 84 / UTM zone {self.zone}{hemi}",'
+                + self._WGS84_GEOGCS.replace(
+                    ',AUTHORITY["EPSG","4326"]]', "]"
+                )
+                + ',PROJECTION["Transverse_Mercator"],'
+                'PARAMETER["latitude_of_origin",0],'
+                f'PARAMETER["central_meridian",{self._lon0}],'
+                'PARAMETER["scale_factor",0.9996],'
+                'PARAMETER["false_easting",500000],'
+                f'PARAMETER["false_northing",{10000000 if self.south else 0}],'
+                'UNIT["metre",1,AUTHORITY["EPSG","9001"]]' + auth + "]"
+            )
+        if self.kind == "sinusoidal":
+            return (
+                'PROJCS["MODIS Sinusoidal",'
+                + self._SPHERE_GEOGCS
+                + ',PROJECTION["Sinusoidal"],'
+                'PARAMETER["longitude_of_center",0],'
+                'PARAMETER["false_easting",0],'
+                'PARAMETER["false_northing",0],'
+                'UNIT["metre",1]]'
+            )
+        if self.kind in ("lcc", "aea"):
+            lat1, lat2, lat0, lon0, x0, y0 = self.params
+            proj_name = (
+                "Lambert_Conformal_Conic_2SP"
+                if self.kind == "lcc"
+                else "Albers_Conic_Equal_Area"
+            )
+            lat0_key = (
+                "latitude_of_origin" if self.kind == "lcc"
+                else "latitude_of_center"
+            )
+            lon0_key = (
+                "central_meridian" if self.kind == "lcc"
+                else "longitude_of_center"
+            )
+            return (
+                f'PROJCS["{self.kind.upper()} custom",'
+                + self._WGS84_GEOGCS.replace(
+                    ',AUTHORITY["EPSG","4326"]]', "]"
+                )
+                + f',PROJECTION["{proj_name}"],'
+                f'PARAMETER["standard_parallel_1",{lat1}],'
+                f'PARAMETER["standard_parallel_2",{lat2}],'
+                f'PARAMETER["{lat0_key}",{lat0}],'
+                f'PARAMETER["{lon0_key}",{lon0}],'
+                f'PARAMETER["false_easting",{x0}],'
+                f'PARAMETER["false_northing",{y0}],'
+                'UNIT["metre",1,AUTHORITY["EPSG","9001"]]' + auth + "]"
+            )
+        raise CRSError(f"unknown kind {self.kind}")
 
     def __str__(self) -> str:  # pragma: no cover - convenience
         return self.to_string()
@@ -109,6 +228,10 @@ class CRS:
             return x, y
         if self.kind == "utm":
             return self._tm_forward(lon, lat)
+        if self.kind == "lcc":
+            return self._lcc_forward(lon, lat)
+        if self.kind == "aea":
+            return self._aea_forward(lon, lat)
         raise CRSError(f"unknown kind {self.kind}")
 
     def inverse(self, x, y):
@@ -131,7 +254,90 @@ class CRS:
             return lon, phi * _R2D
         if self.kind == "utm":
             return self._tm_inverse(x, y)
+        if self.kind == "lcc":
+            return self._lcc_inverse(x, y)
+        if self.kind == "aea":
+            return self._aea_inverse(x, y)
         raise CRSError(f"unknown kind {self.kind}")
+
+    # ---- Lambert conformal conic 2SP (Snyder 1987 eqs 15-1..15-11) -----
+    def _lcc_constants(self):
+        lat1, lat2, lat0, lon0, x0, y0 = self.params
+        p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
+        m1, m2 = _m_factor(p1), _m_factor(p2)
+        t0, t1, t2 = _t_factor(p0), _t_factor(p1), _t_factor(p2)
+        if abs(lat1 - lat2) > 1e-12:
+            n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+        else:
+            n = math.sin(p1)
+        F = m1 / (n * t1**n)
+        rho0 = _A * F * t0**n
+        return n, F, rho0, lon0 * _D2R, x0, y0
+
+    def _lcc_forward(self, lon, lat):
+        n, F, rho0, lam0, x0, y0 = self._lcc_constants()
+        phi = np.asarray(lat, np.float64) * _D2R
+        lam = np.asarray(lon, np.float64) * _D2R - lam0
+        rho = _A * F * _t_factor(phi) ** n
+        theta = n * lam
+        return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
+
+    def _lcc_inverse(self, x, y):
+        n, F, rho0, lam0, x0, y0 = self._lcc_constants()
+        xp = np.asarray(x, np.float64) - x0
+        yp = rho0 - (np.asarray(y, np.float64) - y0)
+        rho = np.sign(n) * np.hypot(xp, yp)
+        theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            t = (rho / (_A * F)) ** (1.0 / n)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # Snyder eq 7-9 fixed-point; quadratic in e^2
+            s = np.sin(phi)
+            phi = math.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - _E * s) / (1.0 + _E * s)) ** (_E / 2.0)
+            )
+        return (theta / n + lam0) * _R2D, phi * _R2D
+
+    # ---- Albers equal-area conic 2SP (Snyder 1987 eqs 14-1..14-11) -----
+    def _aea_constants(self):
+        lat1, lat2, lat0, lon0, x0, y0 = self.params
+        p1, p2, p0 = lat1 * _D2R, lat2 * _D2R, lat0 * _D2R
+        m1, m2 = _m_factor(p1), _m_factor(p2)
+        q0, q1, q2 = _q_factor(p0), _q_factor(p1), _q_factor(p2)
+        if abs(lat1 - lat2) > 1e-12:
+            n = (m1 * m1 - m2 * m2) / (q2 - q1)
+        else:
+            n = math.sin(p1)
+        C = m1 * m1 + n * q1
+        rho0 = _A * math.sqrt(C - n * q0) / n
+        return n, C, rho0, lon0 * _D2R, x0, y0
+
+    def _aea_forward(self, lon, lat):
+        n, C, rho0, lam0, x0, y0 = self._aea_constants()
+        phi = np.asarray(lat, np.float64) * _D2R
+        lam = np.asarray(lon, np.float64) * _D2R - lam0
+        rho = _A * np.sqrt(C - n * _q_factor(phi)) / n
+        theta = n * lam
+        return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
+
+    def _aea_inverse(self, x, y):
+        n, C, rho0, lam0, x0, y0 = self._aea_constants()
+        xp = np.asarray(x, np.float64) - x0
+        yp = rho0 - (np.asarray(y, np.float64) - y0)
+        rho = np.sign(n) * np.hypot(xp, yp)
+        theta = np.arctan2(np.sign(n) * xp, np.sign(n) * yp)
+        q = (C - (rho * n / _A) ** 2) / n
+        # Snyder eq 3-16 iteration from the authalic sphere start
+        phi = np.arcsin(np.clip(q / 2.0, -1.0, 1.0))
+        for _ in range(8):
+            s = np.sin(phi)
+            one = 1.0 - _E2 * s * s
+            phi = phi + (one * one / (2.0 * np.cos(phi))) * (
+                q / (1.0 - _E2)
+                - s / one
+                + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s))
+            )
+        return (theta / n + lam0) * _R2D, phi * _R2D
 
     # ---- Transverse Mercator series (Snyder 1987 eqs 8-9..8-25) --------
     @property
@@ -222,11 +428,39 @@ GEOGRAPHIC = CRS("geographic")
 WEB_MERCATOR = CRS("mercator")
 SINUSOIDAL = CRS("sinusoidal")
 
+# well-known conic parameter sets: code -> (kind, (lat_1, lat_2, lat_0,
+# lon_0, x_0, y_0)).  NAD83/GRS80-defined systems are approximated on the
+# WGS84 ellipsoid (1/f differs in the 9th digit — sub-millimeter).
+_CONIC_EPSG = {
+    5070: ("aea", (29.5, 45.5, 23.0, -96.0, 0.0, 0.0)),   # CONUS Albers
+    3310: ("aea", (34.0, 40.5, 0.0, -120.0, 0.0, -4000000.0)),  # CA Albers
+    102003: ("aea", (29.5, 45.5, 37.5, -96.0, 0.0, 0.0)),  # ESRI USA Albers
+    2154: ("lcc", (49.0, 44.0, 46.5, 3.0, 700000.0, 6600000.0)),  # Lambert-93
+    3978: ("lcc", (49.0, 77.0, 49.0, -95.0, 0.0, 0.0)),   # Canada LCC
+    3347: ("lcc", (49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0)),
+}
+
 
 def utm(zone: int, south: bool = False) -> CRS:
     if not 1 <= zone <= 60:
         raise CRSError(f"invalid UTM zone {zone}")
     return CRS("utm", zone=zone, south=south)
+
+
+def lcc(lat_1, lat_2, lat_0=0.0, lon_0=0.0, x_0=0.0, y_0=0.0) -> CRS:
+    """Lambert conformal conic 2SP on WGS84."""
+    return CRS("lcc", params=(
+        float(lat_1), float(lat_2), float(lat_0), float(lon_0),
+        float(x_0), float(y_0),
+    ))
+
+
+def aea(lat_1, lat_2, lat_0=0.0, lon_0=0.0, x_0=0.0, y_0=0.0) -> CRS:
+    """Albers equal-area conic 2SP on WGS84."""
+    return CRS("aea", params=(
+        float(lat_1), float(lat_2), float(lat_0), float(lon_0),
+        float(x_0), float(y_0),
+    ))
 
 
 def from_epsg(code: int) -> CRS:
@@ -238,6 +472,9 @@ def from_epsg(code: int) -> CRS:
         return utm(code - 32600, south=False)
     if 32701 <= code <= 32760:
         return utm(code - 32700, south=True)
+    if code in _CONIC_EPSG:
+        kind, params = _CONIC_EPSG[code]
+        return CRS(kind, params=params)
     raise CRSError(f"EPSG:{code} is outside the supported whitelist")
 
 
@@ -283,6 +520,16 @@ def from_user_input(value) -> CRS:
         if proj == "utm":
             zone = int(kv.get("+zone", 0))
             return utm(zone, south="+south" in s)
+        if proj in ("lcc", "aea"):
+            maker = lcc if proj == "lcc" else aea
+            return maker(
+                float(kv.get("+lat_1", 0) or 0),
+                float(kv.get("+lat_2", kv.get("+lat_1", 0)) or 0),
+                float(kv.get("+lat_0", 0) or 0),
+                float(kv.get("+lon_0", 0) or 0),
+                float(kv.get("+x_0", 0) or 0),
+                float(kv.get("+y_0", 0) or 0),
+            )
         if proj == "tmerc":
             # accept tmerc ONLY when its parameters are exactly a UTM zone
             lon0 = float(kv.get("+lon_0", 0))
@@ -305,12 +552,39 @@ def from_user_input(value) -> CRS:
                 "(only exact UTM parameterizations are supported)"
             )
         raise CRSError(f"unsupported proj4 string: {s}")
-    # minimal WKT: find the last EPSG authority/id code
+    # WKT: try EPSG authority/id codes outermost-last (skipping unit/datum
+    # authority ids like 9001 that never name a CRS)
     codes = re.findall(r'(?:AUTHORITY|ID)\[\s*"?EPSG"?\s*,\s*"?(\d+)"?', s)
-    if codes:
-        return from_epsg(int(codes[-1]))
+    for code in reversed(codes):
+        try:
+            return from_epsg(int(code))
+        except CRSError:
+            continue
     if "sinusoidal" in s.lower() or '"sinu' in s.lower():
         return SINUSOIDAL
+    # WKT1 conics without an EPSG id: parse PROJECTION + PARAMETERs
+    mproj = re.search(r'PROJECTION\[\s*"([^"]+)"', s)
+    if mproj:
+        pname = mproj.group(1).lower()
+        pars = {
+            k.lower(): float(v)
+            for k, v in re.findall(
+                r'PARAMETER\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)', s
+            )
+        }
+        if "lambert_conformal_conic" in pname or "albers" in pname:
+            maker = lcc if "lambert" in pname else aea
+            return maker(
+                pars.get("standard_parallel_1", 0.0),
+                pars.get("standard_parallel_2",
+                         pars.get("standard_parallel_1", 0.0)),
+                pars.get("latitude_of_origin",
+                         pars.get("latitude_of_center", 0.0)),
+                pars.get("central_meridian",
+                         pars.get("longitude_of_center", 0.0)),
+                pars.get("false_easting", 0.0),
+                pars.get("false_northing", 0.0),
+            )
     raise CRSError(f"cannot parse CRS: {s[:120]}")
 
 

@@ -164,6 +164,103 @@ def _sign(p, a, b) -> float:
     return (p[0] - b[0]) * (a[1] - b[1]) - (a[0] - b[0]) * (p[1] - b[1])
 
 
+def estimate_gradients(
+    points: np.ndarray, values: np.ndarray, tris: np.ndarray
+) -> np.ndarray:
+    """Per-vertex (df/dx, df/dy) by inverse-square-weighted least squares
+    over Delaunay edge neighbors (the public local-plane-fit estimator;
+    scipy's global Nielson scheme differs only in smoothing)."""
+    pts = np.asarray(points, np.float64)
+    vals = np.asarray(values, np.float64)
+    n = len(pts)
+    # undirected edge list from the triangulation, both directions
+    e = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]])
+    e = np.concatenate([e, e[:, ::-1]])
+    src, dst = e[:, 0], e[:, 1]
+    d = pts[dst] - pts[src]
+    df = vals[dst] - vals[src]
+    w = 1.0 / np.maximum((d * d).sum(axis=1), 1e-30)
+    sxx = np.zeros(n)
+    sxy = np.zeros(n)
+    syy = np.zeros(n)
+    sxf = np.zeros(n)
+    syf = np.zeros(n)
+    np.add.at(sxx, src, w * d[:, 0] * d[:, 0])
+    np.add.at(sxy, src, w * d[:, 0] * d[:, 1])
+    np.add.at(syy, src, w * d[:, 1] * d[:, 1])
+    np.add.at(sxf, src, w * d[:, 0] * df)
+    np.add.at(syf, src, w * d[:, 1] * df)
+    det = sxx * syy - sxy * sxy
+    det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+    gx = (syy * sxf - sxy * syf) / det
+    gy = (sxx * syf - sxy * sxf) / det
+    return np.stack([gx, gy], axis=1)
+
+
+def interpolate_cubic(
+    points: np.ndarray, values: np.ndarray, query: np.ndarray
+) -> np.ndarray:
+    """Cubic scattered interpolation: Hermite blend over the Delaunay
+    triangulation with least-squares gradient estimates — the
+    griddata(method='cubic') role (/root/reference/rioxarray/
+    raster_array.py:863-966).  Within a triangle,
+
+        f(q) = sum_i  w_i(q) * [f_i + g_i . (q - V_i)],
+        w_i = l_i^2 (3 - 2 l_i) / sum_j l_j^2 (3 - 2 l_j),
+
+    which interpolates values AND gradients at the vertices (w_i -> 1 with
+    zero slope at V_i), reproduces planes exactly, and is cubic along
+    edges.  NaN outside the convex hull (the griddata contract).  Parity
+    with scipy's Clough-Tocher element is to smoothing tolerance, not
+    bitwise (the module docstring's caveat applies)."""
+    tris = delaunay(points)
+    pts = np.asarray(points, dtype=np.float64)
+    vals = np.asarray(values, dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    out = np.full(len(q), np.nan)
+    if len(tris) == 0:
+        return out
+    grads = estimate_gradients(pts, vals, tris)
+    a = pts[tris[:, 0]]
+    b = pts[tris[:, 1]]
+    c = pts[tris[:, 2]]
+    det = (b[:, 1] - c[:, 1]) * (a[:, 0] - c[:, 0]) + (
+        c[:, 0] - b[:, 0]
+    ) * (a[:, 1] - c[:, 1])
+    det = np.where(np.abs(det) < 1e-300, 1e-300, det)
+    unresolved = np.arange(len(q))
+    for t in range(len(tris)):
+        if len(unresolved) == 0:
+            break
+        qq = q[unresolved]
+        l1 = (
+            (b[t, 1] - c[t, 1]) * (qq[:, 0] - c[t, 0])
+            + (c[t, 0] - b[t, 0]) * (qq[:, 1] - c[t, 1])
+        ) / det[t]
+        l2 = (
+            (c[t, 1] - a[t, 1]) * (qq[:, 0] - c[t, 0])
+            + (a[t, 0] - c[t, 0]) * (qq[:, 1] - c[t, 1])
+        ) / det[t]
+        l3 = 1.0 - l1 - l2
+        eps = -1e-9
+        inside = (l1 >= eps) & (l2 >= eps) & (l3 >= eps)
+        if not inside.any():
+            continue
+        idx = unresolved[inside]
+        lam = np.stack([l1[inside], l2[inside], l3[inside]], axis=1)
+        w = lam * lam * (3.0 - 2.0 * lam)
+        w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-300)
+        acc = np.zeros(len(idx))
+        for vi, V in enumerate(tris[t]):
+            taylor = vals[V] + (
+                (q[idx] - pts[V]) * grads[V][None, :]
+            ).sum(axis=1)
+            acc += w[:, vi] * taylor
+        out[idx] = acc
+        unresolved = unresolved[~inside]
+    return out
+
+
 def interpolate_linear(
     points: np.ndarray, values: np.ndarray, query: np.ndarray
 ) -> np.ndarray:

@@ -98,20 +98,16 @@ def _dilate(mask: np.ndarray, r: int) -> np.ndarray:
     return out
 
 
-def linear_fill(band: np.ndarray, nodata, band_radius: int = 4) -> np.ndarray:
-    """Fill nodata by barycentric-linear scattered interpolation
-    (griddata(method='linear') semantics via the from-scratch Delaunay in
-    kernels/delaunay.py).
+def _scatter_fill(band: np.ndarray, nodata, interp_fn, band_radius: int) -> np.ndarray:
+    """Shared hole-band scattered-interpolation fill.
 
     Cost control: only valid pixels within ``band_radius`` (chebyshev) of a
-    hole are triangulated — linear interpolation inside a hole is governed
-    by nearby points; far-field points only matter for degenerate hulls
+    hole are triangulated — interpolation inside a hole is governed by
+    nearby points; far-field points only matter for degenerate hulls
     (falls back to them being absent: out-of-hull pixels stay nodata, the
     griddata contract).  Holes that remain (outside the local hull) are
     left at nodata.
     """
-    from .delaunay import interpolate_linear
-
     vm = valid_mask(band, nodata)
     if vm.all() or not vm.any():
         return band.copy()
@@ -124,7 +120,7 @@ def linear_fill(band: np.ndarray, nodata, band_radius: int = 4) -> np.ndarray:
     pts = np.stack([xs, ys], axis=1).astype(np.float64)
     vals = band[ys, xs].astype(np.float64)
     q = np.stack([qx, qy], axis=1).astype(np.float64)
-    filled = interpolate_linear(pts, vals, q)
+    filled = interp_fn(pts, vals, q)
     out = band.astype(np.float64, copy=True)
     ok = ~np.isnan(filled)
     out[qy[ok], qx[ok]] = filled[ok]
@@ -135,13 +131,33 @@ def linear_fill(band: np.ndarray, nodata, band_radius: int = 4) -> np.ndarray:
     return out.astype(band.dtype)
 
 
+def linear_fill(band: np.ndarray, nodata, band_radius: int = 4) -> np.ndarray:
+    """Fill nodata by barycentric-linear scattered interpolation
+    (griddata(method='linear') semantics via the from-scratch Delaunay in
+    kernels/delaunay.py)."""
+    from .delaunay import interpolate_linear
+
+    return _scatter_fill(band, nodata, interpolate_linear, band_radius)
+
+
+def cubic_fill(band: np.ndarray, nodata, band_radius: int = 5) -> np.ndarray:
+    """Fill nodata by cubic Hermite-blend scattered interpolation
+    (griddata(method='cubic') role; see kernels/delaunay.py
+    interpolate_cubic for the exact semantics and scipy-parity caveat).
+    The wider band gives the gradient estimator one extra neighbor ring."""
+    from .delaunay import interpolate_cubic
+
+    return _scatter_fill(band, nodata, interpolate_cubic, band_radius)
+
+
 def interpolate_na(pixels: np.ndarray, nodata, method: str = "nearest") -> np.ndarray:
     """Per-band infill ((bands, h, w) or (h, w)); the band loop mirrors
     /root/reference/rioxarray/raster_array.py:942-951.
 
-    Methods: 'nearest' (exact euclidean EDT) and 'linear' (from-scratch
-    Delaunay + barycentric, exact for locally-planar data); 'cubic' needs
-    Clough-Tocher and stays flag-gated (SURVEY.md §7.4).
+    Methods: 'nearest' (exact euclidean EDT), 'linear' (from-scratch
+    Delaunay + barycentric, exact for locally-planar data), and 'cubic'
+    (Hermite blend with LSQ gradient estimates — value+gradient
+    interpolating, plane-exact).
     """
     squeeze = pixels.ndim == 2
     arr = pixels[None] if squeeze else pixels
@@ -149,10 +165,11 @@ def interpolate_na(pixels: np.ndarray, nodata, method: str = "nearest") -> np.nd
         out = np.stack([nearest_fill(b, nodata) for b in arr])
     elif method == "linear":
         out = np.stack([linear_fill(b, nodata) for b in arr])
+    elif method == "cubic":
+        out = np.stack([cubic_fill(b, nodata) for b in arr])
     else:
         raise NotImplementedError(
             f"interpolate_na method {method!r} is not implemented; "
-            "'nearest' and 'linear' are available (cubic needs a "
-            "Clough-Tocher spline; SURVEY.md §7.4)"
+            "'nearest', 'linear' and 'cubic' are available"
         )
     return out[0] if squeeze else out

@@ -133,6 +133,21 @@ def _src_fractional_coords(
     return fcol.reshape(h, w), frow.reshape(h, w)
 
 
+def _src_fractional_edges(
+    dst_transform, dst_shape, dst_crs, src_crs, src_transform
+):
+    """Fractional src pixel coords of every dst pixel EDGE (corner grid,
+    (h+1, w+1)) — the area-kernel analogue of _src_fractional_coords."""
+    h, w = dst_shape
+    cols = np.arange(w + 1, dtype=np.float64)
+    rows = np.arange(h + 1, dtype=np.float64)
+    cgrid, rgrid = np.meshgrid(cols, rows)
+    dx, dy = aff.apply(dst_transform, cgrid, rgrid)
+    sx, sy = crs_mod.transform_points(dst_crs, src_crs, dx.ravel(), dy.ravel())
+    fcol, frow = aff.apply_inverse(src_transform, sx, sy)
+    return fcol.reshape(h + 1, w + 1), frow.reshape(h + 1, w + 1)
+
+
 def _gather(band, rows, cols, valid):
     """Safe fancy-gather: out-of-range indices produce garbage marked invalid."""
     h, w = band.shape
@@ -202,6 +217,27 @@ def _resample_band(band, vmask, fcol, frow, method):
         with np.errstate(invalid="ignore", divide="ignore"):
             out = acc / wacc
         return out, ok
+    if method == "lanczos":
+        x0 = _floor_idx(x)
+        y0 = _floor_idx(y)
+        fx = x - x0
+        fy = y - y0
+        # 6x6 taps at integer offsets -2..3 around the containing pixel
+        offs = range(-2, 4)
+        wx = [_lanczos(fx - i) for i in offs]
+        wy = [_lanczos(fy - j) for j in offs]
+        acc = np.zeros(shape, dtype=np.float64)
+        wacc = np.zeros(shape, dtype=np.float64)
+        for j, oj in enumerate(offs):
+            for i, oi in enumerate(offs):
+                v, ok = _gather(band, y0 + oj, x0 + oi, vmask)
+                wgt = wx[i] * wy[j] * ok
+                acc += np.where(ok, v, 0.0) * wgt
+                wacc += wgt
+        ok = wacc > 0.5
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = acc / wacc
+        return out, ok
     raise ValueError(f"unknown resampling {method}")
 
 
@@ -214,6 +250,141 @@ def _keys(t):
         (a + 2.0) * at**3 - (a + 3.0) * at**2 + 1.0,
         np.where(at < 2.0, a * at**3 - 5.0 * a * at**2 + 8.0 * a * at - 4.0 * a, 0.0),
     )
+
+
+def _lanczos(t, a: float = 3.0):
+    """Lanczos-windowed sinc, a = 3 (the GDAL lanczos radius)."""
+    at = np.abs(t)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.sinc(t) * np.sinc(t / a)
+    return np.where(at < a, out, 0.0)
+
+
+def _sat(m: np.ndarray) -> np.ndarray:
+    """Summed-area table with a zero top/left border: S[r, c] = sum of
+    m[:r, :c]; box sums become 4 gathers."""
+    s = np.zeros((m.shape[0] + 1, m.shape[1] + 1), dtype=np.float64)
+    np.cumsum(np.cumsum(m, axis=0), axis=1, out=s[1:, 1:])
+    return s
+
+
+def _box_ranges(lo, hi, size):
+    """Half-open integer pixel ranges [i0, i1) of src pixels whose CENTER
+    falls inside the fractional interval [lo, hi); degenerate (sub-pixel)
+    boxes collapse to the pixel containing the interval midpoint."""
+    i0 = np.ceil(lo - 0.5).astype(np.int64)
+    i1 = np.ceil(hi - 0.5).astype(np.int64)
+    empty = i1 <= i0
+    mid = np.floor((lo + hi) * 0.5).astype(np.int64)
+    i0 = np.where(empty, mid, i0)
+    i1 = np.where(empty, mid + 1, i1)
+    oob = (i1 <= 0) | (i0 >= size)
+    return np.clip(i0, 0, size), np.clip(i1, 0, size), oob
+
+
+def _resample_band_area(band, vmask, cedges, redges, method):
+    """Area/statistic resample of one (h, w) band. Returns (values, ok).
+
+    ``cedges``/``redges`` are the fractional src coords of the dst pixel
+    EDGES: 1-D arrays (w_dst+1,) / (h_dst+1,) on the separable path, or 2-D
+    (h_dst+1, w_dst+1) corner grids on the dense path.  A src pixel
+    contributes iff its center falls in the (axis-aligned hull of the) dst
+    pixel's preimage; average/sum/rms run at O(1) per dst pixel via
+    summed-area tables, the order statistics (min/max/med/q1/q3/mode) scan
+    their boxes — their cost is the intrinsic cost of the statistic and is
+    paid on the dst (small, when downsampling) side.
+    """
+    h, w = band.shape
+    if cedges.ndim == 1:
+        clo = np.minimum(cedges[:-1], cedges[1:])
+        chi = np.maximum(cedges[:-1], cedges[1:])
+        rlo = np.minimum(redges[:-1], redges[1:])
+        rhi = np.maximum(redges[:-1], redges[1:])
+        c0, c1, coob = _box_ranges(clo, chi, w)  # (w_dst,)
+        r0, r1, roob = _box_ranges(rlo, rhi, h)  # (h_dst,)
+        oob = roob[:, None] | coob[None, :]
+        R0, R1 = r0[:, None], r1[:, None]
+        C0, C1 = c0[None, :], c1[None, :]
+    else:
+        clo = np.minimum.reduce(
+            [cedges[:-1, :-1], cedges[:-1, 1:], cedges[1:, :-1], cedges[1:, 1:]]
+        )
+        chi = np.maximum.reduce(
+            [cedges[:-1, :-1], cedges[:-1, 1:], cedges[1:, :-1], cedges[1:, 1:]]
+        )
+        rlo = np.minimum.reduce(
+            [redges[:-1, :-1], redges[:-1, 1:], redges[1:, :-1], redges[1:, 1:]]
+        )
+        rhi = np.maximum.reduce(
+            [redges[:-1, :-1], redges[:-1, 1:], redges[1:, :-1], redges[1:, 1:]]
+        )
+        C0, C1, coob = _box_ranges(clo, chi, w)
+        R0, R1, roob = _box_ranges(rlo, rhi, h)
+        oob = roob | coob
+        R0, R1 = np.broadcast_arrays(R0, R1)
+        C0, C1 = np.broadcast_arrays(C0, C1)
+        R0, R1, C0, C1 = (
+            np.broadcast_to(R0, oob.shape), np.broadcast_to(R1, oob.shape),
+            np.broadcast_to(C0, oob.shape), np.broadcast_to(C1, oob.shape),
+        )
+
+    if method in ("average", "sum", "rms"):
+        v = np.where(vmask, band.astype(np.float64), 0.0)
+        satc = _sat(vmask.astype(np.float64))
+        satv = _sat(v)
+
+        def box(s):
+            return s[R1, C1] - s[R0, C1] - s[R1, C0] + s[R0, C0]
+
+        n = box(satc)
+        ok = (n > 0) & ~oob
+        with np.errstate(invalid="ignore", divide="ignore"):
+            if method == "sum":
+                vals = box(satv)
+            elif method == "average":
+                vals = box(satv) / n
+            else:  # rms
+                vals = np.sqrt(box(_sat(v * v)) / n)
+        return np.where(ok, vals, 0.0), ok
+
+    # order statistics: scan each dst pixel's box (vectorized inner ops)
+    shape = oob.shape
+    vals = np.zeros(shape, dtype=np.float64)
+    ok = np.zeros(shape, dtype=bool)
+    R0f, R1f = R0.ravel(), R1.ravel()
+    if R0.shape != shape:  # separable: broadcast row/col ranges
+        R0f = np.broadcast_to(R0, shape).ravel()
+        R1f = np.broadcast_to(R1, shape).ravel()
+    C0f = np.broadcast_to(C0, shape).ravel()
+    C1f = np.broadcast_to(C1, shape).ravel()
+    vflat = vals.ravel()
+    oflat = ok.ravel()
+    ooflat = oob.ravel()
+    for i in range(vflat.size):
+        if ooflat[i]:
+            continue
+        sub = band[R0f[i]: R1f[i], C0f[i]: C1f[i]]
+        subm = vmask[R0f[i]: R1f[i], C0f[i]: C1f[i]]
+        sel = sub[subm]
+        if sel.size == 0:
+            continue
+        oflat[i] = True
+        if method == "min":
+            vflat[i] = sel.min()
+        elif method == "max":
+            vflat[i] = sel.max()
+        elif method == "med":
+            vflat[i] = np.median(sel)
+        elif method == "q1":
+            vflat[i] = np.quantile(sel.astype(np.float64), 0.25)
+        elif method == "q3":
+            vflat[i] = np.quantile(sel.astype(np.float64), 0.75)
+        elif method == "mode":
+            u, cnt = np.unique(sel, return_counts=True)
+            vflat[i] = u[np.argmax(cnt)]  # ties -> lowest value
+        else:
+            raise ValueError(f"unknown area resampling {method}")
+    return vals, ok
 
 
 def reproject_array(
@@ -244,14 +415,23 @@ def reproject_array(
     out_dtype = np.dtype(dst_dtype) if dst_dtype is not None else src.dtype
     if dst_nodata is None:
         dst_nodata = src_nodata if src_nodata is not None else default_nodata(out_dtype)
-    fcol, frow = _src_fractional_coords(
-        dst_transform, dst_shape, dst_crs, src_crs, src_transform
-    )
+    area = method in AREA_METHODS
+    if area:
+        cedges, redges = _src_fractional_edges(
+            dst_transform, dst_shape, dst_crs, src_crs, src_transform
+        )
+    else:
+        fcol, frow = _src_fractional_coords(
+            dst_transform, dst_shape, dst_crs, src_crs, src_transform
+        )
     bands = src.shape[0]
     out = np.empty((bands,) + tuple(dst_shape), dtype=out_dtype)
     for b in range(bands):
         vm = valid_mask(src[b], src_nodata)
-        vals, ok = _resample_band(src[b], vm, fcol, frow, method)
+        if area:
+            vals, ok = _resample_band_area(src[b], vm, cedges, redges, method)
+        else:
+            vals, ok = _resample_band(src[b], vm, fcol, frow, method)
         if out_dtype.kind in "iu":
             vals = np.rint(vals)
         filled = np.where(ok, vals, float(dst_nodata) if dst_nodata == dst_nodata else np.nan)

@@ -151,6 +151,46 @@ class WarpActor:
         fcol, frow = aff.apply_inverse(src.transform, sx, sy)
         return fcol.reshape(dh, dw), frow.reshape(dh, dw)
 
+    def _fractional_edges(self, dst_transform, dst_shape, dcrs, src):
+        """Fractional src coords of dst pixel EDGES (for the area kernels):
+        1-D (w+1,)/(h+1,) on the separable fast path, else the dense
+        (h+1, w+1) corner grid."""
+        dh, dw = dst_shape
+        if (
+            not aff.has_rotation(dst_transform)
+            and not aff.has_rotation(src.transform)
+            and self._separable(dcrs)
+            and self._separable(src.crs)
+        ):
+            cols = np.arange(dw + 1, dtype=np.float64)
+            rows = np.arange(dh + 1, dtype=np.float64)
+            a, _, c0, _, e, f0 = dst_transform
+            dx = a * cols + c0
+            dy = e * rows + f0
+            lon, _ = dcrs.inverse(dx, np.zeros_like(dx))
+            _, lat = dcrs.inverse(np.zeros_like(dy), dy)
+            sx, _ = src.crs.forward(lon, np.zeros_like(lon))
+            _, sy = src.crs.forward(np.zeros_like(lat), lat)
+            inv = aff.invert(src.transform)
+            return inv[0] * sx + inv[2], inv[4] * sy + inv[5]
+        return warp_mod._src_fractional_edges(
+            dst_transform, dst_shape, dcrs, src.crs, src.transform
+        )
+
+    def _resample(self, band, vm, coords):
+        """Dispatch one band through the point or area kernel family."""
+        kind, a, b = coords
+        if kind == "area":
+            return warp_mod._resample_band_area(band, vm, a, b, self.resampling)
+        return warp_mod._resample_band(band, vm, a, b, self.resampling)
+
+    def _coords_for(self, dst_transform, dst_shape, dcrs, src):
+        if self.resampling in warp_mod.AREA_METHODS:
+            ce, re_ = self._fractional_edges(dst_transform, dst_shape, dcrs, src)
+            return ("area", ce, re_)
+        fcol, frow = self._fractional_coords(dst_transform, dst_shape, dcrs, src)
+        return ("point", fcol, frow)
+
     def _warp_pixels(self, pixels, transform, src_crs, src_nodata):
         """Warp one (bands,h,w) array; returns (out, dst_transform, dcrs,
         dst_nodata).  Shared by the columnar __call__ path."""
@@ -175,9 +215,7 @@ class WarpActor:
                 top,
                 resolution=self.resolution,
             )
-        fcol, frow = self._fractional_coords(
-            dst_transform, (dh, dw), dcrs, src
-        )
+        coords = self._coords_for(dst_transform, (dh, dw), dcrs, src)
         out_dtype = src.pixels.dtype
         dst_nodata = self.nodata
         if dst_nodata is None:
@@ -193,9 +231,7 @@ class WarpActor:
         fill = float(dst_nodata) if dst_nodata == dst_nodata else np.nan
         for b in range(bands):
             vm = valid_mask(src.pixels[b], src.nodata)
-            vals, ok = warp_mod._resample_band(
-                src.pixels[b], vm, fcol, frow, self.resampling
-            )
+            vals, ok = self._resample(src.pixels[b], vm, coords)
             out[b] = _finalize_band(vals, ok, out_dtype, fill)
         return out, dst_transform, dcrs, float(dst_nodata)
 
@@ -324,7 +360,8 @@ class TiledMatchWarpActor(WarpActor):
         )
         src = Raster(pixels, t_exp, src_crs, src_nodata)
         fcol, frow = self._fractional_coords(dst_t, (dh, dw), grid.crs, src)
-        # ownership: src sample inside this tile's CORE (+margin)
+        # ownership: src sample (dst pixel CENTER preimage, for every kernel
+        # family) inside this tile's CORE (+margin)
         own = (
             (fcol >= core_coff - self._OWN_MARGIN)
             & (fcol < core_coff + core_w + self._OWN_MARGIN)
@@ -332,6 +369,11 @@ class TiledMatchWarpActor(WarpActor):
             & (frow < core_roff + core_h + self._OWN_MARGIN)
         )
         own = np.broadcast_to(own, (dh, dw))
+        if self.resampling in warp_mod.AREA_METHODS:
+            ce, re_ = self._fractional_edges(dst_t, (dh, dw), grid.crs, src)
+            coords = ("area", ce, re_)
+        else:
+            coords = ("point", fcol, frow)
         out_dtype = src.pixels.dtype
         dst_nodata = self.nodata
         if dst_nodata is None:
@@ -344,9 +386,7 @@ class TiledMatchWarpActor(WarpActor):
         fill = float(dst_nodata) if dst_nodata == dst_nodata else np.nan
         for b in range(bands):
             vm = valid_mask(src.pixels[b], src.nodata)
-            vals, ok = warp_mod._resample_band(
-                src.pixels[b], vm, fcol, frow, self.resampling
-            )
+            vals, ok = self._resample(src.pixels[b], vm, coords)
             if out_dtype.kind in "iu":
                 vals = np.rint(vals)
                 info = np.iinfo(out_dtype)

@@ -91,6 +91,7 @@ def test_minhash_lsh_finds_near_duplicates(ray_session):
         rd.from_items([{"doc_a": a, "doc_b": b} for a, b in sorted(pairs)]),
         ds,
         threshold=0.5,
+        num_partitions=2,  # 2 joins x partitions aggregator actors must fit
     ).take_all()
     vp = {(r["doc_a"], r["doc_b"]) for r in verified}
     assert (0, 62) in vp and (0, 61) in vp

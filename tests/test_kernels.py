@@ -87,7 +87,7 @@ def test_crs_parsing():
     assert crs.from_user_input(crs.SINUSOIDAL.to_string()) == crs.SINUSOIDAL
     assert crs.from_user_input(crs.utm(15).to_wkt()) == crs.utm(15)
     with pytest.raises(crs.CRSError):
-        crs.from_user_input("EPSG:2154")  # outside whitelist
+        crs.from_user_input("EPSG:27700")  # non-UTM tmerc: outside whitelist
 
 
 def test_estimate_utm_crs():
@@ -437,11 +437,41 @@ def test_interpolate_na_linear_plane(demo_raster):
     np.testing.assert_allclose(iout, ip, atol=1)
 
 
-def test_interpolate_na_cubic_still_gated(demo_raster):
+def test_interpolate_na_cubic_plane_exact_and_quadratic_close():
+    """interpolate_na('cubic'): plane holes fill exactly (the Hermite blend
+    is plane-precise); quadratic holes fill to small relative error
+    (gradient estimates are local LSQ fits, so quadratics are approximate
+    — same as scipy's Clough-Tocher with estimated gradients)."""
+    from rioxarray_ray.kernels.interpolate import interpolate_na
+
+    yy, xx = np.mgrid[0:40, 0:50]
+    plane = (2.0 * xx - 3.0 * yy + 100.0).astype(np.float64)
+    holed = plane.copy()
+    holed[10:16, 12:20] = np.nan
+    holed[25:28, 35:44] = np.nan
+    out = interpolate_na(holed, float("nan"), method="cubic")
+    assert not np.isnan(out).any()
+    np.testing.assert_allclose(out, plane, atol=1e-8)
+    quad = (0.05 * xx**2 - 0.04 * yy**2 + 0.03 * xx * yy + xx - yy).astype(
+        np.float64
+    )
+    qh = quad.copy()
+    qh[12:17, 14:22] = np.nan
+    qout = interpolate_na(qh, float("nan"), method="cubic")
+    assert not np.isnan(qout).any()
+    span = quad.max() - quad.min()
+    rel = np.abs(qout - quad).max() / span
+    assert rel < 0.01, rel
+    # and strictly better than nearest on the same quadratic hole
+    nout = interpolate_na(qh, float("nan"), method="nearest")
+    assert np.abs(qout - quad).max() < np.abs(nout - quad).max()
+
+
+def test_interpolate_na_unknown_method_raises(demo_raster):
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="cubic|Clough"):
-        demo_raster.interpolate_na("cubic")
+    with _pytest.raises(NotImplementedError, match="spline"):
+        demo_raster.interpolate_na("spline")
 
 
 def test_slice_xy_clamps_origin_not_extent(demo_raster):
@@ -537,3 +567,286 @@ def test_cellindex_wrap_dedupe_and_degenerate_bbox():
     assert len(cells) >= 1
     with pytest.raises(ValueError, match="MAX_RES"):
         cellindex.children(int(cellindex.cell(0, 0, cellindex.MAX_RES)))
+
+
+# ------------------------------------------------- area/statistic resampling
+_AREA_IDENTITY_METHODS = ("average", "sum", "min", "max", "med", "mode", "q1", "q3")
+
+
+def test_area_resampling_identity_grid(demo_raster):
+    """Identity warp: every dst pixel's box is exactly its own src pixel, so
+    every statistic reproduces the input (nodata pixels stay nodata)."""
+    from rioxarray_ray.kernels import crs
+
+    for meth in _AREA_IDENTITY_METHODS:
+        out = demo_raster.reproject(
+            crs.GEOGRAPHIC,
+            transform=demo_raster.transform,
+            shape=demo_raster.shape,
+            resampling=meth,
+        )
+        assert np.array_equal(out.pixels, demo_raster.pixels), meth
+    # rms of a single sample is |v| — check on non-negative data
+    r = Raster(
+        np.abs(demo_raster.pixels), demo_raster.transform,
+        demo_raster.crs, demo_raster.nodata,
+    )
+    out = r.reproject(
+        crs.GEOGRAPHIC, transform=r.transform, shape=r.shape, resampling="rms"
+    )
+    assert np.array_equal(out.pixels, r.pixels)
+
+
+def test_area_downsample_block_stats():
+    """2x downsample on an aligned grid: boxes are exact 2x2 blocks, so each
+    kernel must equal the corresponding block statistic."""
+    from rioxarray_ray.kernels import crs
+
+    rng_ = np.random.default_rng(7)
+    data = rng_.uniform(-50.0, 50.0, size=(1, 8, 10)).astype(np.float64)
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    t2 = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.01, -0.01))
+    r = Raster(data, t, crs.GEOGRAPHIC, nodata=None)
+    blocks = data[0].reshape(4, 2, 5, 2).transpose(0, 2, 1, 3).reshape(4, 5, 4)
+    expected = {
+        "average": blocks.mean(axis=2),
+        "sum": blocks.sum(axis=2),
+        "min": blocks.min(axis=2),
+        "max": blocks.max(axis=2),
+        "med": np.median(blocks, axis=2),
+        "q1": np.quantile(blocks, 0.25, axis=2),
+        "q3": np.quantile(blocks, 0.75, axis=2),
+        "rms": np.sqrt((blocks**2).mean(axis=2)),
+    }
+    for meth, exp in expected.items():
+        out = r.reproject(
+            crs.GEOGRAPHIC, transform=t2, shape=(4, 5), resampling=meth
+        )
+        assert np.allclose(out.pixels[0], exp, rtol=1e-12, atol=1e-12), meth
+
+
+def test_area_mode_categorical_and_tiebreak():
+    from rioxarray_ray.kernels import crs
+
+    data = np.array(
+        [[1, 1, 2, 3], [1, 2, 2, 3], [5, 5, 6, 6], [5, 4, 6, 4]],
+        dtype=np.int16,
+    )[None]
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    t2 = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.01, -0.01))
+    r = Raster(data, t, crs.GEOGRAPHIC, nodata=None)
+    out = r.reproject(crs.GEOGRAPHIC, transform=t2, shape=(2, 2), resampling="mode")
+    # blocks: {1,1,1,2}->1, {2,3,2,3} tie->lowest=2, {5,5,5,4}->5, {6,6,6,4}->6
+    assert out.pixels[0].tolist() == [[1, 2], [5, 6]]
+
+
+def test_area_average_ignores_nodata():
+    from rioxarray_ray.kernels import crs
+
+    data = np.full((1, 4, 4), 10.0)
+    data[0, 0, 0] = -999.0  # nodata in first block
+    data[0, 2:4, 0:2] = -999.0  # fully-nodata block
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    t2 = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.01, -0.01))
+    r = Raster(data, t, crs.GEOGRAPHIC, nodata=-999.0)
+    out = r.reproject(crs.GEOGRAPHIC, transform=t2, shape=(2, 2), resampling="average")
+    assert out.pixels[0, 0, 0] == 10.0  # mean over the 3 valid pixels
+    assert out.pixels[0, 1, 0] == -999.0  # all-nodata box -> dst nodata
+
+
+def test_lanczos_constant_and_smooth_round_trip():
+    from rioxarray_ray.kernels import crs
+
+    const = np.full((1, 30, 30), 7.5)
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    r = Raster(const, t, crs.GEOGRAPHIC, nodata=None)
+    u = crs.estimate_utm_crs(*r.bounds())
+    out = r.reproject(u, resampling="lanczos")
+    valid = ~np.isnan(out.pixels)
+    assert np.allclose(out.pixels[valid], 7.5, atol=1e-9)
+    yy, xx = np.mgrid[0:40, 0:50]
+    smooth = (1000 * np.sin(xx / 8.0) * np.cos(yy / 9.0) + 20 * xx + 10 * yy)[None]
+    rs = Raster(smooth, t, crs.GEOGRAPHIC, nodata=None)
+    back = rs.reproject(u, resampling="lanczos").reproject(
+        crs.GEOGRAPHIC, transform=t, shape=rs.shape, resampling="lanczos"
+    )
+    inner = back.pixels[0][4:-4, 4:-4]
+    ref = smooth[0][4:-4, 4:-4]
+    valid = ~np.isnan(inner)
+    rel = np.abs(inner[valid] - ref[valid]).max() / (ref.max() - ref.min())
+    assert rel < 0.001, rel
+
+
+def test_resampling_enum_codes():
+    from rioxarray_ray.kernels import warp as warp_mod
+
+    assert warp_mod.resolve_resampling(0) == "nearest"
+    assert warp_mod.resolve_resampling(4) == "lanczos"
+    assert warp_mod.resolve_resampling(5) == "average"
+    assert warp_mod.resolve_resampling(13) == "sum"
+    with pytest.raises(ValueError):
+        warp_mod.resolve_resampling(7)  # gauss unsupported
+    with pytest.raises(ValueError):
+        warp_mod.resolve_resampling("gauss")
+
+
+# ------------------------------------------------- rotated-affine warp
+def _rotated_transform(theta_deg: float, resx=0.005, resy=-0.005,
+                       x0=-60.0, y0=40.0):
+    th = np.radians(theta_deg)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    lin = rot @ np.diag([resx, resy])
+    return (lin[0, 0], lin[0, 1], x0, lin[1, 0], lin[1, 1], y0)
+
+
+@pytest.mark.parametrize("resampling", ["nearest", "bilinear", "cubic"])
+def test_rotated_affine_warp_plane_reproduction(resampling):
+    """Rotated src grids (reference 2-D-coords path, _spatial_utils.py:
+    129-142): a plane in map coords is affine in pixel coords, so every
+    interpolating kernel must reproduce it on the warped axis-aligned
+    grid."""
+    from rioxarray_ray.kernels import crs
+
+    t = _rotated_transform(20.0)
+    cols = np.arange(50) + 0.5
+    rows = np.arange(40) + 0.5
+    cg, rg = np.meshgrid(cols, rows)
+    x, y = aff.apply(t, cg, rg)
+    A, B = 3.0, -7.0
+    data = (A * x + B * y)[None]
+    r = Raster(data, t, crs.GEOGRAPHIC, nodata=None)
+    out = r.reproject(crs.GEOGRAPHIC, resampling=resampling)
+    oc = np.arange(out.width) + 0.5
+    orow = np.arange(out.height) + 0.5
+    ocg, org = np.meshgrid(oc, orow)
+    ox, oy = aff.apply(out.transform, ocg, org)
+    exp = A * ox + B * oy
+    got = out.pixels[0]
+    valid = ~np.isnan(got)
+    # interior only for nearest (it snaps, so compare against the snapped
+    # src sample's own plane value)
+    if resampling == "nearest":
+        fcol, frow = aff.apply_inverse(t, ox, oy)
+        c = np.floor(fcol).astype(int)
+        rr = np.floor(frow).astype(int)
+        inb = (c >= 0) & (c < 50) & (rr >= 0) & (rr < 40)
+        exp2 = np.zeros_like(exp)
+        exp2[inb] = data[0][rr[inb], c[inb]]
+        assert np.allclose(got[valid & inb], exp2[valid & inb], atol=1e-9)
+    else:
+        # interior only: boundary pixels renormalize a truncated kernel
+        # (weighted extrapolation), which is not plane-exact by design
+        fcol, frow = aff.apply_inverse(t, ox, oy)
+        m = {"bilinear": 1.5, "cubic": 2.5}[resampling]
+        interior = (
+            (fcol >= m) & (fcol <= 50 - m) & (frow >= m) & (frow <= 40 - m)
+        )
+        sel = valid & interior
+        assert sel.any()
+        span = exp.max() - exp.min()
+        assert np.abs((got - exp)[sel]).max() / span < 1e-9
+
+
+def test_rotated_affine_bounds_envelope():
+    t = _rotated_transform(30.0)
+    left, bottom, right, top = aff.bounds(t, 50, 40)
+    cols = np.array([0.0, 50.0, 0.0, 50.0])
+    rows = np.array([0.0, 0.0, 40.0, 40.0])
+    xs, ys = aff.apply(t, cols, rows)
+    assert np.isclose(left, xs.min()) and np.isclose(right, xs.max())
+    assert np.isclose(bottom, ys.min()) and np.isclose(top, ys.max())
+
+
+# ------------------------------------------------- conic CRS (lcc / aea)
+def test_lcc_lambert93_known_point_and_roundtrip():
+    """EPSG:2154 (Lambert-93): Paris city hall vs the IGN-published
+    coordinate (sub-meter); vectorized round-trip at reference precision
+    (>= 7 decimals, rioxarray.crs acceptance parity)."""
+    l93 = crs.from_epsg(2154)
+    x, y = l93.forward(2.3522, 48.8566)
+    assert abs(float(x) - 652469.02) < 1.0
+    assert abs(float(y) - 6862035.26) < 1.0
+    lons = np.linspace(-5, 10, 30)
+    lats = np.linspace(41, 52, 30)
+    LO, LA = np.meshgrid(lons, lats)
+    X, Y = l93.forward(LO, LA)
+    lo2, la2 = l93.inverse(X, Y)
+    assert np.abs(lo2 - LO).max() < 1e-9
+    assert np.abs(la2 - LA).max() < 1e-9
+
+
+def test_lcc_conformal_scale_on_standard_parallel():
+    l93 = crs.from_epsg(2154)
+    a, e2 = 6378137.0, 0.0066943799901413165
+    for lat1 in (49.0, 44.0):  # both standard parallels: k == 1
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(lat1)) ** 2)
+        dlam = 1e-4
+        x1, y1 = l93.forward(3.0, lat1)
+        x2, y2 = l93.forward(3.0 + dlam, lat1)
+        proj_d = float(np.hypot(x2 - x1, y2 - y1))
+        true_d = np.radians(dlam) * nu * np.cos(np.radians(lat1))
+        assert abs(proj_d / true_d - 1.0) < 1e-9, lat1
+
+
+def test_aea_preserves_area():
+    alb = crs.from_epsg(5070)
+    a, e2 = 6378137.0, 0.0066943799901413165
+    for lon0, lat0 in [(-100.3, 37.2), (-80.0, 45.0), (-120.0, 30.0)]:
+        dd = 1e-3
+        pts = [
+            (lon0, lat0), (lon0 + dd, lat0),
+            (lon0 + dd, lat0 + dd), (lon0, lat0 + dd),
+        ]
+        xy = [alb.forward(*p) for p in pts]
+        area_proj = 0.5 * abs(
+            sum(
+                float(xy[i][0]) * float(xy[(i + 1) % 4][1])
+                - float(xy[(i + 1) % 4][0]) * float(xy[i][1])
+                for i in range(4)
+            )
+        )
+        s = np.sin(np.radians(lat0 + dd / 2))
+        M = a * (1 - e2) / (1 - e2 * s * s) ** 1.5
+        NU = a / np.sqrt(1 - e2 * s * s)
+        area_true = (
+            M * NU * np.cos(np.radians(lat0 + dd / 2)) * np.radians(dd) ** 2
+        )
+        assert abs(area_proj / area_true - 1.0) < 1e-6, (lon0, lat0)
+
+
+def test_conic_parsing_epsg_proj4_wkt_roundtrip():
+    l93 = crs.from_epsg(2154)
+    alb = crs.from_epsg(5070)
+    # proj4 round trip (generic parameters, no EPSG)
+    custom = crs.from_user_input(
+        "+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 "
+        "+x_0=0 +y_0=0 +datum=WGS84 +units=m +no_defs"
+    )
+    assert custom.kind == "lcc" and custom.to_epsg() is None
+    again = crs.from_user_input(custom.to_string())
+    assert again == custom
+    # WKT1 round trip for every supported kind (ADVICE: emitted WKT must be
+    # fully formed and re-parseable)
+    for c in (crs.GEOGRAPHIC, crs.WEB_MERCATOR, crs.utm(23, south=True),
+              crs.SINUSOIDAL, l93, alb, custom):
+        parsed = crs.from_user_input(c.to_wkt())
+        assert parsed == c, c
+    assert crs.from_user_input("EPSG:5070") == alb
+    assert l93.to_string() == "EPSG:2154"
+
+
+def test_conic_warp_round_trip():
+    """Reproject geographic -> CONUS Albers -> back reproduces a smooth
+    field (the dense warp path; conics are non-separable)."""
+    yy, xx = np.mgrid[0:40, 0:50]
+    smooth = (500 * np.sin(xx / 7.0) * np.cos(yy / 8.0) + 10 * xx + 5 * yy)[None]
+    t = aff.compose(aff.translation(-100.0, 42.0), aff.scale(0.005, -0.005))
+    rs = Raster(smooth, t, crs.GEOGRAPHIC, nodata=None)
+    back = rs.reproject(crs.from_epsg(5070), resampling="bilinear").reproject(
+        crs.GEOGRAPHIC, transform=t, shape=rs.shape, resampling="bilinear"
+    )
+    inner = back.pixels[0][3:-3, 3:-3]
+    ref = smooth[0][3:-3, 3:-3]
+    valid = ~np.isnan(inner)
+    rel = np.abs(inner[valid] - ref[valid]).max() / (ref.max() - ref.min())
+    assert rel < 0.005, rel

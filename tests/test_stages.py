@@ -318,8 +318,115 @@ def test_gcps_roundtrip():
     ]
     back = gcp_mod.geojson_to_gcps(gcp_mod.gcps_to_geojson(pts))
     assert back == pts
-    with pytest.raises(NotImplementedError, match="flag-gated"):
-        gcp_mod.warp_from_gcps()
+
+
+def test_gcp_polynomial_fit_recovers_affine():
+    """GCPs sampled from a known affine: the order-1 fit must reproduce the
+    affine mapping at reference precision (7 decimals) both ways."""
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import gcps as gcp_mod
+
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    rng_ = np.random.default_rng(11)
+    cols = rng_.uniform(0, 50, 12)
+    rows = rng_.uniform(0, 40, 12)
+    xs, ys = aff.apply(t, cols, rows)
+    pts = [
+        gcp_mod.GCP(row=float(r), col=float(c), x=float(x), y=float(y))
+        for c, r, x, y in zip(cols, rows, xs, ys)
+    ]
+    tr = gcp_mod.GCPTransformer(pts, order=1)
+    qc = np.array([0.0, 25.0, 50.0])
+    qr = np.array([0.0, 20.0, 40.0])
+    fx, fy = tr.forward(qc, qr)
+    ex, ey = aff.apply(t, qc, qr)
+    assert np.allclose(fx, ex, atol=1e-9) and np.allclose(fy, ey, atol=1e-9)
+    ic, ir = tr.inverse(ex, ey)
+    assert np.allclose(ic, qc, atol=1e-7) and np.allclose(ir, qr, atol=1e-7)
+    assert gcp_mod.auto_gcp_order(12) == 3
+    assert gcp_mod.auto_gcp_order(7) == 2
+    with pytest.raises(ValueError):
+        gcp_mod.auto_gcp_order(2)
+
+
+def test_warp_from_gcps_matches_affine_warp():
+    """Affine-consistent GCPs: the GCP warp must equal warping with the
+    affine itself onto the same grid (nearest, pixel-exact)."""
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import gcps as gcp_mod
+    from rioxarray_ray.kernels import warp as warp_mod
+
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    rng_ = np.random.default_rng(12)
+    data = rng_.integers(-2000, 2000, size=(1, 40, 50)).astype(np.int16)
+    cols = np.array([0.0, 50.0, 0.0, 50.0, 25.0, 10.0])
+    rows = np.array([0.0, 0.0, 40.0, 40.0, 20.0, 33.0])
+    xs, ys = aff.apply(t, cols, rows)
+    pts = [
+        gcp_mod.GCP(row=float(r), col=float(c), x=float(x), y=float(y))
+        for c, r, x, y in zip(cols, rows, xs, ys)
+    ]
+    out, dst_t, nod = gcp_mod.warp_from_gcps(
+        data, pts, order=1, resampling="nearest",
+        src_nodata=-32768, dst_shape=(40, 50),
+    )
+    ref, ref_nod = warp_mod.reproject_array(
+        data, t, "EPSG:4326", dst_t, (40, 50), "EPSG:4326",
+        resampling="nearest", src_nodata=-32768,
+    )
+    assert nod == ref_nod
+    assert np.array_equal(out, ref)
+
+
+def test_rpc_pixel_coords_and_warp():
+    """RPCs encoding an exact affine inverse (linear numerators, unit
+    denominators): evaluation must reproduce the affine's pixel coords and
+    the RPC warp must equal the plain warp."""
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import gcps as gcp_mod
+    from rioxarray_ray.kernels import warp as warp_mod
+
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    inv = aff.invert(t)
+    # col(lon, lat) = inv[0]*lon + inv[1]*lat + inv[2]  (center = col - 0.5)
+    zeros = [0.0] * 20
+    lat_s, lon_s = 1.0, 1.0
+
+    def lincoef(c_lon, c_lat, c_1):
+        c = list(zeros)
+        c[0], c[1], c[2] = c_1, c_lon * lon_s, c_lat * lat_s
+        return c
+
+    den = list(zeros)
+    den[0] = 1.0
+    rpcs = {
+        "LAT_OFF": 0.0, "LAT_SCALE": lat_s, "LONG_OFF": 0.0,
+        "LONG_SCALE": lon_s, "HEIGHT_OFF": 0.0, "HEIGHT_SCALE": 1.0,
+        "LINE_OFF": 0.0, "LINE_SCALE": 1.0, "SAMP_OFF": 0.0,
+        "SAMP_SCALE": 1.0,
+        # image coords address centers: pixel idx = frac - 0.5
+        "SAMP_NUM_COEFF": lincoef(inv[0], inv[1], inv[2] - 0.5),
+        "SAMP_DEN_COEFF": den,
+        "LINE_NUM_COEFF": lincoef(inv[3], inv[4], inv[5] - 0.5),
+        "LINE_DEN_COEFF": den,
+    }
+    lon = np.array([-59.9, -59.8])
+    lat = np.array([39.95, 39.9])
+    col, row = gcp_mod.rpc_pixel_coords(rpcs, lon, lat)
+    ec, er = aff.apply_inverse(t, lon, lat)
+    assert np.allclose(col, ec - 0.5, atol=1e-9)
+    assert np.allclose(row, er - 0.5, atol=1e-9)
+    rng_ = np.random.default_rng(13)
+    data = rng_.integers(-2000, 2000, size=(1, 40, 50)).astype(np.int16)
+    b = aff.bounds(t, 50, 40)
+    out, dst_t, _ = gcp_mod.warp_from_rpcs(
+        data, rpcs, b, (40, 50), resampling="nearest", src_nodata=-32768
+    )
+    ref, _ = warp_mod.reproject_array(
+        data, t, "EPSG:4326", dst_t, (40, 50), "EPSG:4326",
+        resampling="nearest", src_nodata=-32768,
+    )
+    assert np.array_equal(out, ref)
 
 
 def test_resumable_pipeline_skips_completed(tmp_path, ray_session):
@@ -384,7 +491,10 @@ def test_multimodal_feature_stage(ray_session):
         multimodal.DECODERS["audio"](b"x")
 
 
-@pytest.mark.parametrize("resampling", ["nearest", "bilinear", "cubic"])
+@pytest.mark.parametrize(
+    "resampling",
+    ["nearest", "bilinear", "cubic", "lanczos", "average", "sum", "min", "mode"],
+)
 def test_tiled_halo_warp_equals_whole_image(ray_session, resampling):
     """SURVEY §7.4 halo correctness: warping halo tiles onto a shared grid
     and mosaicking the owned dst windows reproduces the WHOLE-image warp."""
@@ -637,3 +747,40 @@ def test_clip_anti_join_keeps_untouched_tiles(rds):
         a = vmask(pixels_from_row(r), r["nodata"]).sum()
         b = vmask(pixels_from_row(nm[k]), nm[k]["nodata"]).sum()
         assert a + b == tot  # semi + anti = whole (valid pixels)
+
+
+def test_warp_stage_rotated_transform_matches_kernel(ray_session):
+    """A rotated-affine row falls through the separable gate to the dense
+    path and must equal the kernel warp exactly (reference rotated-grid
+    handling, _spatial_utils.py:129-142)."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import crs as crs_mod
+    from rioxarray_ray.kernels.raster import Raster
+    from rioxarray_ray.stages import warp
+    from rioxarray_ray.stages.schema import (
+        RASTER_SCHEMA,
+        pixels_from_row,
+        raster_to_row,
+    )
+
+    th = np.radians(12.0)
+    rot = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    lin = rot @ np.diag([0.005, -0.005])
+    t = (lin[0, 0], lin[0, 1], -60.0, lin[1, 0], lin[1, 1], 40.0)
+    rng_ = np.random.default_rng(5)
+    data = rng_.integers(-2000, 2000, size=(1, 40, 50)).astype(np.int16)
+    r = Raster(data, t, crs_mod.GEOGRAPHIC, nodata=-32768)
+    row = raster_to_row(r, "imgrot")
+    ds = rd.from_arrow(pa.Table.from_pylist([row], schema=RASTER_SCHEMA))
+    for resampling in ("nearest", "bilinear", "average"):
+        out = warp.reproject_stage(
+            ds, "EPSG:3857", resampling=resampling, concurrency=1
+        ).take_all()
+        assert len(out) == 1
+        ref = r.reproject("EPSG:3857", resampling=resampling)
+        got = out[0]
+        assert (got["h"], got["w"]) == ref.shape
+        assert np.allclose(got["transform"], ref.transform)
+        assert np.array_equal(pixels_from_row(got), ref.pixels), resampling
