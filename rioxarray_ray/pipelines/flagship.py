@@ -76,6 +76,7 @@ def flagship(
     join_plan: str = "broadcast",
     concurrency: int = 4,
     warp_scope: str = "all",
+    matched_plan: str = "auto",
 ):
     """decode -> tile -> PIP join -> warp; returns (warped_tiles, join_rows).
 
@@ -122,35 +123,46 @@ def flagship(
         )
         return warped, join_rows
 
-    # warp_scope == "matched": join relation is small (no pixels) — pin it
-    # so the key scan and the caller's consumption don't re-run the PIP
-    # stage, then broadcast the matched key set as a semi-join filter.
-    join_rows = join_rows.materialize()
-    keys = set()
-    for b in join_rows.select_columns(
-        ["image_id", "tile_row", "tile_col"]
-    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
-        keys.update(
-            zip(
-                b["image_id"].to_pylist(),
-                b["tile_row"].to_pylist(),
-                b["tile_col"].to_pylist(),
+    # warp_scope == "matched": semi-join the tile set to the DISTINCT
+    # matched keys.  Two plans (round-1 verdict item #9):
+    # - "broadcast": collect the key set (ids only) and filter — optimal
+    #   while the key set fits comfortably in a task (no pixel shuffle);
+    # - "join": hash-partitioned Dataset.join — the 100-TB path when the
+    #   matched-key relation is itself unbounded (keys never touch the
+    #   driver; costs one shuffle of the tile payloads).
+    # "auto" picks by the (already-known) join-row count.
+    join_rows = join_rows.materialize()  # small (no pixels); caller reuses
+    plan = matched_plan
+    if plan == "auto":
+        plan = "broadcast" if join_rows.count() <= 200_000 else "join"
+    if plan == "join":
+        joined_tiles = _semi_join_matched(tiles, join_rows)
+    else:
+        keys = set()
+        for b in join_rows.select_columns(
+            ["image_id", "tile_row", "tile_col"]
+        ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+            keys.update(
+                zip(
+                    b["image_id"].to_pylist(),
+                    b["tile_row"].to_pylist(),
+                    b["tile_col"].to_pylist(),
+                )
             )
-        )
-    key_list = pa.array([f"{i}/{r}/{c}" for i, r, c in sorted(keys)])
+        key_list = pa.array([f"{i}/{r}/{c}" for i, r, c in sorted(keys)])
 
-    def semi_filter(batch: pa.Table) -> pa.Table:
-        tags = pc.binary_join_element_wise(
-            batch["image_id"],
-            pc.cast(batch["tile_row"], pa.string()),
-            pc.cast(batch["tile_col"], pa.string()),
-            "/",
-        )
-        return batch.filter(pc.is_in(tags, value_set=key_list))
+        def semi_filter(batch: pa.Table) -> pa.Table:
+            tags = pc.binary_join_element_wise(
+                batch["image_id"],
+                pc.cast(batch["tile_row"], pa.string()),
+                pc.cast(batch["tile_col"], pa.string()),
+                "/",
+            )
+            return batch.filter(pc.is_in(tags, value_set=key_list))
 
-    joined_tiles = tiles.map_batches(
-        semi_filter, batch_format="pyarrow", zero_copy_batch=True
-    )
+        joined_tiles = tiles.map_batches(
+            semi_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
     # autoscaling pool: the semi-joined tile set is usually much smaller
     # than the input, so start 1 warp actor and grow only under load
     warped = warp_mod.reproject_stage(
@@ -160,6 +172,70 @@ def flagship(
         concurrency=(1, concurrency),
     )
     return warped, join_rows
+
+
+def _semi_join_matched(tiles, join_rows):
+    """Keyed semi-join of the tile set against the matched-key relation,
+    entirely in the shuffle (no driver hop): union the tiles with
+    tile-schema-shaped key marker rows (payloads null) and keep each
+    (image_id, tile_row, tile_col) group's tile rows iff a marker is
+    present.  Uses Ray's own hash shuffle (Dataset.join's Acero finalize
+    rejects fixed_size_list payloads and schema-less empty partitions)."""
+    import pyarrow.compute as pc
+
+    from ..stages.schema import TILE_SCHEMA
+
+    union_schema = TILE_SCHEMA.append(pa.field("side", pa.string()))
+
+    def tag_tiles(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "side", pa.array(["t"] * batch.num_rows, pa.string())
+        )
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        arrays = []
+        for f in TILE_SCHEMA:
+            if f.name == "image_id":
+                col = batch["image_id"]
+                arrays.append(
+                    col.combine_chunks()
+                    if isinstance(col, pa.ChunkedArray)
+                    else col
+                )
+            elif f.name in ("tile_row", "tile_col"):
+                arrays.append(
+                    pc.cast(batch[f.name], f.type).combine_chunks()
+                    if isinstance(batch[f.name], pa.ChunkedArray)
+                    else pc.cast(batch[f.name], f.type)
+                )
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        arrays.append(pa.array(["k"] * n, pa.string()))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    # distinct keys first so marker volume is one row per matched tile
+    keys = (
+        join_rows.groupby(["image_id", "tile_row", "tile_col"])
+        .count()
+        .map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        side = group["side"]
+        t = group.filter(pc.equal(side, "t"))
+        if t.num_rows == 0 or not pc.any(pc.equal(side, "k")).as_py():
+            return t.drop_columns(["side"]).slice(0, 0)
+        return t.drop_columns(["side"])
+
+    tagged = tiles.map_batches(
+        tag_tiles, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return (
+        tagged.union(keys)
+        .groupby(["image_id", "tile_row", "tile_col"])
+        .map_groups(emit, batch_format="pyarrow")
+    )
 
 
 def write_output(warped, out_dir: str):
