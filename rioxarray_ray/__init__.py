@@ -17,3 +17,5 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+from .options import get_option, set_options  # noqa: E402,F401 (public API)

@@ -54,10 +54,41 @@ def wrap(ds) -> "RasterDataset":
 
 
 class RasterDataset:
-    """Chainable raster-operator surface over a Dataset of raster rows."""
+    """Chainable raster-operator surface over a Dataset of raster rows.
 
-    def __init__(self, ds):
+    ``attrs`` / ``encoding`` are driver-side metadata dicts (the set_attrs /
+    set_encoding surface, /root/reference/rioxarray/rioxarray.py:369-427):
+    they ride along through every chained op (the wrapper copies them) and
+    are persisted into parquet schema metadata by :meth:`write_parquet`.
+    """
+
+    def __init__(self, ds, attrs: dict | None = None,
+                 encoding: dict | None = None):
         self.ds = ds
+        self.attrs = dict(attrs or {})
+        self.encoding = dict(encoding or {})
+
+    def _wrap(self, ds) -> "RasterDataset":
+        """New wrapper over a derived Dataset, carrying attrs/encoding."""
+        return RasterDataset(ds, attrs=self.attrs, encoding=self.encoding)
+
+    # ---- attrs / encoding (rioxarray.py:369-427) ------------------------
+    def set_attrs(self, attrs: dict, inplace: bool = False) -> "RasterDataset":
+        """Replace the attrs dict (set_attrs semantics)."""
+        if inplace:
+            self.attrs = dict(attrs)
+            return self
+        return RasterDataset(self.ds, attrs=attrs, encoding=self.encoding)
+
+    def update_attrs(self, attrs: dict, inplace: bool = False) -> "RasterDataset":
+        new = {**self.attrs, **attrs}
+        return self.set_attrs(new, inplace=inplace)
+
+    def set_encoding(self, encoding: dict, inplace: bool = False) -> "RasterDataset":
+        if inplace:
+            self.encoding = dict(encoding)
+            return self
+        return RasterDataset(self.ds, attrs=self.attrs, encoding=encoding)
 
     # ---- plumbing -------------------------------------------------------
     def _map_rows(self, fn, **kwargs) -> "RasterDataset":
@@ -75,7 +106,7 @@ class RasterDataset:
 
         opts = dict(batch_format="pyarrow", zero_copy_batch=True)
         opts.update(kwargs)
-        return RasterDataset(self.ds.map_batches(batch_fn, **opts))
+        return self._wrap(self.ds.map_batches(batch_fn, **opts))
 
     def _map_raster(self, fn, **kwargs) -> "RasterDataset":
         """Per-row ``Raster -> Raster | None`` transform, columnar: pixels
@@ -122,7 +153,7 @@ class RasterDataset:
 
         opts = dict(batch_format="pyarrow", zero_copy_batch=True)
         opts.update(kwargs)
-        return RasterDataset(self.ds.map_batches(batch_fn, **opts))
+        return self._wrap(self.ds.map_batches(batch_fn, **opts))
 
     def _set_columns(self, make_updates) -> "RasterDataset":
         """Metadata-only columnar rewrite: ``make_updates(batch) -> {name:
@@ -136,7 +167,7 @@ class RasterDataset:
                 )
             return batch
 
-        return RasterDataset(
+        return self._wrap(
             self.ds.map_batches(
                 batch_fn, batch_format="pyarrow", zero_copy_batch=True
             )
@@ -198,7 +229,7 @@ class RasterDataset:
 
     # ---- structure ------------------------------------------------------
     def tile(self, tile_size: int = 64, cell_res: int = CELL_RES) -> "RasterDataset":
-        return RasterDataset(
+        return self._wrap(
             tile_stage_mod.tile_stage(self.ds, tile_size=tile_size, cell_res=cell_res)
         )
 
@@ -227,7 +258,7 @@ class RasterDataset:
                 keep_idx=keep_idx,
             )
 
-        return RasterDataset(
+        return self._wrap(
             self.ds.map_batches(
                 batch_fn, batch_format="pyarrow", zero_copy_batch=True
             )
@@ -240,7 +271,7 @@ class RasterDataset:
 
     # ---- subsetting -----------------------------------------------------
     def clip_box(self, minx, miny, maxx, maxy, crs=None, **kwargs) -> "RasterDataset":
-        return RasterDataset(
+        return self._wrap(
             clip_stage_mod.clip_box_stage(
                 self.ds, (minx, miny, maxx, maxy), box_crs=crs, **kwargs
             )
@@ -248,7 +279,7 @@ class RasterDataset:
 
     def clip(self, geometries, crs=None, invert=False, drop=True,
              all_touched=False, **kwargs) -> "RasterDataset":
-        return RasterDataset(
+        return self._wrap(
             clip_stage_mod.clip_stage(
                 self.ds,
                 geometries,
@@ -270,7 +301,7 @@ class RasterDataset:
     # ---- warp -----------------------------------------------------------
     def reproject(self, dst_crs, resampling="nearest", resolution=None,
                   nodata=None, **kwargs) -> "RasterDataset":
-        return RasterDataset(
+        return self._wrap(
             warp_stage_mod.reproject_stage(
                 self.ds, dst_crs, resampling=resampling,
                 resolution=resolution, nodata=nodata, **kwargs,
@@ -289,7 +320,7 @@ class RasterDataset:
         else:
             first = match.ds.take(1)[0]
             grid = warp_stage_mod.GridSpec.from_raster_row(first)
-        return RasterDataset(
+        return self._wrap(
             warp_stage_mod.reproject_match_stage(
                 self.ds, grid, resampling=resampling, nodata=nodata, **kwargs
             )
@@ -305,10 +336,10 @@ class RasterDataset:
             self.ds, method=method, resolution=resolution,
             dst_tile_size=dst_tile_size,
         )
-        return RasterDataset(mosaic), grid
+        return self._wrap(mosaic), grid
 
     def union(self, other: "RasterDataset") -> "RasterDataset":
-        return RasterDataset(self.ds.union(other.ds))
+        return self._wrap(self.ds.union(other.ds))
 
     def reproject_match_tiled(self, grid, resampling="nearest", **kwargs):
         """Halo-correct tiled warp onto a shared grid; requires this dataset
@@ -317,7 +348,7 @@ class RasterDataset:
 
         if not isinstance(grid, warp_stage_mod.GridSpec):
             grid = warp_stage_mod.GridSpec.from_raster_row(grid)
-        return RasterDataset(
+        return self._wrap(
             warp_stage_mod.reproject_match_tiled(
                 self.ds, grid, resampling=resampling, **kwargs
             )
@@ -328,7 +359,7 @@ class RasterDataset:
         """Tile with the halo the given resampling kernel needs."""
         from .kernels.warp import KERNEL_MARGIN
 
-        return RasterDataset(
+        return self._wrap(
             tile_stage_mod.tile_stage(
                 self.ds,
                 tile_size=tile_size,
@@ -376,8 +407,18 @@ class RasterDataset:
     def write_parquet(self, path: str, **kwargs):
         """to_raster analogue: per-block parallel parquet files — the
         reference's single-file chunk-lock protocol
-        (raster_writer.py:245-264) is replaced by Ray's per-block naming."""
-        return self.ds.write_parquet(path, **kwargs)
+        (raster_writer.py:245-264) is replaced by Ray's per-block naming.
+        attrs/encoding persist as an ``_attrs.json`` sidecar (the tags the
+        reference writes into the GeoTIFF, raster_writer.py:83-119)."""
+        import json
+        import os
+
+        out = self.ds.write_parquet(path, **kwargs)
+        if self.attrs or self.encoding:
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, "_attrs.json"), "w") as f:
+                json.dump({"attrs": self.attrs, "encoding": self.encoding}, f)
+        return out
 
     def count(self) -> int:
         return self.ds.count()
@@ -392,10 +433,57 @@ class RasterDataset:
         """Deterministic output order (SURVEY.md §2.9)."""
         cols = [c for c in ("image_id", "tile_row", "tile_col")
                 if c in self.ds.schema().names]
-        return RasterDataset(self.ds.sort(cols))
+        return self._wrap(self.ds.sort(cols))
 
     def stats(self) -> str:
         return self.ds.stats()
+
+
+def open_parquet(path: str, **read_kwargs) -> "RasterDataset":
+    """Read a written RasterDataset back, restoring the attrs sidecar."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    rds = RasterDataset(rd.read_parquet(path, **read_kwargs))
+    sidecar = os.path.join(path, "_attrs.json")
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            payload = json.load(f)
+        rds.attrs = payload.get("attrs", {})
+        rds.encoding = payload.get("encoding", {})
+    return rds
+
+
+def write_parquet_dataset(named: dict, out_dir: str, **kwargs) -> str:
+    """Multi-variable writer (Dataset.rio.to_raster analogue,
+    /root/reference/rioxarray/raster_dataset.py + raster_writer.py band
+    naming): each variable writes under ``var=<name>/`` with its own attrs
+    sidecar, plus a ``_variables.json`` manifest — the row-store counterpart
+    of multi-band output with long band names."""
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, rds in named.items():
+        rds.write_parquet(os.path.join(out_dir, f"var={name}"), **kwargs)
+    with open(os.path.join(out_dir, "_variables.json"), "w") as f:
+        json.dump({"variables": sorted(named)}, f)
+    return out_dir
+
+
+def open_parquet_dataset(out_dir: str, **read_kwargs) -> dict:
+    """Read a multi-variable parquet dataset back: {name: RasterDataset}."""
+    import json
+    import os
+
+    with open(os.path.join(out_dir, "_variables.json")) as f:
+        manifest = json.load(f)
+    return {
+        name: open_parquet(os.path.join(out_dir, f"var={name}"), **read_kwargs)
+        for name in manifest["variables"]
+    }
 
 
 def merge_datasets(named: dict, method="first", resolution=None,

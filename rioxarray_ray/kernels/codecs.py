@@ -141,3 +141,25 @@ def psnr(reference: np.ndarray, decoded: np.ndarray, mask: np.ndarray | None = N
         return float("inf")
     peak = float(np.max(np.abs(a))) or 1.0
     return 10.0 * np.log10(peak * peak / mse)
+
+
+def decode_complex_int16(data: bytes | np.ndarray, shape) -> np.ndarray:
+    """GDAL ``complex_int16`` payload (interleaved int16 real/imag pairs)
+    -> complex64, the reference's open-time conversion
+    (/root/reference/rioxarray/_io.py:493-501, raster_writer.py:149-186)."""
+    raw = np.frombuffer(data, dtype="<i2") if isinstance(
+        data, (bytes, bytearray, memoryview)
+    ) else np.asarray(data, dtype=np.int16)
+    pairs = raw.reshape(-1, 2).astype(np.float32)
+    out = (pairs[:, 0] + 1j * pairs[:, 1]).astype(np.complex64)
+    return out.reshape(shape)
+
+
+def encode_complex_int16(arr: np.ndarray) -> bytes:
+    """complex64/128 -> interleaved int16 pairs (write-side counterpart;
+    values must be in int16 range — the writer's dtype contract)."""
+    a = np.asarray(arr)
+    out = np.empty(a.shape + (2,), dtype="<i2")
+    out[..., 0] = np.rint(a.real)
+    out[..., 1] = np.rint(a.imag)
+    return out.tobytes()

@@ -44,14 +44,22 @@ def combine(
     dst_valid: np.ndarray,
     src: np.ndarray,
     src_valid: np.ndarray,
-    method: str,
+    method,
 ):
     """Fold one source tile into the accumulator, in source order.
 
     ``dst``/``src`` are (bands, h, w) float64 views on the same grid window;
     ``*_valid`` are boolean masks.  Mutates dst/dst_valid in place.
     For ``sum``/``count`` dst holds the running sum/count (invalid = 0).
+
+    ``method`` may also be a CALLABLE ``fn(dst, dst_valid, src, src_valid)``
+    mutating dst/dst_valid in place — the merge(method=callable) parameter
+    (/root/reference/rioxarray/merge.py:96; rasterio copyto-style custom
+    combiner, with validity masks instead of masked arrays).
     """
+    if callable(method):
+        method(dst, dst_valid, src, src_valid)
+        return
     if method == "first":
         take = src_valid & ~dst_valid
         dst[take] = src[take]

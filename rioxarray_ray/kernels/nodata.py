@@ -22,6 +22,9 @@ _DEFAULTS = {
     np.dtype(np.float64): np.nan,
     np.dtype(np.uint64): 18446744073709551615,
     np.dtype(np.int64): -9223372036854775808,
+    # complex payloads (complex_int16 decodes to complex64, _io.py:493-501)
+    np.dtype(np.complex64): np.nan,
+    np.dtype(np.complex128): np.nan,
 }
 
 
@@ -40,7 +43,7 @@ def ensure_nodata_dtype(nodata, dtype):
     if nodata is None:
         return None
     dt = np.dtype(dtype)
-    if dt.kind == "f":
+    if dt.kind in "fc":  # float and complex accept any float (incl. NaN)
         return float(nodata)
     if nodata != nodata:  # NaN into an integer dtype
         raise ValueError(f"nodata value NaN cannot be represented in {dt}")

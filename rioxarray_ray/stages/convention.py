@@ -29,8 +29,15 @@ class CFConvention:
 
     @staticmethod
     def encode(crs, transform) -> dict[bytes, bytes]:
+        from ..options import EXPORT_GRID_MAPPING, get_option
+
         c = crs_mod.from_user_input(crs)
         out = {b"spatial_ref": c.to_wkt().encode()}
+        if get_option(EXPORT_GRID_MAPPING):
+            # full CF grid-mapping attrs (reference: pyproj CRS.to_cf();
+            # here: closed-form per supported kind) + crs_wkt duplicate
+            out[b"crs_wkt"] = c.to_wkt().encode()
+            out[b"grid_mapping"] = json.dumps(_cf_grid_mapping(c)).encode()
         if transform is not None:
             gdal = aff.to_gdal(tuple(float(v) for v in transform))
             out[b"GeoTransform"] = " ".join(repr(float(v)) for v in gdal).encode()
@@ -79,6 +86,48 @@ class ZarrConvention:
         return c, (tuple(transform) if transform is not None else None)
 
 
+def _cf_grid_mapping(c) -> dict:
+    """CF grid-mapping attribute dict per supported CRS kind (the
+    EXPORT_GRID_MAPPING=True payload; public CF conventions appendix F)."""
+    if c.kind == "geographic":
+        return {"grid_mapping_name": "latitude_longitude"}
+    if c.kind == "mercator":
+        return {
+            "grid_mapping_name": "mercator",
+            "longitude_of_projection_origin": 0.0,
+            "standard_parallel": 0.0,
+        }
+    if c.kind == "utm":
+        return {
+            "grid_mapping_name": "transverse_mercator",
+            "longitude_of_central_meridian": c._lon0,
+            "latitude_of_projection_origin": 0.0,
+            "scale_factor_at_central_meridian": 0.9996,
+            "false_easting": 500000.0,
+            "false_northing": 10000000.0 if c.south else 0.0,
+        }
+    if c.kind == "sinusoidal":
+        return {
+            "grid_mapping_name": "sinusoidal",
+            "longitude_of_projection_origin": 0.0,
+        }
+    if c.kind in ("lcc", "aea"):
+        lat1, lat2, lat0, lon0, x0, y0 = c.params
+        name = (
+            "lambert_conformal_conic" if c.kind == "lcc"
+            else "albers_conical_equal_area"
+        )
+        return {
+            "grid_mapping_name": name,
+            "standard_parallel": [lat1, lat2],
+            "latitude_of_projection_origin": lat0,
+            "longitude_of_central_meridian": lon0,
+            "false_easting": x0,
+            "false_northing": y0,
+        }
+    return {}
+
+
 # registry + auto-detect chain (first match wins, _core.py:46-102 pattern)
 CONVENTIONS: dict[str, type] = {
     "cf": CFConvention,
@@ -87,7 +136,11 @@ CONVENTIONS: dict[str, type] = {
 
 
 def encode_schema(schema: pa.Schema, crs, transform,
-                  convention: str = "cf") -> pa.Schema:
+                  convention: str | None = None) -> pa.Schema:
+    if convention is None:
+        from ..options import CONVENTION, get_option
+
+        convention = get_option(CONVENTION) or "cf"
     try:
         codec = CONVENTIONS[convention]
     except KeyError:
@@ -99,8 +152,8 @@ def encode_schema(schema: pa.Schema, crs, transform,
     # strip every registered convention's keys first — stale geo metadata
     # from a previous encode must not survive a re-encode (it would
     # resurrect an old transform/CRS on read)
-    stale = {b"spatial_ref", b"GeoTransform", b"zarr_geo",
-             b"rioxarray_ray:convention"}
+    stale = {b"spatial_ref", b"GeoTransform", b"zarr_geo", b"crs_wkt",
+             b"grid_mapping", b"rioxarray_ray:convention"}
     meta = {k: v for k, v in meta.items() if k not in stale}
     meta.update(codec.encode(crs, transform))
     meta[b"rioxarray_ray:convention"] = codec.name.encode()
@@ -130,7 +183,7 @@ def decode_schema(schema: pa.Schema):
 
 
 def write_parquet_with_meta(table: pa.Table, path: str, crs, transform,
-                            convention: str = "cf"):
+                            convention: str | None = None):
     """Write a table with dataset-level geo metadata (grid-mapping
     analogue: the scalar-coordinate trick of cf.py:180-196 becomes schema
     metadata)."""

@@ -139,3 +139,27 @@ def test_tile_halo_plus_tiled_match(ray_session):
     )
     rows = out.take(5)
     assert rows and all(r["crs"] == "EPSG:3857" for r in rows)
+
+
+def test_attrs_encoding_and_multi_variable_writer(ray_session, tmp_path):
+    """set_attrs/update_attrs/set_encoding ride through chained ops and
+    persist through the multi-variable writer (Dataset to_raster analogue +
+    rioxarray.py:369-427 attrs surface)."""
+    import rioxarray_ray.api as api
+
+    rds = api.open_corpus(8).set_attrs({"title": "demo"})
+    rds = rds.update_attrs({"source": "corpus"}).set_encoding(
+        {"dtype": "int16"}
+    )
+    assert rds.attrs == {"title": "demo", "source": "corpus"}
+    # chained ops carry attrs
+    tiled = rds.tile(64)
+    assert tiled.attrs["title"] == "demo"
+    out = str(tmp_path / "multi")
+    api.write_parquet_dataset({"a": tiled, "b": rds}, out)
+    back = api.open_parquet_dataset(out)
+    assert set(back) == {"a", "b"}
+    assert back["a"].attrs == {"title": "demo", "source": "corpus"}
+    assert back["a"].encoding == {"dtype": "int16"}
+    assert back["b"].count() == 8
+    assert back["a"].count() == tiled.count()

@@ -850,3 +850,116 @@ def test_conic_warp_round_trip():
     valid = ~np.isnan(inner)
     rel = np.abs(inner[valid] - ref[valid]).max() / (ref.max() - ref.min())
     assert rel < 0.005, rel
+
+
+# ------------------------------------------------- complex dtype support
+def test_complex_int16_round_trip_and_nodata():
+    """complex_int16 -> complex64 decode (the reference's _io.py:493-501
+    open-time conversion) + nodata defaults for complex dtypes."""
+    rng_ = np.random.default_rng(21)
+    real = rng_.integers(-3000, 3000, size=(2, 5, 7)).astype(np.int16)
+    imag = rng_.integers(-3000, 3000, size=(2, 5, 7)).astype(np.int16)
+    c = (real.astype(np.float32) + 1j * imag.astype(np.float32)).astype(
+        np.complex64
+    )
+    buf = codecs.encode_complex_int16(c)
+    back = codecs.decode_complex_int16(buf, c.shape)
+    assert back.dtype == np.complex64
+    assert np.array_equal(back, c)
+    assert np.isnan(nodata_mod.default_nodata(np.complex64))
+    assert nodata_mod.ensure_nodata_dtype(0.0, np.complex64) == 0.0
+    vm = nodata_mod.valid_mask(
+        np.array([1 + 1j, np.nan + 0j, 2.0]), float("nan")
+    )
+    assert vm.tolist() == [True, False, True]
+
+
+def test_set_options_context_and_grid_mapping():
+    import rioxarray_ray
+    from rioxarray_ray.options import (
+        CONVENTION,
+        EXPORT_GRID_MAPPING,
+        get_option,
+    )
+    from rioxarray_ray.stages import convention as conv
+
+    assert get_option(EXPORT_GRID_MAPPING) is True
+    schema = conv.encode_schema(
+        __import__("pyarrow").schema([("a", __import__("pyarrow").int32())]),
+        "EPSG:32615",
+        (500.0, 0.0, 0.0, 0.0, -500.0, 0.0),
+    )
+    assert b"grid_mapping" in schema.metadata
+    with rioxarray_ray.set_options(export_grid_mapping=False):
+        s2 = conv.encode_schema(schema, "EPSG:32615", None)
+        assert b"grid_mapping" not in s2.metadata
+        assert b"spatial_ref" in s2.metadata
+    assert get_option(EXPORT_GRID_MAPPING) is True
+    with rioxarray_ray.set_options(convention="zarr"):
+        s3 = conv.encode_schema(schema, "EPSG:32615", None)
+        assert b"zarr_geo" in s3.metadata
+    with pytest.raises(ValueError):
+        rioxarray_ray.set_options(no_such_option=1)
+    with pytest.raises(ValueError):
+        rioxarray_ray.set_options(export_grid_mapping="yes")
+
+
+def test_merge_method_callable():
+    """merge(method=callable): a custom combiner participates exactly like
+    the built-ins (reference merge.py:96 callable passthrough)."""
+    t = aff.compose(aff.translation(0.0, 4.0), aff.scale(1.0, -1.0))
+    a = np.full((1, 4, 4), 2.0)
+    b = np.full((1, 4, 4), 10.0)
+
+    def mean_combine(dst, dst_valid, src, src_valid):
+        both = dst_valid & src_valid
+        dst[both] = (dst[both] + src[both]) / 2.0
+        new = src_valid & ~dst_valid
+        dst[new] = src[new]
+        dst_valid |= src_valid
+
+    out = merge_mod.merge_tiles(
+        [(a, t), (b, t)], t, (4, 4), nodata=float("nan"),
+        method=mean_combine,
+    )
+    assert np.allclose(out, 6.0)
+
+
+# ------------------------------------------------- CF datetime decode
+def test_cf_datetime_decode_known_values():
+    from rioxarray_ray.kernels import cf
+
+    got = cf.decode_cf_datetime([0, 1, 2.5], "days since 2000-01-01")
+    assert str(got[0]) == "2000-01-01T00:00:00.000000000"
+    assert str(got[1]) == "2000-01-02T00:00:00.000000000"
+    assert str(got[2]) == "2000-01-03T12:00:00.000000000"
+    got = cf.decode_cf_datetime(
+        [3600], "seconds since 1970-01-01 00:00:00"
+    )
+    assert str(got[0]) == "1970-01-01T01:00:00.000000000"
+    # timezone-offset epoch
+    got = cf.decode_cf_datetime([0], "hours since 2000-01-01 00:00:00+02:00")
+    assert str(got[0]) == "1999-12-31T22:00:00.000000000"
+    # round trip
+    vals = np.array([0.0, 17.25, 365.0])
+    units = "days since 1990-05-04"
+    back = cf.encode_cf_datetime(cf.decode_cf_datetime(vals, units), units)
+    np.testing.assert_allclose(back, vals, atol=1e-9)
+    with pytest.raises(NotImplementedError):
+        cf.decode_cf_datetime([0], "days since 2000-01-01", calendar="360_day")
+    with pytest.raises(ValueError):
+        cf.parse_cf_units("fortnights since 2000-01-01")
+
+
+def test_cf_decode_time_column_stage(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.kernels import cf
+
+    ds = rd.from_items([{"id": i, "t": float(i) * 0.5} for i in range(6)])
+    out = cf.decode_time_column(
+        ds, "t", "hours since 2020-06-01", out_col="ts"
+    ).take_all()
+    by_id = {r["id"]: r["ts"] for r in out}
+    assert str(by_id[0]).startswith("2020-06-01 00:00")
+    assert str(by_id[5]).startswith("2020-06-01 02:30")
