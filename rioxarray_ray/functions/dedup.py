@@ -216,64 +216,74 @@ def _hasher_for(num_perm: int, bands: int, ngram: int) -> "MinHasher":
     return MinHasher(num_perm=num_perm, bands=bands, ngram=ngram)
 
 
+# cap on doc ids collected per (band, bucket): bounds reducer memory on
+# degenerate buckets (e.g. all-empty documents share one signature); a
+# capped bucket still yields cap*(cap-1)/2 candidate pairs, and real
+# near-dup clusters far smaller than the cap are unaffected
+_BUCKET_CAP = 4096
+
+
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
                        concurrency=4, num_partitions: int = 16):
     """Candidate near-dup pairs via banded MinHash LSH.
 
-    shingle -> minhash -> band rows -> collision filter -> pairs, with the
-    collision filter kept ENTIRELY in the shuffle (no driver hop): a
-    (band, bucket) count aggregate (partially combined inside map tasks)
-    filters to n>1 buckets, which semi-join back against the band rows via
-    a hash-partitioned ``Dataset.join`` — the hot-key set never leaves the
-    cluster, so a 100 TB corpus with an unbounded collision set streams.
+    shingle -> minhash -> band rows -> ONE (band, bucket) groupby with a
+    capped list-collect aggregate -> vectorized pair expansion -> pair
+    dedup.  The collision filter lives entirely inside the aggregate (no
+    driver hop, no second pass over the corpus, no join): buckets fold to
+    (key, [doc_ids]) in the shuffle, singletons are dropped by a filter,
+    and reducer memory is bounded by ``_BUCKET_CAP`` per bucket.
     Returns a Dataset of (doc_a, doc_b) with doc_a < doc_b, deduplicated.
     """
+    from ray.data.aggregate import AggregateFn, Count
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(int(v) for v in group["doc_id"]))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
-                                 "doc_b": pd.Series(dtype=np.int64)})
-        a, b = zip(*[(x, y) for i, x in enumerate(ids) for y in ids[i + 1 :]])
-        return pd.DataFrame({"doc_a": list(a), "doc_b": list(b)})
-
-    from ray.data.aggregate import Count
-
-    # stateless TASKS, not an actor pool: the band-row stage feeds two plan
-    # branches (count + join left), and a fixed-size pool instantiated twice
-    # can pin every CPU and deadlock the shuffle behind it; hasher params
-    # are trivial and cached per worker process (_hasher_for)
     def band_rows(batch: pa.Table) -> pa.Table:
         return _hasher_for(num_perm, bands, ngram)(batch)
+
+    def _accumulate(acc: list, block) -> list:
+        if len(acc) >= _BUCKET_CAP:
+            return acc
+        if isinstance(block, pa.Table):
+            ids = block.column("doc_id").to_pylist()
+        else:  # pandas fallback
+            ids = block["doc_id"].tolist()
+        return acc + ids[: _BUCKET_CAP - len(acc)]
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: (a + b)[:_BUCKET_CAP],
+        accumulate_block=_accumulate,
+        name="doc_ids",
+    )
+
+    def expand_pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for ids in batch["doc_ids"].to_pylist():
+            if len(ids) < 2:
+                continue
+            uniq = sorted(set(int(v) for v in ids))
+            for i, x in enumerate(uniq):
+                for y in uniq[i + 1 :]:
+                    out_a.append(x)
+                    out_b.append(y)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+            }
+        )
 
     bandrows = ds.map_batches(
         band_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    hot = (
+    return (
         bandrows.groupby(["band", "bucket"])
-        .count()
-        .map_batches(
-            lambda b: b.filter(pc.greater(b["count()"], 1)).drop_columns(
-                ["count()"]
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-    )
-    cand = (
-        bandrows.join(
-            hot,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("band", "bucket"),
-        )
-        .groupby(["band", "bucket"])
-        .map_groups(pairs, batch_format="pandas")
+        .aggregate(collect)
+        .map_batches(expand_pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="n_bands"))
         .select_columns(["doc_a", "doc_b"])
     )
-    return cand
 
 
 def verify_jaccard_pairs(cand_ds, docs_ds, threshold: float, ngram: int = 3,
