@@ -148,7 +148,9 @@ def subdataset_stage(ds, names_col: str = "subdatasets",
                 if pattern.search(name):
                     take.append(i)
                     subs.append(name)
-                    variables.append(name.rsplit(":", 1)[-1].lstrip("/"))
+                    # trailing path component (group-nested names separate
+                    # the variable with '/'): 'a.nc:/PRODUCT/x' -> 'x'
+                    variables.append(re.split(r"[:/]", name)[-1])
         base = batch.drop_columns([names_col]).take(
             pa.array(take, pa.int64())
         )
