@@ -616,6 +616,18 @@ def q_text_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def q_text_ngram_jaccard(sf_dir: str):
+    """Exact word-trigram Jaccard for consecutive-id doc pairs — gives the
+    n-gram-Jaccard kernel its own exact SQL oracle (the LSH candidate path
+    feeds the same kernel through verify_jaccard_pairs)."""
+    from rioxarray_ray.functions import dedup
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.ngram_jaccard_pairs(ds, ngram=3, num_partitions=8)
+
+
 def q_dedup_simhash(sf_dir: str):
     from rioxarray_ray.functions import dedup
 
@@ -823,6 +835,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_topk_ivf": q_ann_topk_ivf,
         "text_tokens": q_text_tokens,
+        "text_ngram_jaccard": q_text_ngram_jaccard,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1039,6 +1052,31 @@ SELECT doc_id,
        END AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars_m
 FROM documents
+""",
+        "text_ngram_jaccard": r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 3 THEN
+            CASE WHEN len(words[1]) = 0 THEN []
+                 ELSE [array_to_string(words, ' ')] END
+         ELSE [array_to_string(words[i:i+2], ' ')
+               FOR i IN range(1, len(words) - 1)]
+         END AS grams
+  FROM w
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CASE WHEN len(list_distinct(a.grams)) = 0
+                 AND len(list_distinct(b.grams)) = 0 THEN 1.0
+            WHEN len(list_distinct(a.grams)) = 0
+                 OR len(list_distinct(b.grams)) = 0 THEN 0.0
+            ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE)
+       END AS jaccard
+FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
 """,
         "text_quality": r"""
 SELECT doc_id,

@@ -337,6 +337,59 @@ def verify_jaccard_pairs(cand_ds, docs_ds, threshold: float, ngram: int = 3,
     )
 
 
+def ngram_jaccard_pairs(ds, id_col: str = "doc_id", col: str = "text",
+                        ngram: int = 3, num_partitions: int = 8):
+    """Exact word-n-gram Jaccard for consecutive-id document pairs
+    (doc_a, doc_a+1) — the n-gram-Jaccard operator with an exact SQL twin
+    (the candidate pairs are id-adjacent so DuckDB can mirror the pair set;
+    the LSH candidate path feeds the same jaccard through
+    verify_jaccard_pairs).  One slim hash join (ids + text), then a
+    bounded-per-doc shingle comparison per pair."""
+
+    def left_side(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch[id_col], "text_a": batch[col]})
+
+    def right_side(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "join_key": pa.array(ids - 1, pa.int64()),
+                "doc_b": batch[id_col],
+                "text_b": batch[col],
+            }
+        )
+
+    left = ds.map_batches(left_side, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ds.map_batches(right_side, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = left.join(
+        right,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_a",),
+        right_on=("join_key",),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        sims = [
+            jaccard(_shingles(ta, ngram), _shingles(tb, ngram))
+            for ta, tb in zip(
+                batch["text_a"].to_pylist(), batch["text_b"].to_pylist()
+            )
+        ]
+        return pa.table(
+            {
+                "doc_a": batch["doc_a"],
+                "doc_b": batch["doc_b"],
+                "jaccard": pa.array(sims, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------- simhash
 def simhash64(text: str, ngram: int = 2) -> int:
     """Classic 64-bit SimHash over word n-grams (Charikar 2002)."""

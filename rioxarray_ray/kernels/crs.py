@@ -78,8 +78,10 @@ class CRS:
 
     kind: str
     zone: int = 0  # UTM only
-    south: bool = False  # UTM only
-    params: tuple = ()  # lcc/aea only: (lat_1, lat_2, lat_0, lon_0, x_0, y_0)
+    south: bool = False  # UTM hemisphere / polar-stereographic aspect
+    # lcc/aea: (lat_1, lat_2, lat_0, lon_0, x_0, y_0)
+    # ps (polar stereographic): (lat_ts, lon_0, x_0, y_0)
+    params: tuple = ()
 
     # ---- identity / serialization -------------------------------------
     @property
@@ -101,6 +103,10 @@ class CRS:
             for code, (kind, params) in _CONIC_EPSG.items():
                 if kind == self.kind and params == self.params:
                     return code
+        if self.kind == "ps":
+            for code, params in _PS_EPSG.items():
+                if params == self.params:
+                    return code
         return None  # sinusoidal (and generic conics) have no EPSG
 
     def to_string(self) -> str:
@@ -112,6 +118,14 @@ class CRS:
             return (
                 f"+proj={self.kind} +lat_1={lat1} +lat_2={lat2} "
                 f"+lat_0={lat0} +lon_0={lon0} +x_0={x0} +y_0={y0} "
+                "+datum=WGS84 +units=m +no_defs"
+            )
+        if self.kind == "ps":
+            lat_ts, lon0, x0, y0 = self.params
+            lat0 = -90 if self.south else 90
+            return (
+                f"+proj=stere +lat_0={lat0} +lat_ts={lat_ts} "
+                f"+lon_0={lon0} +x_0={x0} +y_0={y0} "
                 "+datum=WGS84 +units=m +no_defs"
             )
         return f"+proj=sinu +R={_SINU_R} +units=m +no_defs"
@@ -175,6 +189,23 @@ class CRS:
                 'PARAMETER["false_northing",0],'
                 'UNIT["metre",1]]'
             )
+        if self.kind == "ps":
+            lat_ts, lon0, x0, y0 = self.params
+            return (
+                'PROJCS["Polar Stereographic custom",'
+                + self._WGS84_GEOGCS.replace(
+                    ',AUTHORITY["EPSG","4326"]]', "]"
+                )
+                + ',PROJECTION["Polar_Stereographic"],'
+                # WKT1 convention: the SIGNED standard parallel encodes the
+                # hemisphere (EPSG:3413 -> 70, EPSG:3031 -> -71)
+                f'PARAMETER["latitude_of_origin",{lat_ts}],'
+                f'PARAMETER["central_meridian",{lon0}],'
+                'PARAMETER["scale_factor",1],'
+                f'PARAMETER["false_easting",{x0}],'
+                f'PARAMETER["false_northing",{y0}],'
+                'UNIT["metre",1,AUTHORITY["EPSG","9001"]]' + auth + "]"
+            )
         if self.kind in ("lcc", "aea"):
             lat1, lat2, lat0, lon0, x0, y0 = self.params
             proj_name = (
@@ -232,6 +263,8 @@ class CRS:
             return self._lcc_forward(lon, lat)
         if self.kind == "aea":
             return self._aea_forward(lon, lat)
+        if self.kind == "ps":
+            return self._ps_forward(lon, lat)
         raise CRSError(f"unknown kind {self.kind}")
 
     def inverse(self, x, y):
@@ -258,7 +291,47 @@ class CRS:
             return self._lcc_inverse(x, y)
         if self.kind == "aea":
             return self._aea_inverse(x, y)
+        if self.kind == "ps":
+            return self._ps_inverse(x, y)
         raise CRSError(f"unknown kind {self.kind}")
+
+    # ---- polar stereographic (Snyder 1987 eqs 21-33..21-41) ------------
+    def _ps_constants(self):
+        lat_ts, lon0, x0, y0 = self.params
+        phi_c = abs(lat_ts) * _D2R
+        m_c = float(_m_factor(np.float64(phi_c)))
+        t_c = float(_t_factor(np.float64(phi_c)))
+        return m_c, t_c, lon0 * _D2R, x0, y0
+
+    def _ps_forward(self, lon, lat):
+        m_c, t_c, lam0, x0, y0 = self._ps_constants()
+        phi = np.asarray(lat, np.float64) * _D2R
+        lam = np.asarray(lon, np.float64) * _D2R - lam0
+        if self.south:
+            t = _t_factor(-phi)
+            rho = _A * m_c * t / t_c
+            return rho * np.sin(lam) + x0, rho * np.cos(lam) + y0
+        t = _t_factor(phi)
+        rho = _A * m_c * t / t_c
+        return rho * np.sin(lam) + x0, -rho * np.cos(lam) + y0
+
+    def _ps_inverse(self, x, y):
+        m_c, t_c, lam0, x0, y0 = self._ps_constants()
+        xp = np.asarray(x, np.float64) - x0
+        yp = np.asarray(y, np.float64) - y0
+        rho = np.hypot(xp, yp)
+        t = rho * t_c / (_A * m_c)
+        phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+        for _ in range(8):  # Snyder eq 7-9 fixed point
+            s = np.sin(phi)
+            phi = math.pi / 2.0 - 2.0 * np.arctan(
+                t * ((1.0 - _E * s) / (1.0 + _E * s)) ** (_E / 2.0)
+            )
+        if self.south:
+            theta = np.arctan2(xp, yp)
+            return (theta + lam0) * _R2D, -phi * _R2D
+        theta = np.arctan2(xp, -yp)
+        return (theta + lam0) * _R2D, phi * _R2D
 
     # ---- Lambert conformal conic 2SP (Snyder 1987 eqs 15-1..15-11) -----
     def _lcc_constants(self):
@@ -440,6 +513,14 @@ _CONIC_EPSG = {
     3347: ("lcc", (49.0, 77.0, 63.390675, -91.866667, 6200000.0, 3000000.0)),
 }
 
+# polar stereographic: code -> (lat_ts, lon_0, x_0, y_0); the lat_ts sign
+# carries the hemisphere (NSIDC Sea Ice grids + Antarctic PS)
+_PS_EPSG = {
+    3413: (70.0, -45.0, 0.0, 0.0),   # NSIDC Sea Ice Polar Stereo North
+    3031: (-71.0, 0.0, 0.0, 0.0),    # Antarctic Polar Stereographic
+    3976: (-70.0, 0.0, 0.0, 0.0),    # NSIDC Sea Ice Polar Stereo South
+}
+
 
 def utm(zone: int, south: bool = False) -> CRS:
     if not 1 <= zone <= 60:
@@ -463,6 +544,15 @@ def aea(lat_1, lat_2, lat_0=0.0, lon_0=0.0, x_0=0.0, y_0=0.0) -> CRS:
     ))
 
 
+def polar_stereographic(lat_ts, lon_0=0.0, x_0=0.0, y_0=0.0) -> CRS:
+    """Polar stereographic on WGS84; the lat_ts sign picks the pole."""
+    return CRS(
+        "ps",
+        south=float(lat_ts) < 0,
+        params=(float(lat_ts), float(lon_0), float(x_0), float(y_0)),
+    )
+
+
 def from_epsg(code: int) -> CRS:
     if code == 4326:
         return GEOGRAPHIC
@@ -475,6 +565,8 @@ def from_epsg(code: int) -> CRS:
     if code in _CONIC_EPSG:
         kind, params = _CONIC_EPSG[code]
         return CRS(kind, params=params)
+    if code in _PS_EPSG:
+        return polar_stereographic(*_PS_EPSG[code])
     raise CRSError(f"EPSG:{code} is outside the supported whitelist")
 
 
@@ -530,6 +622,22 @@ def from_user_input(value) -> CRS:
                 float(kv.get("+x_0", 0) or 0),
                 float(kv.get("+y_0", 0) or 0),
             )
+        if proj == "stere":
+            lat0 = float(kv.get("+lat_0", 0) or 0)
+            if abs(lat0) != 90.0:
+                raise CRSError(
+                    "oblique '+proj=stere' is outside the whitelist "
+                    "(only polar aspects, lat_0=+-90, are supported)"
+                )
+            lat_ts = float(kv.get("+lat_ts", lat0) or lat0)
+            # hemisphere comes from lat_0; force lat_ts onto that side
+            lat_ts = abs(lat_ts) if lat0 > 0 else -abs(lat_ts)
+            return polar_stereographic(
+                lat_ts,
+                float(kv.get("+lon_0", 0) or 0),
+                float(kv.get("+x_0", 0) or 0),
+                float(kv.get("+y_0", 0) or 0),
+            )
         if proj == "tmerc":
             # accept tmerc ONLY when its parameters are exactly a UTM zone
             lon0 = float(kv.get("+lon_0", 0))
@@ -572,6 +680,14 @@ def from_user_input(value) -> CRS:
                 r'PARAMETER\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)', s
             )
         }
+        if "polar_stereographic" in pname:
+            return polar_stereographic(
+                pars.get("latitude_of_origin",
+                         pars.get("standard_parallel_1", 90.0)),
+                pars.get("central_meridian", 0.0),
+                pars.get("false_easting", 0.0),
+                pars.get("false_northing", 0.0),
+            )
         if "lambert_conformal_conic" in pname or "albers" in pname:
             maker = lcc if "lambert" in pname else aea
             return maker(

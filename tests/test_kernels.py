@@ -963,3 +963,61 @@ def test_cf_decode_time_column_stage(ray_session):
     by_id = {r["id"]: r["ts"] for r in out}
     assert str(by_id[0]).startswith("2020-06-01 00:00")
     assert str(by_id[5]).startswith("2020-06-01 02:30")
+
+
+# ------------------------------------------------- polar stereographic
+def test_polar_stereographic_poles_scale_and_roundtrip():
+    """EPSG:3413 / 3031: the pole maps to the false origin, scale is true
+    on the standard parallel, and forward/inverse round-trips at reference
+    precision for both aspects."""
+    n = crs.from_epsg(3413)
+    s = crs.from_epsg(3031)
+    a, e2 = 6378137.0, 0.0066943799901413165
+    x, y = n.forward(-45.0, 90.0)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    x, y = s.forward(0.0, -90.0)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    for c, lat_ts in ((n, 70.0), (s, -71.0)):
+        nu = a / np.sqrt(1 - e2 * np.sin(np.radians(lat_ts)) ** 2)
+        dlam = 1e-4
+        lon0 = c.params[1]
+        x1, y1 = c.forward(lon0 + 10, lat_ts)
+        x2, y2 = c.forward(lon0 + 10 + dlam, lat_ts)
+        k = float(np.hypot(x2 - x1, y2 - y1)) / (
+            np.radians(dlam) * nu * np.cos(np.radians(lat_ts))
+        )
+        assert abs(k - 1.0) < 1e-9, (c, k)
+    lons = np.linspace(-180, 175, 30)
+    for c, lats in (
+        (n, np.linspace(45, 89.5, 20)),
+        (s, np.linspace(-89.5, -45, 20)),
+    ):
+        LO, LA = np.meshgrid(lons, lats)
+        X, Y = c.forward(LO, LA)
+        lo2, la2 = c.inverse(X, Y)
+        dlon = np.abs((lo2 - LO + 180) % 360 - 180)
+        assert dlon.max() < 1e-9 and np.abs(la2 - LA).max() < 1e-9
+
+
+def test_polar_stereographic_parsing_and_warp():
+    n = crs.from_epsg(3413)
+    custom = crs.polar_stereographic(60.0, 10.0, 1000.0, 2000.0)
+    for c in (n, crs.from_epsg(3031), crs.from_epsg(3976), custom):
+        assert crs.from_user_input(c.to_string()) == c
+        assert crs.from_user_input(c.to_wkt()) == c
+    assert n.to_string() == "EPSG:3413"
+    with pytest.raises(crs.CRSError):
+        crs.from_user_input("+proj=stere +lat_0=45 +lon_0=0")  # oblique
+    # warp round trip over an arctic scene
+    yy, xx = np.mgrid[0:30, 0:40]
+    smooth = (300 * np.sin(xx / 6.0) * np.cos(yy / 7.0) + 5 * xx + 3 * yy)[None]
+    t = aff.compose(aff.translation(-50.0, 78.0), aff.scale(0.01, -0.005))
+    rs = Raster(smooth, t, crs.GEOGRAPHIC, nodata=None)
+    back = rs.reproject(n, resampling="bilinear").reproject(
+        crs.GEOGRAPHIC, transform=t, shape=rs.shape, resampling="bilinear"
+    )
+    inner = back.pixels[0][3:-3, 3:-3]
+    ref = smooth[0][3:-3, 3:-3]
+    valid = ~np.isnan(inner)
+    rel = np.abs(inner[valid] - ref[valid]).max() / (ref.max() - ref.min())
+    assert rel < 0.01, rel
