@@ -639,6 +639,18 @@ def q_dedup_simhash(sf_dir: str):
     ).select_columns(["doc_id", "simhash"])
 
 
+def q_dedup_simhash_pairs(sf_dir: str):
+    """Banded SimHash near-dup candidates (certified: every hamming<=3
+    pair shares an exact 16-bit band by pigeonhole) — rows-only gate;
+    the certification is pytest-verified."""
+    from rioxarray_ray.functions import dedup
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup.simhash_candidates(ds, max_hamming=3, bands=4)
+
+
 def q_dedup_minhash(sf_dir: str):
     from rioxarray_ray.functions import dedup
 
@@ -828,6 +840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_minhash": q_dedup_minhash,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_bcast": q_embedding_near_dup_bcast,

@@ -391,34 +391,129 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", col: str = "text",
 
 
 # ---------------------------------------------------------------- simhash
-def simhash64(text: str, ngram: int = 2) -> int:
-    """Classic 64-bit SimHash over word n-grams (Charikar 2002)."""
-    words = (text or "").lower().split()
-    grams = (
-        [" ".join(words[i : i + ngram]) for i in range(max(len(words) - ngram + 1, 0))]
-        or ([" ".join(words)] if words else [])
-    )
-    if not grams:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for g in grams:
-        h = np.frombuffer(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), dtype=np.uint64
-        )[0]
-        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-        acc += 2 * bits - 1
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+def _simhash_signatures(batch: pa.Table, col: str, ngram: int) -> np.ndarray:
+    """(num_rows,) uint64 SimHash (Charikar 2002) over word n-grams, fully
+    vectorized: shared gram-hash machinery + 64 bincount votes per batch."""
+    hasher = _hasher_for(64, 16, ngram)  # only _gram_hashes is used
+    g, gpar = hasher._gram_hashes(pa.table({"text": batch[col]}))
+    n = batch.num_rows
+    out = np.zeros(n, np.uint64)
+    for b in range(64):
+        bits = (
+            ((g >> np.uint64(b)) & np.uint64(1)).astype(np.float64) * 2.0 - 1.0
+        )
+        acc = np.bincount(gpar, weights=bits, minlength=n)
+        out |= (acc > 0).astype(np.uint64) << np.uint64(b)
     return out
 
 
-def simhash_batch(batch: pa.Table, col: str = "text") -> pa.Table:
-    vals = [simhash64(t) for t in batch[col].to_pylist()]
-    signed = [v - (1 << 64) if v >= (1 << 63) else v for v in vals]
-    return batch.append_column("simhash", pa.array(signed, pa.int64()))
+def simhash64(text: str, ngram: int = 2) -> int:
+    """Scalar convenience wrapper over the vectorized batch path."""
+    tbl = pa.table({"text": pa.array([text], pa.string())})
+    return int(_simhash_signatures(tbl, "text", ngram)[0])
+
+
+def simhash_batch(batch: pa.Table, col: str = "text",
+                  ngram: int = 2) -> pa.Table:
+    sig = _simhash_signatures(batch, col, ngram)
+    return batch.append_column(
+        "simhash", pa.array(sig.view(np.int64), pa.int64())
+    )
+
+
+def simhash_candidates(ds, col: str = "text", ngram: int = 2,
+                       max_hamming: int = 3, bands: int = 4):
+    """Near-dup candidate pairs by banded SimHash (hamming LSH).
+
+    The 64-bit signature splits into ``bands`` equal segments; a pair is a
+    candidate iff it shares >= 1 EXACT segment.  By pigeonhole, any pair
+    with hamming distance <= bands-1 is guaranteed caught (<= 3 differing
+    bits cannot touch all 4 bands), so with the default parameters the
+    candidate set is a certified superset of all hamming<=3 pairs.  One
+    groupby with a capped collect aggregate (the minhash shape); hamming is
+    verified inside the pair expansion, so the output is exact:
+    (doc_a, doc_b, hamming<=max_hamming), doc_a < doc_b, deduplicated.
+    """
+    from ray.data.aggregate import AggregateFn, Min
+
+    assert 64 % bands == 0
+    seg_bits = 64 // bands
+    mask = np.uint64((1 << seg_bits) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        sig = _simhash_signatures(batch, col, ngram)
+        n = batch.num_rows
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = np.empty((n, bands), np.int64)
+        for band in range(bands):
+            seg = (sig >> np.uint64(band * seg_bits)) & mask
+            buckets[:, band] = seg.astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "simhash": pa.array(
+                    np.repeat(sig.view(np.int64), bands), pa.int64()
+                ),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int64), n), pa.int64()
+                ),
+                "bucket": pa.array(buckets.ravel(), pa.int64()),
+            }
+        )
+
+    def _accumulate(acc: list, block) -> list:
+        if len(acc) >= _BUCKET_CAP:
+            return acc
+        ids = (
+            block.column("doc_id").to_pylist()
+            if isinstance(block, pa.Table)
+            else block["doc_id"].tolist()
+        )
+        sigs = (
+            block.column("simhash").to_pylist()
+            if isinstance(block, pa.Table)
+            else block["simhash"].tolist()
+        )
+        return acc + list(zip(ids, sigs))[: _BUCKET_CAP - len(acc)]
+
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: (a + b)[:_BUCKET_CAP],
+        accumulate_block=_accumulate,
+        name="members",
+    )
+
+    def expand_pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b, out_h = [], [], []
+        for members in batch["members"].to_pylist():
+            if len(members) < 2:
+                continue
+            uniq = sorted({(int(i), int(s)) for i, s in members})
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    ham = (uniq[i][1] ^ uniq[j][1]).bit_count()
+                    if ham <= max_hamming:
+                        out_a.append(uniq[i][0])
+                        out_b.append(uniq[j][0])
+                        out_h.append(ham)
+        return pa.Table.from_pydict(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "bucket"])
+        .aggregate(collect)
+        .map_batches(
+            expand_pairs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))
+    )
 
 
 # ---------------------------------------------------------------- embedding

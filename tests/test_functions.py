@@ -184,3 +184,44 @@ def test_embedding_lsh_pairs_superset_sanity(emb_ds, ray_session):
     found_pairs = {(r["vec_a"], r["vec_b"]) for r in found}
     recall = len(found_pairs & truth) / len(truth)
     assert recall >= 0.6, recall
+
+
+def test_simhash_banded_candidates_certified(ray_session):
+    """Banded SimHash: near-dup texts (small hamming) are found; the
+    candidate set contains EVERY pair with hamming <= bands-1 (pigeonhole
+    certification), verified against a brute-force hamming scan."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import dedup
+
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    for i in range(50):
+        docs.append(
+            {"doc_id": i, "text": " ".join(rng.choice(vocab, size=90))}
+        )
+    base = docs[0]["text"].split()
+    docs.append({"doc_id": 61, "text": " ".join(base)})  # exact dup
+    docs.append(
+        {"doc_id": 62, "text": " ".join(base[:88] + ["zq1", "zq2"])}
+    )  # tiny perturbation
+    ds = rd.from_items(docs)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(ds, max_hamming=3).take_all()
+    }
+    assert got.get((0, 61)) == 0  # exact dup: identical signature
+    # brute-force certification: every hamming<=3 pair must be present
+    sigs = {
+        d["doc_id"]: dedup.simhash64(d["text"]) for d in docs
+    }
+    ids = sorted(sigs)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            ham = (sigs[ids[i]] ^ sigs[ids[j]]).bit_count()
+            if ham <= 3:
+                assert (ids[i], ids[j]) in got, (ids[i], ids[j], ham)
+                assert got[(ids[i], ids[j])] == ham
+    # and nothing over the threshold leaks through
+    assert all(h <= 3 for h in got.values())
