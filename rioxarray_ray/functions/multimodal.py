@@ -1,11 +1,13 @@
 """Multimodal column stages (image/audio/video as opaque binary + typed
 metadata).
 
-The decode libraries (PIL / ffmpeg / torchaudio) are NOT in this container,
-so the codec boundary is stubbed behind ``DECODERS`` — either a clearly
-marked NotImplementedError or the deterministic fake used in tests — while
-the Ray-side plumbing (schema, actor signature, batch sizing, output layout)
-is real and tested, per the build brief.
+The image decode path is REAL for the engine's own payload formats
+(raw16/rawu8/pngz/lq8, self-describing magic — kernels/codecs.py decodes
+them for actual pixels); external formats (JPEG/PNG via PIL, audio/video
+via ffmpeg) are not available in this container, so those fall back to a
+clearly marked deterministic fake / NotImplementedError behind
+``DECODERS`` — the registry swap point — while the Ray-side plumbing
+(schema, actor signature, batch sizing, output layout) is real and tested.
 """
 
 from __future__ import annotations
@@ -32,6 +34,21 @@ def _fake_image_decode(payload: bytes) -> np.ndarray:
     return rng.integers(0, 255, size=(3, 32, 32), dtype=np.uint8)
 
 
+def _image_decode(payload: bytes) -> np.ndarray:
+    """REAL decode for the engine's native formats (self-describing magic);
+    foreign payloads fall back to the deterministic fake (PIL absent)."""
+    import struct
+    import zlib
+
+    from ..kernels import codecs
+
+    try:
+        return codecs.decode(payload)
+    except (ValueError, KeyError, zlib.error, struct.error, IndexError):
+        # not one of ours (bad magic, truncated header, lookalike bytes)
+        return _fake_image_decode(payload)
+
+
 def _unavailable(kind: str):
     def fn(payload: bytes):
         raise NotImplementedError(
@@ -43,7 +60,7 @@ def _unavailable(kind: str):
 
 
 DECODERS = {
-    "image": _fake_image_decode,  # swap for PIL/turbojpeg in production
+    "image": _image_decode,  # native formats real; foreign -> fake (PIL absent)
     "audio": _unavailable("audio"),
     "video": _unavailable("video"),
 }
@@ -63,13 +80,26 @@ class FeatureExtractor:
         rng = np.random.default_rng(seed)
         self.proj = rng.standard_normal((3 * 32 * 32, feature_dim))
 
+    @staticmethod
+    def _standardize(arr: np.ndarray) -> np.ndarray:
+        """Any (bands, h, w) decode -> (3, 32, 32) float: nearest-gather
+        resize + channel cycling, so native decodes of arbitrary shape and
+        the 3x32x32 fake share one projection."""
+        if arr.ndim == 2:
+            arr = arr[None]
+        b, h, w = arr.shape
+        ri = (np.arange(32) * h // 32).astype(np.int64)
+        ci = (np.arange(32) * w // 32).astype(np.int64)
+        small = arr[:, ri[:, None], ci[None, :]].astype(np.float64)
+        return small[np.arange(3) % b]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for payload, mtype in zip(
             batch["payload"].to_pylist(), batch["media_type"].to_pylist()
         ):
-            arr = self.decoders[mtype](payload)
-            feats.append((arr.reshape(-1).astype(np.float64) @ self.proj).tolist())
+            arr = self._standardize(self.decoders[mtype](payload))
+            feats.append((arr.reshape(-1) @ self.proj).tolist())
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],

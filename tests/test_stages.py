@@ -811,3 +811,41 @@ def test_flagship_matched_plans_agree(ray_session):
     kb, kj = keyset(wb), keyset(wj)
     assert len(kb) > 0
     assert kb == kj
+
+
+def test_multimodal_native_codec_decode_is_real(ray_session):
+    """Native-format payloads (engine codecs) decode to their ACTUAL
+    pixels through the multimodal stages; foreign payloads still flow via
+    the deterministic fallback."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import codecs
+
+    rng_ = np.random.default_rng(23)
+    px = rng_.integers(-2000, 2000, size=(1, 20, 24)).astype(np.int16)
+    payload = codecs.encode(px, "pngz")
+    assert np.array_equal(multimodal.DECODERS["image"](payload), px)
+    rows = [
+        {"media_id": "native", "payload": payload,
+         "media_type": "image", "meta": "{}"},
+        {"media_id": "foreign", "payload": b"\xff\xd8\xff\xe0 not-a-codec",
+         "media_type": "image", "meta": "{}"},
+    ]
+    out = multimodal.resize_stage(
+        rd.from_items(rows), out_h=8, out_w=8
+    ).take_all()
+    by_id = {r["media_id"]: r for r in out}
+    # native: resized payload equals the index-gather of the TRUE pixels
+    ri = (np.arange(8) * 20 // 8).astype(np.int64)
+    ci = (np.arange(8) * 24 // 8).astype(np.int64)
+    expected = px[:, ri[:, None], ci[None, :]]
+    got = np.frombuffer(by_id["native"]["payload"], dtype=np.int16).reshape(
+        1, 8, 8
+    )
+    assert np.array_equal(got, expected)
+    assert by_id["foreign"]["shape"] == [3, 8, 8]  # fake fallback shape
+    feats = multimodal.feature_stage(
+        rd.from_items(rows), feature_dim=8
+    ).take_all()
+    assert all(len(r["feature"]) == 8 for r in feats)
