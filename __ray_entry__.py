@@ -780,6 +780,17 @@ def q_events_sessionize(sf_dir: str):
     return events.sessionize(ds, gap_minutes=30)
 
 
+def q_events_sessionize_scalable(sf_dir: str):
+    """GATED SCALE PLAN: two-phase (user, time-bucket) sessionization —
+    skew-safe per-reducer memory; same oracle as events_sessionize."""
+    from rioxarray_ray.functions import events
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return events.sessionize_scalable(ds, gap_minutes=30, bucket_hours=24)
+
+
 def q_agg_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -854,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "events_window": q_events_window,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_scalable": q_events_sessionize_scalable,
         "agg_pricing": q_agg_pricing,
     }
 
@@ -1157,4 +1169,5 @@ FROM lineitem GROUP BY 1, 2
     # both gated against ONE oracle (geo_pip_rect/geo_pip_shuffle pattern)
     sql["embedding_near_dup_bcast"] = sql["embedding_near_dup"]
     sql["ann_topk_blocked"] = sql["ann_topk"]
+    sql["events_sessionize_scalable"] = sql["events_sessionize"]
     return sql

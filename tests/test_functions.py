@@ -225,3 +225,56 @@ def test_simhash_banded_candidates_certified(ray_session):
                 assert got[(ids[i], ids[j])] == ham
     # and nothing over the threshold leaks through
     assert all(h <= 3 for h in got.values())
+
+
+def test_sessionize_plans_agree_on_boundaries_and_ties(ray_session):
+    """The single-pass and the two-phase (skew-safe) sessionize plans
+    produce identical sessions on a corpus engineered with: sessions
+    spanning a time-bucket boundary, gaps exactly AT the threshold (same
+    session: the split is strictly >), and equal-timestamp ties."""
+    import pandas as pd
+    import ray.data as rd
+
+    from rioxarray_ray.functions import events
+
+    base = pd.Timestamp("2024-03-01 00:50:00")
+    rows = []
+    eid = 0
+
+    def add(user, ts):
+        nonlocal eid
+        rows.append({"event_id": eid, "ts": ts, "user_id": user})
+        eid += 1
+
+    # user A: a session straddling the 01:00 bucket boundary (bucket_hours=1)
+    for m in (0, 9, 18, 27):  # 00:50 .. 01:17, gaps 9 min
+        add("A", base + pd.Timedelta(minutes=m))
+    # then a gap of exactly 30 min (same session), then 31 min (new session)
+    add("A", base + pd.Timedelta(minutes=57))
+    add("A", base + pd.Timedelta(minutes=88))
+    # user B: equal-timestamp ties
+    t = pd.Timestamp("2024-03-02 12:00:00")
+    add("B", t)
+    add("B", t)
+    add("B", t + pd.Timedelta(minutes=40))
+    ds = rd.from_items(rows)
+
+    def canon(out):
+        return sorted(
+            (r["user_id"], r["session_id"], r["n_events"],
+             r["first_event"], r["last_event"])
+            for r in out
+        )
+
+    single = canon(events.sessionize(ds, gap_minutes=30).take_all())
+    scalable = canon(
+        events.sessionize_scalable(
+            ds, gap_minutes=30, bucket_hours=1
+        ).take_all()
+    )
+    assert single == scalable
+    # user A: 5 events in session 0 (30-min gap does NOT split), 1 in s1
+    a = [s for s in single if s[0] == "A"]
+    assert [(s[1], s[2]) for s in a] == [(0, 5), (1, 1)]
+    b = [s for s in single if s[0] == "B"]
+    assert [(s[1], s[2]) for s in b] == [(0, 2), (1, 1)]
