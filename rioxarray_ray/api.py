@@ -291,6 +291,17 @@ class RasterDataset:
             )
         )
 
+    def pad_box_tiles(self, minx, miny, maxx, maxy, crs=None,
+                      tile_size: int = 64, **kwargs) -> "RasterDataset":
+        """Distributed pad over a TILED dataset: synthetic nodata tiles on
+        each image's extended grid cover the box (stages/clip.pad_box_stage)."""
+        return self._wrap(
+            clip_stage_mod.pad_box_stage(
+                self.ds, (minx, miny, maxx, maxy), box_crs=crs,
+                tile_size=tile_size, **kwargs,
+            )
+        )
+
     def pad_box(self, minx, miny, maxx, maxy, constant_values=None) -> "RasterDataset":
         return self._map_raster(
             lambda r: r.pad_box(

@@ -145,6 +145,111 @@ def clip_box_stage(ds, bounds, box_crs=None, cell_res: int = CELL_RES,
     )
 
 
+def pad_box_stage(tiles_ds, bounds, box_crs=None, tile_size: int = 64,
+                  cell_res: int = CELL_RES, constant_values=None):
+    """Distributed pad (pad_box in TILE space, SURVEY.md §2.3 RD mapping):
+    per image, emit synthetic all-nodata tiles on the image's EXTENDED tile
+    grid (pixel phase preserved — tile indices may go negative) for every
+    grid position needed to cover ``bounds`` that no existing tile covers,
+    then union with the original tiles.
+
+    The planning group ships METADATA only (one row per tile, no pixels);
+    synthetic payloads are generated inside the group.  ``bounds`` is in
+    each row's native CRS unless ``box_crs`` is given (clip_box convention).
+    """
+    import pandas as pd
+
+    from ..kernels import cellindex as cell_mod
+    from .schema import TILE_SCHEMA, pixels_to_bytes
+
+    bcrs = crs_mod.from_user_input(box_crs) if box_crs is not None else None
+    meta_cols = [n for n in TILE_SCHEMA.names if n != "pixels"]
+    meta = tiles_ds.select_columns(meta_cols)
+    T = int(tile_size)
+
+    def plan(group: pd.DataFrame) -> pd.DataFrame:
+        first = group.iloc[0]
+        t0 = tuple(float(v) for v in first["transform"])
+        img_t = aff.window_transform(
+            t0, -int(first["win_col_off"]), -int(first["win_row_off"])
+        )
+        crs_str = first["crs"]
+        rcrs = crs_mod.from_user_input(crs_str) if crs_str else None
+        bb = tuple(bounds)
+        if bcrs is not None and rcrs is not None and bcrs != rcrs:
+            bb = crs_mod.transform_bounds(bcrs, rcrs, *bb)
+        c0f, r0f, wf, hf = aff.window_from_bounds(img_t, *bb)
+        r_lo = int(np.floor(np.floor(r0f) / T))
+        c_lo = int(np.floor(np.floor(c0f) / T))
+        r_hi = int(np.ceil((r0f + hf) / T))  # exclusive tile index bound
+        c_hi = int(np.ceil((c0f + wf) / T))
+        existing = set(zip(group["tile_row"], group["tile_col"]))
+        dtype = np.dtype(first["dtype"])
+        nod = float(first["nodata"])
+        if constant_values is not None:
+            fill = constant_values
+        elif nod == nod:
+            fill = nod
+        elif dtype.kind in "iu":
+            fill = 0
+        else:
+            fill = np.nan
+        bands = int(first["band_count"])
+        payload = pixels_to_bytes(
+            np.full((bands, T, T), fill, dtype=dtype)
+        )
+        rows = []
+        for r in range(r_lo, r_hi):
+            for c in range(c_lo, c_hi):
+                if (r, c) in existing:
+                    continue
+                tt = aff.window_transform(img_t, c * T, r * T)
+                cx, cy = aff.apply(tt, T / 2.0, T / 2.0)
+                if rcrs is not None and rcrs.is_projected:
+                    lon, lat = (float(v) for v in rcrs.inverse(cx, cy))
+                else:
+                    lon, lat = float(cx), float(cy)
+                rows.append(
+                    {
+                        "image_id": first["image_id"],
+                        "band_count": bands,
+                        "h": T,
+                        "w": T,
+                        "dtype": dtype.name,
+                        "nodata": nod,
+                        "crs": crs_str,
+                        "transform": [float(v) for v in tt],
+                        "pixels": payload,
+                        "caption": first["caption"],
+                        "phash": int(first["phash"]),
+                        "tile_row": r,
+                        "tile_col": c,
+                        "cell": int(cell_mod.cell(lon, lat, cell_res)),
+                        "win_row_off": r * T,
+                        "win_col_off": c * T,
+                        "core_roff": 0,
+                        "core_coff": 0,
+                        "core_h": T,
+                        "core_w": T,
+                    }
+                )
+        if not rows:
+            return pd.DataFrame({n: pd.Series(dtype=object)
+                                 for n in TILE_SCHEMA.names}).iloc[:0]
+        return pd.DataFrame(rows, columns=TILE_SCHEMA.names)
+
+    synthetic = (
+        meta.groupby("image_id")
+        .map_groups(plan, batch_format="pandas")
+        .map_batches(
+            lambda b: pa.Table.from_pandas(b, schema=TILE_SCHEMA,
+                                           preserve_index=False),
+            batch_format="pandas",
+        )
+    )
+    return tiles_ds.union(synthetic)
+
+
 def _reorder(bounds):
     minx, miny, maxx, maxy = bounds
     return min(minx, maxx), min(miny, maxy), max(minx, maxx), max(miny, maxy)

@@ -849,3 +849,50 @@ def test_multimodal_native_codec_decode_is_real(ray_session):
         rd.from_items(rows), feature_dim=8
     ).take_all()
     assert all(len(r["feature"]) == 8 for r in feats)
+
+
+def test_pad_box_stage_emits_missing_nodata_tiles(ray_session):
+    """Tile-space pad: the padded tile set covers the target box with
+    phase-preserving synthetic nodata tiles; original tiles pass through
+    untouched."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.stages import clip, decode, tile
+    from rioxarray_ray.stages.schema import pixels_from_row
+
+    ds = rd.from_arrow(corpus.corpus_table([8]))  # int16 single-band
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64)
+    orig = tiles.take_all()
+    ref = corpus.raster_for(8)
+    left, bottom, right, top = ref.bounds()
+    # pad one tile's width beyond the image on every side
+    dx = 64 * 0.005
+    box = (left - dx, bottom - dx, right + dx, top + dx)
+    padded = clip.pad_box_stage(tiles, box, tile_size=64).take_all()
+    assert len(padded) > len(orig)
+    orig_keys = {(r["tile_row"], r["tile_col"]) for r in orig}
+    new = [r for r in padded
+           if (r["tile_row"], r["tile_col"]) not in orig_keys]
+    assert new, "expected synthetic tiles"
+    # synthetic tiles: full nodata, phase-preserving transform
+    img_t = ref.transform
+    for r in new:
+        px = pixels_from_row(r)
+        assert (px == -28672).all() or (px == r["nodata"]).all()
+        expect_t = aff.window_transform(
+            img_t, r["tile_col"] * 64, r["tile_row"] * 64
+        )
+        assert np.allclose(r["transform"], expect_t)
+    # coverage: the union of padded tiles covers the box envelope
+    lefts = [aff.bounds(tuple(r["transform"]), r["w"], r["h"]) for r in padded]
+    cov_l = min(b[0] for b in lefts)
+    cov_b = min(b[1] for b in lefts)
+    cov_r = max(b[2] for b in lefts)
+    cov_t = max(b[3] for b in lefts)
+    assert cov_l <= box[0] and cov_b <= box[1]
+    assert cov_r >= box[2] and cov_t >= box[3]
+    # originals untouched
+    pad_by_key = {(r["tile_row"], r["tile_col"]): r for r in padded}
+    for r in orig:
+        assert pad_by_key[(r["tile_row"], r["tile_col"])]["pixels"] == r["pixels"]
