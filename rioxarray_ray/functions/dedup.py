@@ -223,8 +223,8 @@ def _hasher_for(num_perm: int, bands: int, ngram: int) -> "MinHasher":
 _BUCKET_CAP = 4096
 
 
-def minhash_candidates(ds, num_perm: int = 64, bands: int = 16, ngram: int = 3,
-                       concurrency=4, num_partitions: int = 16):
+def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
+                       ngram: int = 3):
     """Candidate near-dup pairs via banded MinHash LSH.
 
     shingle -> minhash -> band rows -> ONE (band, bucket) groupby with a
@@ -491,7 +491,11 @@ def simhash_candidates(ds, col: str = "text", ngram: int = 2,
             uniq = sorted({(int(i), int(s)) for i, s in members})
             for i in range(len(uniq)):
                 for j in range(i + 1, len(uniq)):
-                    ham = (uniq[i][1] ^ uniq[j][1]).bit_count()
+                    # signatures arrive as SIGNED int64 — mask the XOR to
+                    # 64 bits or bit 63 differences poison the popcount
+                    ham = (
+                        (uniq[i][1] ^ uniq[j][1]) & 0xFFFFFFFFFFFFFFFF
+                    ).bit_count()
                     if ham <= max_hamming:
                         out_a.append(uniq[i][0])
                         out_b.append(uniq[j][0])

@@ -67,10 +67,13 @@ class QualityScorer:
     ratio / mean word length (the classic pre-training quality heuristics).
 
     Fully columnar: one regex split per batch, ``np.bincount`` reductions.
-    Semantics match the round-1 per-row reference implementation exactly
-    (n_words = #tokens of [a-z']+, mean_word_len = total token chars /
+    n_words = #tokens of [a-z']+, mean_word_len = total token chars /
     n_words, punct_ratio = #[^\\w\\s] / max(len,1), stopword_ratio =
-    EN-stopword hits / max(n_words,1)).
+    EN-stopword hits / max(n_words,1).
+
+    Regex semantics are RE2 (Arrow): ``\\w`` is ASCII-only, matching the
+    DuckDB oracle exactly; this deliberately diverges from Python ``re``'s
+    Unicode ``\\w`` on non-ASCII text (accented letters count as punct).
     """
 
     def __init__(self):

@@ -47,7 +47,15 @@ def parse_cf_units(units: str):
         raise ValueError(f"cannot parse CF time units: {units!r}")
     unit = m.group(1).lower()
     if unit not in _UNIT_NS:
-        raise ValueError(f"unsupported CF time unit {unit!r} in {units!r}")
+        # the non-greedy regex strips the trailing 's' ('days' -> 'day')
+        # which also mangles the abbreviations 'ms'/'us' -> 'm'/'u';
+        # restore and retry before rejecting
+        if unit + "s" in _UNIT_NS:
+            unit = unit + "s"
+        else:
+            raise ValueError(
+                f"unsupported CF time unit {unit!r} in {units!r}"
+            )
     epoch_str = m.group(2).strip()
     # normalize 'T' separator and trailing Z / +00:00 offsets
     epoch_str = epoch_str.replace("T", " ").rstrip("Zz")

@@ -661,13 +661,21 @@ def from_user_input(value) -> CRS:
             )
         raise CRSError(f"unsupported proj4 string: {s}")
     # WKT: try EPSG authority/id codes outermost-last (skipping unit/datum
-    # authority ids like 9001 that never name a CRS)
+    # authority ids like 9001 that never name a CRS).  A PROJCS WKT must
+    # NEVER resolve through its inner GEOGCS code (e.g. the embedded 4326):
+    # that would silently treat meter coordinates as degrees — skip
+    # geographic candidates when the string is projected and fall through
+    # to PROJECTION-based parsing (or a loud CRSError) instead.
+    is_projected_wkt = "PROJCS" in s or "PROJCRS" in s
     codes = re.findall(r'(?:AUTHORITY|ID)\[\s*"?EPSG"?\s*,\s*"?(\d+)"?', s)
     for code in reversed(codes):
         try:
-            return from_epsg(int(code))
+            cand = from_epsg(int(code))
         except CRSError:
             continue
+        if is_projected_wkt and cand.is_geographic:
+            continue
+        return cand
     if "sinusoidal" in s.lower() or '"sinu' in s.lower():
         return SINUSOIDAL
     # WKT1 conics without an EPSG id: parse PROJECTION + PARAMETERs
@@ -680,7 +688,9 @@ def from_user_input(value) -> CRS:
                 r'PARAMETER\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)', s
             )
         }
-        if "polar_stereographic" in pname:
+        # exact name only: "Universal_Polar_Stereographic" (UPS, k0=0.994,
+        # 2e6 false origin) is a DIFFERENT projection and must not parse
+        if pname == "polar_stereographic" and pars.get("scale_factor", 1.0) == 1.0:
             return polar_stereographic(
                 pars.get("latitude_of_origin",
                          pars.get("standard_parallel_1", 90.0)),

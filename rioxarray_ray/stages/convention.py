@@ -125,6 +125,16 @@ def _cf_grid_mapping(c) -> dict:
             "false_easting": x0,
             "false_northing": y0,
         }
+    if c.kind == "ps":
+        lat_ts, lon0, x0, y0 = c.params
+        return {
+            "grid_mapping_name": "polar_stereographic",
+            "straight_vertical_longitude_from_pole": lon0,
+            "latitude_of_projection_origin": -90.0 if c.south else 90.0,
+            "standard_parallel": lat_ts,
+            "false_easting": x0,
+            "false_northing": y0,
+        }
     return {}
 
 

@@ -329,6 +329,36 @@ class TiledMatchWarpActor(WarpActor):
                          nodata=nodata)
         self._grid_inv = aff.invert(grid_spec.transform)
 
+    def _check_area_halo(self, cedges, redges, row):
+        """Area kernels aggregate the dst pixel's whole src-footprint box;
+        KERNEL_MARGIN only covers the same-resolution case (box <= ~2 px).
+        Verify the tile's built-in halo actually covers the measured box
+        extent — silently-truncated boxes would break the tiled==whole
+        invariant at tile seams (round-2 review finding)."""
+        ce = np.asarray(cedges)
+        re_ = np.asarray(redges)
+        if ce.ndim == 1:
+            box_w = float(np.abs(np.diff(ce)).max(initial=0.0))
+            box_h = float(np.abs(np.diff(re_)).max(initial=0.0))
+        else:
+            box_w = float(np.abs(np.diff(ce, axis=1)).max(initial=0.0))
+            box_h = float(np.abs(np.diff(re_, axis=0)).max(initial=0.0))
+        need = int(np.ceil(max(box_w, box_h) / 2.0 + 0.5))
+        halo = max(
+            int(row["core_roff"]),
+            int(row["core_coff"]),
+            int(row["h"]) - int(row["core_roff"]) - int(row["core_h"]),
+            int(row["w"]) - int(row["core_coff"]) - int(row["core_w"]),
+        )
+        if need > max(halo, 1):
+            raise ValueError(
+                f"area resampling {self.resampling!r} at this downsampling "
+                f"ratio needs a tile halo of >= {need} src pixels, but the "
+                f"tiles were built with ~{halo}; rebuild with "
+                f"tile_stage(halo={need}) (or tile_halo) before "
+                "reproject_match_tiled"
+            )
+
     def _warp_tile_row(self, pixels, row):
         from ..kernels.nodata import valid_mask
         from ..kernels.raster import Raster
@@ -371,6 +401,7 @@ class TiledMatchWarpActor(WarpActor):
         own = np.broadcast_to(own, (dh, dw))
         if self.resampling in warp_mod.AREA_METHODS:
             ce, re_ = self._fractional_edges(dst_t, (dh, dw), grid.crs, src)
+            self._check_area_halo(ce, re_, row)
             coords = ("area", ce, re_)
         else:
             coords = ("point", fcol, frow)

@@ -81,9 +81,7 @@ def test_minhash_lsh_finds_near_duplicates(ray_session):
     docs.append({"doc_id": 61, "text": " ".join(base[:76] + ["x1", "x2", "x3", "x4"])})
     docs.append({"doc_id": 62, "text": " ".join(base)})  # exact dup
     ds = rd.from_items(docs)
-    cand = dedup.minhash_candidates(
-        ds, num_perm=64, bands=16, concurrency=2, num_partitions=4
-    ).take_all()
+    cand = dedup.minhash_candidates(ds, num_perm=64, bands=16).take_all()
     pairs = {(r["doc_a"], r["doc_b"]) for r in cand}
     assert (0, 62) in pairs  # exact dup always collides
     assert (0, 61) in pairs  # high-jaccard near dup
@@ -278,3 +276,35 @@ def test_sessionize_plans_agree_on_boundaries_and_ties(ray_session):
     assert [(s[1], s[2]) for s in a] == [(0, 5), (1, 1)]
     b = [s for s in single if s[0] == "B"]
     assert [(s[1], s[2]) for s in b] == [(0, 2), (1, 1)]
+
+
+def test_simhash_pair_hamming_is_unsigned(ray_session):
+    """Bit-63 differences must not poison the hamming popcount (signed
+    int64 storage): two texts whose signatures differ in the top bit still
+    pair up when the true hamming is small."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rioxarray_ray.functions import dedup
+
+    # find a text whose simhash has bit 63 set, then a near-dup of it
+    rng = np.random.default_rng(29)
+    vocab = [f"t{i}" for i in range(300)]
+    base = None
+    for _ in range(200):
+        cand = " ".join(rng.choice(vocab, size=100))
+        if dedup.simhash64(cand) >> 63:
+            base = cand
+            break
+    assert base is not None
+    near = " ".join(base.split()[:98] + ["xx1", "xx2"])
+    true_ham = (dedup.simhash64(base) ^ dedup.simhash64(near)).bit_count()
+    ds = rd.from_items(
+        [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": near}]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_candidates(ds, max_hamming=10).take_all()
+    }
+    if true_ham <= 10:
+        assert got.get((0, 1)) == true_ham

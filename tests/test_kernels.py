@@ -1021,3 +1021,46 @@ def test_polar_stereographic_parsing_and_warp():
     valid = ~np.isnan(inner)
     rel = np.abs(inner[valid] - ref[valid]).max() / (ref.max() - ref.min())
     assert rel < 0.01, rel
+
+
+# ------------------------------------------------- round-2 review fixes
+def test_projected_wkt_never_resolves_via_inner_geogcs():
+    """A PROJCS WKT whose only parseable EPSG code is the inner GEOGCS 4326
+    must NOT parse as geographic (meters-as-degrees hazard): unknown
+    projections raise, known PROJECTION branches still parse."""
+    ups_like = (
+        'PROJCS["WGS 84 / UPS North",GEOGCS["WGS 84",DATUM["WGS_1984",'
+        'SPHEROID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'UNIT["degree",0.0174532925199433],AUTHORITY["EPSG","4326"]],'
+        'PROJECTION["Universal_Polar_Stereographic"],'
+        'UNIT["metre",1,AUTHORITY["EPSG","9001"]]]'
+    )
+    with pytest.raises(crs.CRSError):
+        crs.from_user_input(ups_like)
+    # known projection with inner 4326 but no outer code -> PROJECTION parse
+    l93 = crs.from_epsg(2154)
+    wkt = l93.to_wkt().replace(',AUTHORITY["EPSG","2154"]', "")
+    assert "2154" not in wkt
+    assert crs.from_user_input(wkt) == l93
+    # geographic WKT still resolves through its own code
+    assert crs.from_user_input(crs.GEOGRAPHIC.to_wkt()) == crs.GEOGRAPHIC
+
+
+def test_cf_units_ms_us_abbreviations():
+    from rioxarray_ray.kernels import cf
+
+    got = cf.decode_cf_datetime([1500], "ms since 1970-01-01")
+    assert str(got[0]) == "1970-01-01T00:00:01.500000000"
+    got = cf.decode_cf_datetime([2500], "us since 1970-01-01")
+    assert str(got[0]) == "1970-01-01T00:00:00.002500000"
+
+
+def test_ps_grid_mapping_attrs():
+    from rioxarray_ray.stages.convention import _cf_grid_mapping
+
+    gm = _cf_grid_mapping(crs.from_epsg(3413))
+    assert gm["grid_mapping_name"] == "polar_stereographic"
+    assert gm["latitude_of_projection_origin"] == 90.0
+    assert gm["standard_parallel"] == 70.0
+    gm = _cf_grid_mapping(crs.from_epsg(3031))
+    assert gm["latitude_of_projection_origin"] == -90.0
