@@ -38,9 +38,12 @@ class BruteForceTopK:
         sims = vecs @ self.q.T  # (n, q)
         k = min(self.k, len(ids))
         out = {"query_id": [], "vec_id": [], "cosine": []}
-        top = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, q)
         for qi in range(self.q.shape[0]):
-            rows = top[:, qi]
+            # deterministic partial top-k: ties at the k-th cosine keep the
+            # SMALLEST vec_id (matching the final reduce's tie-break) —
+            # argpartition would drop an arbitrary tie member here, making
+            # results vary with block partitioning
+            rows = np.lexsort((ids, -sims[:, qi]))[:k]
             for r in rows:
                 out["query_id"].append(int(self.qids[qi]))
                 out["vec_id"].append(int(ids[r]))
@@ -151,10 +154,15 @@ def blocked_topk_cosine(
         )
         sims = dv @ qv.T  # (n_d, n_q)
         kk = min(k, len(dids))
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, n_q)
+        # deterministic tie-break (cosine desc, vec_id asc) per query —
+        # see BruteForceTopK
+        cols = [np.lexsort((dids, -sims[:, j]))[:kk]
+                for j in range(sims.shape[1])]
         out_q = np.repeat(qids, kk)
-        out_v = dids[top.T.ravel()]
-        out_c = np.take_along_axis(sims, top, axis=0).T.ravel()
+        out_v = np.concatenate([dids[c] for c in cols])
+        out_c = np.concatenate(
+            [sims[c, j] for j, c in enumerate(cols)]
+        )
         return pd.DataFrame(
             {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
         )
@@ -382,10 +390,10 @@ def ivf_topk(ds, query_ids, query_vecs, k: int = 10, n_centroids: int = 16,
                 mask = buckets == b
                 sims = vecs[mask] @ self.q[qrows].T
                 sel_ids = ids[mask]
-                kk = min(k, mask.sum())
-                top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                kk = min(k, int(mask.sum()))
                 for j, qi in enumerate(qrows):
-                    for r in top[:, j]:
+                    # deterministic tie-break (see BruteForceTopK)
+                    for r in np.lexsort((sel_ids, -sims[:, j]))[:kk]:
                         out["query_id"].append(int(self.qids[qi]))
                         out["vec_id"].append(int(sel_ids[r]))
                         out["cosine"].append(float(sims[r, j]))

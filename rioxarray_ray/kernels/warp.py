@@ -318,15 +318,10 @@ def _resample_band_area(band, vmask, cedges, redges, method):
         rhi = np.maximum.reduce(
             [redges[:-1, :-1], redges[:-1, 1:], redges[1:, :-1], redges[1:, 1:]]
         )
+        # dense path: ranges already carry oob's full (h_dst, w_dst) shape
         C0, C1, coob = _box_ranges(clo, chi, w)
         R0, R1, roob = _box_ranges(rlo, rhi, h)
         oob = roob | coob
-        R0, R1 = np.broadcast_arrays(R0, R1)
-        C0, C1 = np.broadcast_arrays(C0, C1)
-        R0, R1, C0, C1 = (
-            np.broadcast_to(R0, oob.shape), np.broadcast_to(R1, oob.shape),
-            np.broadcast_to(C0, oob.shape), np.broadcast_to(C1, oob.shape),
-        )
 
     if method in ("average", "sum", "rms"):
         v = np.where(vmask, band.astype(np.float64), 0.0)

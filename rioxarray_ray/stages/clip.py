@@ -170,8 +170,14 @@ def pad_box_stage(tiles_ds, bounds, box_crs=None, tile_size: int = 64,
     def plan(group: pd.DataFrame) -> pd.DataFrame:
         first = group.iloc[0]
         t0 = tuple(float(v) for v in first["transform"])
+        # the row transform describes the (possibly halo-EXPANDED) window,
+        # whose absolute origin is win_off - core_off; shifting by the raw
+        # win_off alone would skew the recovered image origin by the halo
+        # of whichever row happened to come first in the group
         img_t = aff.window_transform(
-            t0, -int(first["win_col_off"]), -int(first["win_row_off"])
+            t0,
+            int(first["core_coff"]) - int(first["win_col_off"]),
+            int(first["core_roff"]) - int(first["win_row_off"]),
         )
         crs_str = first["crs"]
         rcrs = crs_mod.from_user_input(crs_str) if crs_str else None

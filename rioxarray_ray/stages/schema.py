@@ -201,12 +201,9 @@ def row_to_raster(row: dict):
     from ..kernels import crs as crs_mod
     from ..kernels.raster import Raster
 
-    nodata = row["nodata"]
-    if nodata != nodata:  # NaN sentinel -> no nodata only for int dtypes
-        nodata = None if np.dtype(row["dtype"]).kind in "iu" else float("nan")
     return Raster(
         pixels_from_row(row).copy(),
         tuple(row["transform"]),
         crs_mod.from_user_input(row["crs"]) if row["crs"] else None,
-        nodata=nodata,
+        nodata=decode_nodata(row["nodata"], row["dtype"]),
     )

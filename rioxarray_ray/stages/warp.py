@@ -173,9 +173,35 @@ class WarpActor:
             _, sy = src.crs.forward(np.zeros_like(lat), lat)
             inv = aff.invert(src.transform)
             return inv[0] * sx + inv[2], inv[4] * sy + inv[5]
-        return warp_mod._src_fractional_edges(
-            dst_transform, dst_shape, dcrs, src.crs, src.transform
-        )
+        lon, lat = self._dst_lonlat_edges(dst_transform, dst_shape, dcrs)
+        sx, sy = src.crs.forward(lon, lat)
+        fcol, frow = aff.apply_inverse(src.transform, sx, sy)
+        return fcol.reshape(dh + 1, dw + 1), frow.reshape(dh + 1, dw + 1)
+
+    def _dst_lonlat_edges(self, transform, shape, dcrs):
+        """lon/lat of dst pixel CORNERS — cached in match mode like
+        _dst_lonlat (the projection is the expensive half; without the
+        cache every row re-inverts the identical shared grid)."""
+        h, w = shape
+        if self.grid is None:
+            cols = np.arange(w + 1, dtype=np.float64)
+            rows = np.arange(h + 1, dtype=np.float64)
+            cg, rg = np.meshgrid(cols, rows)
+            dx, dy = aff.apply(transform, cg, rg)
+            return dcrs.inverse(dx.ravel(), dy.ravel())
+        key = ("edges", transform, shape, dcrs.to_string())
+        hit = self._lonlat_cache.get(key)
+        if hit is None:
+            cols = np.arange(w + 1, dtype=np.float64)
+            rows = np.arange(h + 1, dtype=np.float64)
+            cg, rg = np.meshgrid(cols, rows)
+            dx, dy = aff.apply(transform, cg, rg)
+            lon, lat = dcrs.inverse(dx.ravel(), dy.ravel())
+            hit = (lon, lat)
+            if len(self._lonlat_cache) > 32:  # bound actor memory
+                self._lonlat_cache.clear()
+            self._lonlat_cache[key] = hit
+        return hit
 
     def _resample(self, band, vm, coords):
         """Dispatch one band through the point or area kernel family."""
@@ -247,11 +273,10 @@ class WarpActor:
         dtypes = batch["dtype"].to_pylist()
         hs, ws, out_crs, out_t, out_nod, out_dt = [], [], [], [], [], []
         builder = BinaryBuilder()
+        from .schema import decode_nodata
+
         for i, pixels in enumerate(pixel_views(batch)):
-            nod = float(nodatas[i])
-            src_nodata = nod if nod == nod else (
-                None if np.dtype(dtypes[i]).kind in "iu" else float("nan")
-            )
+            src_nodata = decode_nodata(float(nodatas[i]), dtypes[i])
             out, dst_transform, dcrs, dst_nodata = self._warp_pixels(
                 pixels,  # read-only view; the warp only gathers from it
                 tuple(transforms[i]),
@@ -341,9 +366,24 @@ class TiledMatchWarpActor(WarpActor):
             box_w = float(np.abs(np.diff(ce)).max(initial=0.0))
             box_h = float(np.abs(np.diff(re_)).max(initial=0.0))
         else:
-            box_w = float(np.abs(np.diff(ce, axis=1)).max(initial=0.0))
-            box_h = float(np.abs(np.diff(re_, axis=0)).max(initial=0.0))
-        need = int(np.ceil(max(box_w, box_h) / 2.0 + 0.5))
+            # the aggregation box is the axis-aligned HULL of the 4 cell
+            # corners (non-separable mappings twist the cell), so measure
+            # exactly what _resample_band_area will use — a single-axis
+            # diff undercounts by up to 2x under grid convergence
+            def hull_extent(e):
+                lo = np.minimum.reduce(
+                    [e[:-1, :-1], e[:-1, 1:], e[1:, :-1], e[1:, 1:]]
+                )
+                hi = np.maximum.reduce(
+                    [e[:-1, :-1], e[:-1, 1:], e[1:, :-1], e[1:, 1:]]
+                )
+                return float((hi - lo).max(initial=0.0))
+
+            box_w = hull_extent(ce)
+            box_h = hull_extent(re_)
+        # owned dst centers sit within core +- OWN_MARGIN; a (roughly
+        # centered) box reaches ~box/2 + margin past the core edge
+        need = int(np.ceil(max(box_w, box_h) / 2.0 + self._OWN_MARGIN))
         halo = max(
             int(row["core_roff"]),
             int(row["core_coff"]),
@@ -384,10 +424,9 @@ class TiledMatchWarpActor(WarpActor):
             return None
         dh, dw = dr1 - dr0, dc1 - dc0
         dst_t = aff.window_transform(grid.transform, dc0, dr0)
-        nod = float(row["nodata"])
-        src_nodata = nod if nod == nod else (
-            None if np.dtype(row["dtype"]).kind in "iu" else float("nan")
-        )
+        from .schema import decode_nodata
+
+        src_nodata = decode_nodata(float(row["nodata"]), row["dtype"])
         src = Raster(pixels, t_exp, src_crs, src_nodata)
         fcol, frow = self._fractional_coords(dst_t, (dh, dw), grid.crs, src)
         # ownership: src sample (dst pixel CENTER preimage, for every kernel

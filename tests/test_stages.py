@@ -896,3 +896,36 @@ def test_pad_box_stage_emits_missing_nodata_tiles(ray_session):
     pad_by_key = {(r["tile_row"], r["tile_col"]): r for r in padded}
     for r in orig:
         assert pad_by_key[(r["tile_row"], r["tile_col"])]["pixels"] == r["pixels"]
+
+
+def test_pad_box_stage_halo_tiles_keep_pixel_phase(ray_session):
+    """Review regression: halo-built tiles carry EXPANDED-window transforms;
+    the pad planner must recover the true image origin through core_*offs,
+    or every synthetic tile shifts by the halo of an arbitrary group row."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.stages import clip, decode, tile
+
+    ds = rd.from_arrow(corpus.corpus_table([8]))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64, halo=2)
+    ref = corpus.raster_for(8)
+    left, bottom, right, top = ref.bounds()
+    dx = 64 * 0.005
+    box = (left - dx, bottom, right, top)
+    padded = clip.pad_box_stage(tiles, box, tile_size=64).take_all()
+    img_t = ref.transform
+    orig_keys = {
+        (r["tile_row"], r["tile_col"])
+        for r in tiles.take_all()
+    }
+    new = [r for r in padded
+           if (r["tile_row"], r["tile_col"]) not in orig_keys]
+    assert new
+    for r in new:
+        expect_t = aff.window_transform(
+            img_t, r["tile_col"] * 64, r["tile_row"] * 64
+        )
+        assert np.allclose(r["transform"], expect_t), (
+            r["tile_row"], r["tile_col"]
+        )
