@@ -467,20 +467,51 @@ def open_parquet(path: str, **read_kwargs) -> "RasterDataset":
     return rds
 
 
+_SPATIAL_COLUMNS = ("h", "w", "transform", "pixels")
+
+
+def _check_spatial_schema(name: str, rds: "RasterDataset") -> bool:
+    """Per-variable spatial-dims gate (the reference's
+    ``_get_spatial_dims`` try/except at raster_dataset.py:100-142): returns
+    True when the variable has the spatial columns, False to skip it when
+    the ``skip_missing_spatial_dims`` option is set, raises otherwise."""
+    from .kernels.raster import MissingSpatialDimensionError
+    from .options import SKIP_MISSING_SPATIAL_DIMS, get_option
+
+    names = set(rds.ds.schema().names)
+    missing = [c for c in _SPATIAL_COLUMNS if c not in names]
+    if not missing:
+        return True
+    if get_option(SKIP_MISSING_SPATIAL_DIMS):
+        return False
+    raise MissingSpatialDimensionError(
+        f"variable {name!r} is missing spatial columns {missing}; set "
+        "rioxarray_ray.set_options(skip_missing_spatial_dims=True) to skip "
+        "non-spatial variables"
+    )
+
+
 def write_parquet_dataset(named: dict, out_dir: str, **kwargs) -> str:
     """Multi-variable writer (Dataset.rio.to_raster analogue,
     /root/reference/rioxarray/raster_dataset.py + raster_writer.py band
     naming): each variable writes under ``var=<name>/`` with its own attrs
     sidecar, plus a ``_variables.json`` manifest — the row-store counterpart
-    of multi-band output with long band names."""
+    of multi-band output with long band names.  Non-spatial variables raise
+    ``MissingSpatialDimensionError`` unless ``skip_missing_spatial_dims``
+    is set, in which case they are skipped (reference option semantics,
+    raster_dataset.py:136-141)."""
     import json
     import os
 
     os.makedirs(out_dir, exist_ok=True)
+    written = []
     for name, rds in named.items():
+        if not _check_spatial_schema(name, rds):
+            continue
         rds.write_parquet(os.path.join(out_dir, f"var={name}"), **kwargs)
+        written.append(name)
     with open(os.path.join(out_dir, "_variables.json"), "w") as f:
-        json.dump({"variables": sorted(named)}, f)
+        json.dump({"variables": sorted(written)}, f)
     return out_dir
 
 
@@ -503,9 +534,15 @@ def merge_datasets(named: dict, method="first", resolution=None,
     /root/reference/rioxarray/merge.py:226-291): each named RasterDataset
     merges independently onto its own union grid; returns
     ``{name: (mosaic RasterDataset, grid)}`` — the reference's per-variable
-    loop expressed over named datasets."""
+    loop expressed over named datasets.  Non-spatial variables raise
+    ``MissingSpatialDimensionError`` unless ``skip_missing_spatial_dims``
+    is set, in which case they pass through unchanged with ``grid=None``
+    (the reference copies them verbatim, raster_dataset.py:136-141)."""
     out = {}
     for name, rds in named.items():
+        if not _check_spatial_schema(name, rds):
+            out[name] = (rds, None)
+            continue
         mosaic, grid = rds.merge(
             method=method, resolution=resolution, dst_tile_size=dst_tile_size
         )

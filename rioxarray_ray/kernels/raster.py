@@ -40,6 +40,12 @@ class MissingCRS(RioXarrayRayError):
     """CRS not set (reproject contract, raster_array.py:262-268)."""
 
 
+class MissingSpatialDimensionError(RioXarrayRayError):
+    """Variable lacks the spatial columns (per-variable Dataset loop
+    contract, /root/reference/rioxarray/raster_dataset.py:100-142 — raised
+    unless the ``skip_missing_spatial_dims`` option is set)."""
+
+
 @dataclass(frozen=True)
 class Raster:
     pixels: np.ndarray  # (bands, h, w)

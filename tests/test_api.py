@@ -125,6 +125,44 @@ def test_merge_datasets_per_variable(ray_session):
         assert (w, h) == (ref.width, ref.height)
 
 
+def test_skip_missing_spatial_dims_option(ray_session, tmp_path):
+    """skip_missing_spatial_dims toggles skip-vs-raise for non-spatial
+    variables in the per-variable loops (reference option semantics,
+    raster_dataset.py:100-142 + _options.py)."""
+    import pytest
+    import ray.data as rd
+
+    import rioxarray_ray
+    from rioxarray_ray import api
+    from rioxarray_ray.kernels.raster import MissingSpatialDimensionError
+
+    spatial = api.open_corpus(2)
+    tabular = api.wrap(
+        rd.from_items([{"k": i, "v": float(i)} for i in range(4)])
+    )
+
+    # default: raise on the non-spatial variable
+    with pytest.raises(MissingSpatialDimensionError, match="tab"):
+        api.write_parquet_dataset(
+            {"img": spatial, "tab": tabular}, str(tmp_path / "w1")
+        )
+    with pytest.raises(MissingSpatialDimensionError):
+        api.merge_datasets({"img": spatial, "tab": tabular})
+
+    # option set: non-spatial variables are skipped / passed through
+    with rioxarray_ray.set_options(skip_missing_spatial_dims=True):
+        out = api.write_parquet_dataset(
+            {"img": spatial, "tab": tabular}, str(tmp_path / "w2")
+        )
+        back = api.open_parquet_dataset(out)
+        assert set(back) == {"img"}
+
+        merged = api.merge_datasets({"img": spatial, "tab": tabular})
+        assert merged["tab"][0] is tabular and merged["tab"][1] is None
+        _, (t, w, h) = merged["img"]
+        assert w > 0 and h > 0
+
+
 def test_tile_halo_plus_tiled_match(ray_session):
     from rioxarray_ray import api
     from rioxarray_ray.stages.warp import GridSpec

@@ -467,6 +467,12 @@ def test_resumable_pipeline_skips_completed(tmp_path, ray_session):
     assert {r["partition_key"] for r in lin} == {"0", "1", "2"}
     assert all(r["rows"] > 0 and r["bytes"] > 0 for r in lin)
 
+    # fully-completed resume: everything filtered out, single pass handles
+    # the empty stream (no count() pre-pass guarding it anymore)
+    third = resumable.run_resumable(ds, out, concurrency=2)
+    assert third["written"] == []
+    assert sorted(third["skipped"]) == ["0", "1", "2"]
+
 
 def test_multimodal_feature_stage(ray_session):
     """Real Ray plumbing over stubbed codecs (image fake decoder; audio
