@@ -1109,6 +1109,45 @@ SELECT doc_id,
        CAST(length(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct
 FROM documents
 """,
+        # same stopword lists + tokenization + strict-unique-argmax tie rule
+        # as functions/text.py LangId (keep the two in lockstep)
+        "text_langid": r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang,
+    len(list_filter(toks, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS c_de,
+    len(list_filter(toks, w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS c_en,
+    len(list_filter(toks, w -> w IN ('el','la','los','y','de','un','una','es','que','por'))) AS c_es,
+    len(list_filter(toks, w -> w IN ('le','la','les','et','de','un','une','est','que','pour'))) AS c_fr
+  FROM t
+),
+g AS (
+  SELECT *, greatest(c_de, c_en, c_es, c_fr) AS top,
+         CAST(c_de = greatest(c_de, c_en, c_es, c_fr) AS INT)
+           + CAST(c_en = greatest(c_de, c_en, c_es, c_fr) AS INT)
+           + CAST(c_es = greatest(c_de, c_en, c_es, c_fr) AS INT)
+           + CAST(c_fr = greatest(c_de, c_en, c_es, c_fr) AS INT) AS n_at_top
+  FROM c
+)
+SELECT doc_id, lang,
+       CASE WHEN top = 0 OR n_at_top > 1 THEN 'und'
+            WHEN c_de = top THEN 'de'
+            WHEN c_en = top THEN 'en'
+            WHEN c_es = top THEN 'es'
+            ELSE 'fr' END AS lang_pred
+FROM g
+""",
+        # fingerprint = md5_number_upper(ws-normalized text): first 8 md5
+        # digest bytes little-endian, matching functions/text.py exactly
+        "text_fingerprint": r"""
+SELECT doc_id,
+       md5_number_upper(trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'), ' ')) AS fingerprint
+FROM documents
+""",
         "embedding_near_dup": f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

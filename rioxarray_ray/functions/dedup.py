@@ -221,6 +221,9 @@ def _hasher_for(num_perm: int, bands: int, ngram: int) -> "MinHasher":
 # capped bucket still yields cap*(cap-1)/2 candidate pairs, and real
 # near-dup clusters far smaller than the cap are unaffected
 _BUCKET_CAP = 4096
+# per-bucket candidate-pair budget: a full cap-sized bucket would otherwise
+# expand to cap*(cap-1)/2 ≈ 8.4M pairs inside one task
+_BUCKET_PAIR_CAP = 262_144
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
@@ -257,19 +260,45 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     )
 
     def expand_pairs(batch: pa.Table) -> pa.Table:
-        out_a, out_b = [], []
+        # vectorized pair expansion (np.triu_indices over the unique id
+        # array — no nested Python loop), with a per-bucket pair cap so a
+        # degenerate bucket (e.g. thousands of identical/empty docs sharing
+        # one signature in every band) cannot emit a quadratic pair blowup
+        # from inside one task; over-cap buckets are truncated to the pairs
+        # linking each doc to the smallest id (still transitively connected
+        # for downstream clustering) and the drop is logged
+        chunks_a, chunks_b = [], []
         for ids in batch["doc_ids"].to_pylist():
             if len(ids) < 2:
                 continue
-            uniq = sorted(set(int(v) for v in ids))
-            for i, x in enumerate(uniq):
-                for y in uniq[i + 1 :]:
-                    out_a.append(x)
-                    out_b.append(y)
+            uniq = np.unique(np.asarray(ids, dtype=np.int64))
+            n = len(uniq)
+            if n * (n - 1) // 2 > _BUCKET_PAIR_CAP:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "minhash bucket with %d docs exceeds the %d-pair cap; "
+                    "emitting star pairs (hub=min id) instead of all pairs",
+                    n,
+                    _BUCKET_PAIR_CAP,
+                )
+                chunks_a.append(np.full(n - 1, uniq[0]))
+                chunks_b.append(uniq[1:])
+                continue
+            ia, ib = np.triu_indices(n, k=1)
+            chunks_a.append(uniq[ia])
+            chunks_b.append(uniq[ib])
+        if not chunks_a:
+            return pa.Table.from_pydict(
+                {
+                    "doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                }
+            )
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
+                "doc_a": pa.array(np.concatenate(chunks_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(chunks_b), pa.int64()),
             }
         )
 
@@ -431,12 +460,30 @@ def simhash_candidates(ds, col: str = "text", ngram: int = 2,
     bits cannot touch all 4 bands), so with the default parameters the
     candidate set is a certified superset of all hamming<=3 pairs.  One
     groupby with a capped collect aggregate (the minhash shape); hamming is
-    verified inside the pair expansion, so the output is exact:
+    verified inside the pair expansion, so every emitted pair is exact:
     (doc_a, doc_b, hamming<=max_hamming), doc_a < doc_b, deduplicated.
+
+    Certification caveats:
+    - ``max_hamming > bands-1`` voids the pigeonhole guarantee (a pair can
+      differ in every band yet still be within ``max_hamming``) — the
+      output is then banded-LSH RECALL, not an exhaustive pair set; a
+      ValueError forces callers to opt in via more bands or a smaller
+      threshold.
+    - a degenerate (band, bucket) group holding more than ``_BUCKET_CAP``
+      members is truncated by the collect aggregate, so pairs wholly inside
+      the truncated tail of such a bucket can be missed unless they share
+      another, smaller band bucket.
     """
     from ray.data.aggregate import AggregateFn, Min
 
     assert 64 % bands == 0
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds bands-1={bands - 1}: the "
+            "banded pigeonhole certification only covers hamming <= "
+            "bands-1; raise bands (64 must stay divisible) or lower "
+            "max_hamming"
+        )
     seg_bits = 64 // bands
     mask = np.uint64((1 << seg_bits) - 1)
 
@@ -484,27 +531,39 @@ def simhash_candidates(ds, col: str = "text", ngram: int = 2,
     )
 
     def expand_pairs(batch: pa.Table) -> pa.Table:
-        out_a, out_b, out_h = [], [], []
+        # vectorized: triu_indices pair grid, XOR on uint64 views (the
+        # signatures arrive as SIGNED int64 — the uint64 view keeps bit 63
+        # differences from poisoning the popcount), popcount via unpackbits
+        chunks_a, chunks_b, chunks_h = [], [], []
         for members in batch["members"].to_pylist():
             if len(members) < 2:
                 continue
-            uniq = sorted({(int(i), int(s)) for i, s in members})
-            for i in range(len(uniq)):
-                for j in range(i + 1, len(uniq)):
-                    # signatures arrive as SIGNED int64 — mask the XOR to
-                    # 64 bits or bit 63 differences poison the popcount
-                    ham = (
-                        (uniq[i][1] ^ uniq[j][1]) & 0xFFFFFFFFFFFFFFFF
-                    ).bit_count()
-                    if ham <= max_hamming:
-                        out_a.append(uniq[i][0])
-                        out_b.append(uniq[j][0])
-                        out_h.append(ham)
+            pairs = sorted({(int(i), int(s) & 0xFFFFFFFFFFFFFFFF)
+                            for i, s in members})
+            ids = np.array([p[0] for p in pairs], dtype=np.int64)
+            sigs = np.array([p[1] for p in pairs], dtype=np.uint64)
+            ia, ib = np.triu_indices(len(ids), k=1)
+            xor = sigs[ia] ^ sigs[ib]
+            ham = np.unpackbits(
+                xor.view(np.uint8).reshape(len(xor), 8), axis=1
+            ).sum(axis=1, dtype=np.int64)
+            keep = ham <= max_hamming
+            chunks_a.append(ids[ia[keep]])
+            chunks_b.append(ids[ib[keep]])
+            chunks_h.append(ham[keep])
+        if not chunks_a:
+            chunks_a, chunks_b, chunks_h = [[]], [[]], [[]]
         return pa.Table.from_pydict(
             {
-                "doc_a": pa.array(out_a, pa.int64()),
-                "doc_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_h, pa.int64()),
+                "doc_a": pa.array(
+                    np.concatenate(chunks_a).astype(np.int64), pa.int64()
+                ),
+                "doc_b": pa.array(
+                    np.concatenate(chunks_b).astype(np.int64), pa.int64()
+                ),
+                "hamming": pa.array(
+                    np.concatenate(chunks_h).astype(np.int64), pa.int64()
+                ),
             }
         )
 

@@ -36,17 +36,21 @@ def _fake_image_decode(payload: bytes) -> np.ndarray:
 
 def _image_decode(payload: bytes) -> np.ndarray:
     """REAL decode for the engine's native formats (self-describing magic);
-    foreign payloads fall back to the deterministic fake (PIL absent)."""
-    import struct
-    import zlib
+    foreign payloads fall back to the deterministic fake (PIL absent).
 
+    The fallback triggers ONLY on an unrecognized magic byte: a payload
+    that claims a native format but is truncated/corrupted RAISES, so data
+    corruption can never silently turn into synthetic pixels downstream."""
     from ..kernels import codecs
 
+    if codecs.sniff(payload) is None:
+        return _fake_image_decode(payload)
     try:
         return codecs.decode(payload)
-    except (ValueError, KeyError, zlib.error, struct.error, IndexError):
-        # not one of ours (bad magic, truncated header, lookalike bytes)
-        return _fake_image_decode(payload)
+    except Exception as exc:
+        raise ValueError(
+            f"native-format image payload is malformed: {exc}"
+        ) from exc
 
 
 def _unavailable(kind: str):

@@ -30,6 +30,15 @@ LOSSLESS = ("raw16", "rawu8", "pngz")
 NODATA_CODE = 255  # lq8 reserved code
 
 
+def sniff(data: bytes) -> str | None:
+    """Format tag when the payload carries a native magic byte, else None.
+
+    The cheap membership test callers use to separate "not one of ours"
+    (foreign format — fall back / route elsewhere) from "ours but
+    malformed" (corruption — decode() must raise, never be masked)."""
+    return {v: k for k, v in _MAGIC.items()}.get(data[:1])
+
+
 def dtype_for(fmt: str) -> np.dtype:
     return np.dtype(np.uint8) if fmt == "rawu8" else np.dtype(np.int16)
 

@@ -228,6 +228,22 @@ def pip_join_broadcast(
     )
 
 
+def tile_salt_buckets(ids, trs, tcs, salt: int) -> np.ndarray:
+    """Deterministic salt bucket per tile (crc32 of the tile identity mod
+    ``salt``) — the hot-cell splitter used by pip_join_shuffle's composite
+    key; exposed so skew tests can assert the reducer-side distribution."""
+    import zlib
+
+    return np.fromiter(
+        (
+            zlib.crc32(f"{i}/{r}/{c}".encode()) % salt
+            for i, r, c in zip(ids, trs, tcs)
+        ),
+        dtype=np.int64,
+        count=len(ids),
+    )
+
+
 def pip_join_shuffle(
     tiles_ds,
     geom_rows,
@@ -300,20 +316,13 @@ def pip_join_shuffle(
 
     def keyed_tiles(batch: pa.Table) -> pa.Table:
         # deterministic salt bucket from a stable hash of the tile identity
-        import zlib
-
-        ids = batch["image_id"].to_pylist()
-        trs = batch["tile_row"].to_pylist()
-        tcs = batch["tile_col"].to_pylist()
-        cells = batch["cell"].to_numpy(zero_copy_only=False)
-        salts = np.fromiter(
-            (
-                zlib.crc32(f"{i}/{r}/{c}".encode()) % salt
-                for i, r, c in zip(ids, trs, tcs)
-            ),
-            dtype=np.int64,
-            count=len(ids),
+        salts = tile_salt_buckets(
+            batch["image_id"].to_pylist(),
+            batch["tile_row"].to_pylist(),
+            batch["tile_col"].to_pylist(),
+            salt,
         )
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
         key = (cells.astype(np.int64) << 4) | salts
         n = batch.num_rows
         return pa.Table.from_arrays(

@@ -302,9 +302,18 @@ def test_simhash_pair_hamming_is_unsigned(ray_session):
     ds = rd.from_items(
         [{"doc_id": 0, "text": base}, {"doc_id": 1, "text": near}]
     )
+    # bands=16 keeps the pigeonhole certification valid for max_hamming=10
     got = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
-        for r in dedup.simhash_candidates(ds, max_hamming=10).take_all()
+        for r in dedup.simhash_candidates(
+            ds, max_hamming=10, bands=16
+        ).take_all()
     }
     if true_ham <= 10:
         assert got.get((0, 1)) == true_ham
+
+    # max_hamming beyond the certification bound is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_candidates(ds, max_hamming=10, bands=4)

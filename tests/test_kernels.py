@@ -945,6 +945,14 @@ def test_cf_datetime_decode_known_values():
     units = "days since 1990-05-04"
     back = cf.encode_cf_datetime(cf.decode_cf_datetime(vals, units), units)
     np.testing.assert_allclose(back, vals, atol=1e-9)
+    # large integral offsets decode in int64 (the float64 path is off by
+    # tens of ns at ~1.7e18 ns: ulp ~256 ns) — int AND integral-float input
+    big = 1700000000123457  # microseconds; *1000 is float64-lossy
+    for arr in ([big], np.array([big], np.int64), np.array([float(big)])):
+        got = cf.decode_cf_datetime(arr, "microseconds since 1970-01-01")
+        assert (
+            got[0] - np.datetime64(0, "ns")
+        ) // np.timedelta64(1, "ns") == big * 1000
     with pytest.raises(NotImplementedError):
         cf.decode_cf_datetime([0], "days since 2000-01-01", calendar="360_day")
     with pytest.raises(ValueError):

@@ -482,7 +482,7 @@ def test_multimodal_feature_stage(ray_session):
     from rioxarray_ray.functions import multimodal
 
     rows = [
-        {"media_id": f"m{i}", "payload": bytes([i]) * 64,
+        {"media_id": f"m{i}", "payload": bytes([0x80 + i]) * 64,
          "media_type": "image", "meta": "{}"}
         for i in range(8)
     ]
@@ -495,6 +495,11 @@ def test_multimodal_feature_stage(ray_session):
     assert sorted(map(str, out)) == sorted(map(str, again))
     with pytest.raises(NotImplementedError, match="audio"):
         multimodal.DECODERS["audio"](b"x")
+    # foreign magic falls back to the deterministic fake; a payload that
+    # CLAIMS a native format but is corrupted must raise, not fake-decode
+    assert multimodal.DECODERS["image"](b"\x80" * 64).shape == (3, 32, 32)
+    with pytest.raises(ValueError, match="malformed"):
+        multimodal.DECODERS["image"](b"\x01" + b"\x01" * 63)  # truncated raw16
 
 
 @pytest.mark.parametrize(
@@ -560,7 +565,7 @@ def test_multimodal_resize_and_frame_sample(ray_session):
     from rioxarray_ray.functions import multimodal
 
     rows = [
-        {"media_id": f"m{i}", "payload": bytes([i]) * 32,
+        {"media_id": f"m{i}", "payload": bytes([0x80 + i]) * 32,
          "media_type": "image", "meta": '{"n_frames": 25}'}
         for i in range(4)
     ]
@@ -614,6 +619,74 @@ def test_pip_shuffle_salting_splits_hot_cell(ray_session):
     s = sorted(key(r) for r in join.pip_join_shuffle(
         tiles, geoms, salt=4).take_all())
     assert len(b) > 0 and b == s
+
+
+def test_pip_shuffle_hot_cell_skew_bounded_groups(ray_session):
+    """~30% of the corpus's tiles forced into ONE cell: the salted shuffle
+    must (a) still match the broadcast twin row-for-row and (b) spread the
+    hot cell's reducer-side work across all `salt` buckets with no bucket
+    holding a pathological share (round-2 verdict item #9)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from rioxarray_ray.kernels.geometry import rect_geometry
+    from rioxarray_ray.stages import decode, join, tile
+
+    ref = corpus.raster_for(1)
+    left, bottom, right, top = ref.bounds()
+    geom = {
+        "geom_id": "g0",
+        "kind": "rect",
+        "geometry": rect_geometry(left, bottom, right, top),
+    }
+    parsed = join.geom_mod.parse_geometry(geom["geometry"])
+    hot_cell = join.geometry_cells(parsed)[0]
+
+    ds = rd.from_arrow(corpus.corpus_table(range(16)))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=32)
+
+    def skew(batch):
+        # every ~3rd tile lands in the hot cell (~30% of the corpus)
+        import numpy as np
+        import pyarrow as pa
+
+        cells = batch["cell"].to_numpy(zero_copy_only=False).copy()
+        rows = batch["tile_row"].to_numpy(zero_copy_only=False)
+        cols = batch["tile_col"].to_numpy(zero_copy_only=False)
+        hot = (rows + cols) % 3 == 0
+        cells[hot] = hot_cell
+        idx = batch.schema.get_field_index("cell")
+        return batch.set_column(idx, "cell", pc.cast(
+            pa.array(cells), batch.schema.field("cell").type
+        ))
+
+    skewed = tiles.map_batches(skew, batch_format="pyarrow")
+    key = lambda r: (r["image_id"], r["tile_row"], r["tile_col"],
+                     r["geom_id"], r["n_pixels"])
+    salt = 4
+    b = sorted(key(r) for r in join.pip_join_broadcast(
+        skewed, [geom], concurrency=2).take_all())
+    s = sorted(key(r) for r in join.pip_join_shuffle(
+        skewed, [geom], salt=salt).take_all())
+    assert len(b) > 0 and b == s
+
+    # reducer-side distribution of the hot cell's tiles across salt buckets
+    hot_tiles = skewed.map_batches(
+        lambda t: t.filter(pc.equal(t["cell"], hot_cell)),
+        batch_format="pyarrow",
+    ).select_columns(["image_id", "tile_row", "tile_col"]).take_all()
+    total = skewed.count()
+    assert len(hot_tiles) >= 0.25 * total  # the skew is real (~30%)
+    buckets = join.tile_salt_buckets(
+        [t["image_id"] for t in hot_tiles],
+        [t["tile_row"] for t in hot_tiles],
+        [t["tile_col"] for t in hot_tiles],
+        salt,
+    )
+    counts = np.bincount(buckets, minlength=salt)
+    assert (counts > 0).all(), counts  # every reducer key gets a share
+    # no bucket hoards the hot cell: <= 2x the uniform share (1/salt)
+    assert counts.max() <= 2.0 / salt * len(hot_tiles), counts
 
 
 def test_rpc_roundtrip():
