@@ -65,15 +65,69 @@ def _q_factor(phi):
     )
 
 
+def _meridional_arc(phi, a=None, e2=None):
+    """Snyder eq 3-21: meridional arc length M from the equator to phi."""
+    a = _A if a is None else a
+    e2 = _E2 if e2 is None else e2
+    e4, e6 = e2**2, e2**3
+    return a * (
+        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
+        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
+        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
+        - (35 * e6 / 3072) * np.sin(6 * phi)
+    )
+
+
+def merc_ell_forward(lon, lat, lon_0=0.0, x_0=0.0, y_0=0.0, a=None, e=None):
+    """Ellipsoidal Mercator forward (Snyder 1987 eqs 7-6..7-8) — the
+    EPSG:3395 family.  NOT spherical web mercator: the ellipsoidal y
+    diverges by ~0.3% (tens of km at mid latitudes).  ``a``/``e``
+    parameterized so tests can drive Snyder's Clarke-1866 worked example."""
+    a = _A if a is None else a
+    e = _E if e is None else e
+    lon = np.asarray(lon, dtype=np.float64)
+    phi = np.clip(np.asarray(lat, dtype=np.float64), -89.9999, 89.9999) * _D2R
+    lam = (lon - lon_0) * _D2R
+    s = e * np.sin(phi)
+    x = x_0 + a * lam
+    y = y_0 + a * np.log(
+        np.tan(math.pi / 4.0 + phi / 2.0) * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+    )
+    return x, y
+
+
+def merc_ell_inverse(x, y, lon_0=0.0, x_0=0.0, y_0=0.0, a=None, e=None):
+    """Ellipsoidal Mercator inverse (Snyder eqs 7-9/7-10, fixed-point in
+    phi; converges to <1e-12 rad in ~6 iterations)."""
+    a = _A if a is None else a
+    e = _E if e is None else e
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    t = np.exp(-(y - y_0) / a)
+    phi = math.pi / 2.0 - 2.0 * np.arctan(t)
+    for _ in range(12):
+        s = e * np.sin(phi)
+        phi_new = math.pi / 2.0 - 2.0 * np.arctan(
+            t * ((1.0 - s) / (1.0 + s)) ** (e / 2.0)
+        )
+        if np.allclose(phi_new, phi, rtol=0.0, atol=1e-13):
+            phi = phi_new
+            break
+        phi = phi_new
+    lon = lon_0 + (x - x_0) / a * _R2D
+    return lon, phi * _R2D
+
+
 @dataclass(frozen=True)
 class CRS:
     """A supported CRS.
 
-    ``kind`` in {geographic, mercator, utm, sinusoidal, lcc, aea}; the conic
-    kinds (Lambert conformal conic 2SP / Albers equal-area 2SP) carry their
-    projection parameters in ``params`` = (lat_1, lat_2, lat_0, lon_0, x_0,
-    y_0) degrees/meters on the WGS84 ellipsoid (NAD83/GRS80 parameter sets
-    are accepted — the 1/f difference is sub-millimeter).
+    ``kind`` in {geographic, mercator, merc_ell, utm, tmerc, sinusoidal,
+    lcc, aea, ps}; the conic kinds (Lambert conformal conic 2SP / Albers
+    equal-area 2SP) carry their projection parameters in ``params`` =
+    (lat_1, lat_2, lat_0, lon_0, x_0, y_0) degrees/meters on the WGS84
+    ellipsoid (NAD83/GRS80 parameter sets are accepted — the 1/f
+    difference is sub-millimeter).
     """
 
     kind: str
@@ -81,6 +135,8 @@ class CRS:
     south: bool = False  # UTM hemisphere / polar-stereographic aspect
     # lcc/aea: (lat_1, lat_2, lat_0, lon_0, x_0, y_0)
     # ps (polar stereographic): (lat_ts, lon_0, x_0, y_0)
+    # tmerc (generic transverse mercator): (lat_0, lon_0, k_0, x_0, y_0)
+    # merc_ell (ellipsoidal mercator, EPSG:3395 family): (lon_0, x_0, y_0)
     params: tuple = ()
 
     # ---- identity / serialization -------------------------------------
@@ -97,6 +153,8 @@ class CRS:
             return 4326
         if self.kind == "mercator":
             return 3857
+        if self.kind == "merc_ell" and self.params == (0.0, 0.0, 0.0):
+            return 3395
         if self.kind == "utm":
             return (32700 if self.south else 32600) + self.zone
         if self.kind in ("lcc", "aea"):
@@ -126,6 +184,18 @@ class CRS:
             return (
                 f"+proj=stere +lat_0={lat0} +lat_ts={lat_ts} "
                 f"+lon_0={lon0} +x_0={x0} +y_0={y0} "
+                "+datum=WGS84 +units=m +no_defs"
+            )
+        if self.kind == "tmerc":
+            lat0, lon0, k0, x0, y0 = self.params
+            return (
+                f"+proj=tmerc +lat_0={lat0} +lon_0={lon0} +k={k0} "
+                f"+x_0={x0} +y_0={y0} +datum=WGS84 +units=m +no_defs"
+            )
+        if self.kind == "merc_ell":
+            lon0, x0, y0 = self.params
+            return (
+                f"+proj=merc +lon_0={lon0} +k=1 +x_0={x0} +y_0={y0} "
                 "+datum=WGS84 +units=m +no_defs"
             )
         return f"+proj=sinu +R={_SINU_R} +units=m +no_defs"
@@ -162,6 +232,35 @@ class CRS:
                 'PARAMETER["scale_factor",1],'
                 'PARAMETER["false_easting",0],'
                 'PARAMETER["false_northing",0],'
+                'UNIT["metre",1,AUTHORITY["EPSG","9001"]]' + auth + "]"
+            )
+        if self.kind == "merc_ell":
+            lon0, x0, y0 = self.params
+            return (
+                'PROJCS["WGS 84 / World Mercator",'
+                + self._WGS84_GEOGCS.replace(
+                    ',AUTHORITY["EPSG","4326"]]', "]"
+                )
+                + ',PROJECTION["Mercator_1SP"],'
+                f'PARAMETER["central_meridian",{lon0}],'
+                'PARAMETER["scale_factor",1],'
+                f'PARAMETER["false_easting",{x0}],'
+                f'PARAMETER["false_northing",{y0}],'
+                'UNIT["metre",1,AUTHORITY["EPSG","9001"]]' + auth + "]"
+            )
+        if self.kind == "tmerc":
+            lat0, lon0, k0, x0, y0 = self.params
+            return (
+                'PROJCS["Transverse Mercator custom",'
+                + self._WGS84_GEOGCS.replace(
+                    ',AUTHORITY["EPSG","4326"]]', "]"
+                )
+                + ',PROJECTION["Transverse_Mercator"],'
+                f'PARAMETER["latitude_of_origin",{lat0}],'
+                f'PARAMETER["central_meridian",{lon0}],'
+                f'PARAMETER["scale_factor",{k0}],'
+                f'PARAMETER["false_easting",{x0}],'
+                f'PARAMETER["false_northing",{y0}],'
                 'UNIT["metre",1,AUTHORITY["EPSG","9001"]]' + auth + "]"
             )
         if self.kind == "utm":
@@ -257,8 +356,10 @@ class CRS:
             x = _SINU_R * lon * _D2R * np.cos(phi)
             y = _SINU_R * phi
             return x, y
-        if self.kind == "utm":
+        if self.kind in ("utm", "tmerc"):
             return self._tm_forward(lon, lat)
+        if self.kind == "merc_ell":
+            return merc_ell_forward(lon, lat, *self.params)
         if self.kind == "lcc":
             return self._lcc_forward(lon, lat)
         if self.kind == "aea":
@@ -285,8 +386,10 @@ class CRS:
                 np.abs(cos_phi) > 1e-12, x / (_SINU_R * cos_phi) * _R2D, 0.0
             )
             return lon, phi * _R2D
-        if self.kind == "utm":
+        if self.kind in ("utm", "tmerc"):
             return self._tm_inverse(x, y)
+        if self.kind == "merc_ell":
+            return merc_ell_inverse(x, y, *self.params)
         if self.kind == "lcc":
             return self._lcc_inverse(x, y)
         if self.kind == "aea":
@@ -417,34 +520,40 @@ class CRS:
     def _lon0(self) -> float:
         return (self.zone - 1) * 6.0 - 180.0 + 3.0
 
+    def _tm_params(self):
+        """(lat_0, lon_0, k_0, x_0, y_0) for either TM kind: UTM fixes the
+        classic zone parameterization, tmerc carries arbitrary ones."""
+        if self.kind == "utm":
+            return 0.0, self._lon0, _K0, 500000.0, (
+                10000000.0 if self.south else 0.0
+            )
+        return self.params
+
     def _tm_forward(self, lon, lat):
+        lat_0, lon_0, k_0, x_0, y_0 = self._tm_params()
         phi = np.asarray(lat, dtype=np.float64) * _D2R
-        lam = (np.asarray(lon, dtype=np.float64) - self._lon0) * _D2R
+        lam = (np.asarray(lon, dtype=np.float64) - lon_0) * _D2R
         sin_p, cos_p = np.sin(phi), np.cos(phi)
         tan_p = np.tan(phi)
         N = _A / np.sqrt(1.0 - _E2 * sin_p**2)
         T = tan_p**2
         C = _EP2 * cos_p**2
         Aa = lam * cos_p
-        e4, e6 = _E2**2, _E2**3
-        M = _A * (
-            (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * phi
-            - (3 * _E2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * phi)
-            + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * phi)
-            - (35 * e6 / 3072) * np.sin(6 * phi)
-        )
+        M = _meridional_arc(phi)
+        M0 = _meridional_arc(lat_0 * _D2R)
         x = (
-            _K0
+            k_0
             * N
             * (
                 Aa
                 + (1 - T + C) * Aa**3 / 6
                 + (5 - 18 * T + T**2 + 72 * C - 58 * _EP2) * Aa**5 / 120
             )
-            + 500000.0
+            + x_0
         )
-        y = _K0 * (
+        y = y_0 + k_0 * (
             M
+            - M0
             + N
             * tan_p
             * (
@@ -453,17 +562,14 @@ class CRS:
                 + (61 - 58 * T + T**2 + 600 * C - 330 * _EP2) * Aa**6 / 720
             )
         )
-        if self.south:
-            y = y + 10000000.0
         return x, y
 
     def _tm_inverse(self, x, y):
-        x = np.asarray(x, dtype=np.float64) - 500000.0
-        y = np.asarray(y, dtype=np.float64)
-        if self.south:
-            y = y - 10000000.0
+        lat_0, lon_0, k_0, x_0, y_0 = self._tm_params()
+        x = np.asarray(x, dtype=np.float64) - x_0
+        y = np.asarray(y, dtype=np.float64) - y_0
         e4, e6 = _E2**2, _E2**3
-        M = y / _K0
+        M = _meridional_arc(lat_0 * _D2R) + y / k_0
         mu = M / (_A * (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
         e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
         phi1 = (
@@ -479,7 +585,7 @@ class CRS:
         T1 = tan1**2
         N1 = _A / np.sqrt(1 - _E2 * sin1**2)
         R1 = _A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
-        D = x / (N1 * _K0)
+        D = x / (N1 * k_0)
         phi = phi1 - (N1 * tan1 / R1) * (
             D**2 / 2
             - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * _EP2) * D**4 / 24
@@ -494,7 +600,7 @@ class CRS:
             * D**5
             / 120
         ) / cos1
-        return self._lon0 + lam * _R2D, phi * _R2D
+        return lon_0 + lam * _R2D, phi * _R2D
 
 
 GEOGRAPHIC = CRS("geographic")
@@ -520,6 +626,22 @@ _PS_EPSG = {
     3031: (-71.0, 0.0, 0.0, 0.0),    # Antarctic Polar Stereographic
     3976: (-70.0, 0.0, 0.0, 0.0),    # NSIDC Sea Ice Polar Stereo South
 }
+
+
+def tmerc(lat_0=0.0, lon_0=0.0, k_0=1.0, x_0=0.0, y_0=0.0) -> CRS:
+    """Generic transverse Mercator on WGS84 (Snyder series, same kernel as
+    UTM with arbitrary origin/scale/false offsets)."""
+    return CRS(
+        "tmerc",
+        params=(
+            float(lat_0), float(lon_0), float(k_0), float(x_0), float(y_0)
+        ),
+    )
+
+
+def world_mercator(lon_0=0.0, x_0=0.0, y_0=0.0) -> CRS:
+    """Ellipsoidal Mercator on WGS84 (EPSG:3395 when all params are 0)."""
+    return CRS("merc_ell", params=(float(lon_0), float(x_0), float(y_0)))
 
 
 def utm(zone: int, south: bool = False) -> CRS:
@@ -558,6 +680,8 @@ def from_epsg(code: int) -> CRS:
         return GEOGRAPHIC
     if code == 3857:
         return WEB_MERCATOR
+    if code == 3395:
+        return world_mercator()
     if 32601 <= code <= 32660:
         return utm(code - 32600, south=False)
     if 32701 <= code <= 32760:
@@ -598,16 +722,36 @@ def from_user_input(value) -> CRS:
         if proj == "webmerc":
             return WEB_MERCATOR
         if proj == "merc":
-            # spherical web-mercator only; ellipsoidal Mercator (EPSG:3395
-            # family) is NOT the same projection (~30 km error at lat 45)
+            # spherical (+R/+a==+b: web mercator) vs ellipsoidal (WGS84:
+            # EPSG:3395 family) — NOT the same projection (~30 km y error
+            # at lat 45), so the datum decides which kernel runs
             r_val = kv.get("+R") or kv.get("+a")
-            if r_val is not None and float(r_val) == _MERC_R and (
-                kv.get("+b") in (None, r_val)
+            if r_val is not None and kv.get("+b") in (None, r_val) and (
+                "+datum" not in kv and "+ellps" not in kv
             ):
-                return WEB_MERCATOR
-            raise CRSError(
-                "ellipsoidal '+proj=merc' is outside the whitelist "
-                "(only spherical web mercator, EPSG:3857, is supported)"
+                if float(r_val) == _MERC_R:
+                    return WEB_MERCATOR
+                raise CRSError(
+                    "spherical '+proj=merc' with a non-web-mercator radius "
+                    "is outside the whitelist"
+                )
+            datum = (kv.get("+datum") or kv.get("+ellps") or "WGS84").upper()
+            if datum != "WGS84":
+                raise CRSError(
+                    f"'+proj=merc' on datum {datum} is outside the "
+                    "whitelist (WGS84 only)"
+                )
+            if float(kv.get("+lat_ts", 0) or 0) != 0.0 or float(
+                kv.get("+k", kv.get("+k_0", 1)) or 1
+            ) != 1.0:
+                raise CRSError(
+                    "'+proj=merc' with lat_ts/k scaling is outside the "
+                    "whitelist (EPSG:3395 parameterization only)"
+                )
+            return world_mercator(
+                float(kv.get("+lon_0", 0) or 0),
+                float(kv.get("+x_0", 0) or 0),
+                float(kv.get("+y_0", 0) or 0),
             )
         if proj == "utm":
             zone = int(kv.get("+zone", 0))
@@ -639,13 +783,19 @@ def from_user_input(value) -> CRS:
                 float(kv.get("+y_0", 0) or 0),
             )
         if proj == "tmerc":
-            # accept tmerc ONLY when its parameters are exactly a UTM zone
-            lon0 = float(kv.get("+lon_0", 0))
-            zone = int(round((lon0 + 183.0) / 6.0))
-            k = float(kv.get("+k", kv.get("+k_0", _K0)) or _K0)
-            x0 = float(kv.get("+x_0", 500000) or 500000)
+            datum = (kv.get("+datum") or kv.get("+ellps") or "WGS84").upper()
+            if datum != "WGS84":
+                raise CRSError(
+                    f"'+proj=tmerc' on datum {datum} is outside the "
+                    "whitelist (WGS84 only)"
+                )
+            lon0 = float(kv.get("+lon_0", 0) or 0)
+            k = float(kv.get("+k", kv.get("+k_0", 1.0)) or 1.0)
+            x0 = float(kv.get("+x_0", 0) or 0)
             y0 = float(kv.get("+y_0", 0) or 0)
             lat0 = float(kv.get("+lat_0", 0) or 0)
+            # exact UTM parameterizations keep the canonical UTM identity
+            zone = int(round((lon0 + 183.0) / 6.0))
             if (
                 1 <= zone <= 60
                 and lon0 == (zone - 1) * 6.0 - 180.0 + 3.0
@@ -655,10 +805,7 @@ def from_user_input(value) -> CRS:
                 and y0 in (0.0, 10000000.0)
             ):
                 return utm(zone, south=y0 == 10000000.0)
-            raise CRSError(
-                f"generic '+proj=tmerc' ({s[:80]}) is outside the whitelist "
-                "(only exact UTM parameterizations are supported)"
-            )
+            return tmerc(lat0, lon0, k, x0, y0)
         raise CRSError(f"unsupported proj4 string: {s}")
     # WKT: try EPSG authority/id codes outermost-last (skipping unit/datum
     # authority ids like 9001 that never name a CRS).  A PROJCS WKT must
@@ -694,6 +841,39 @@ def from_user_input(value) -> CRS:
             return polar_stereographic(
                 pars.get("latitude_of_origin",
                          pars.get("standard_parallel_1", 90.0)),
+                pars.get("central_meridian", 0.0),
+                pars.get("false_easting", 0.0),
+                pars.get("false_northing", 0.0),
+            )
+        if pname == "transverse_mercator":
+            # WGS84-only WKT reaches here (Airy/Bessel grids carry other
+            # datums — their GEOGCS won't match and stays rejected below)
+            if '"WGS 84"' not in s and '"WGS_1984"' not in s:
+                raise CRSError(
+                    "Transverse_Mercator WKT on a non-WGS84 datum is "
+                    "outside the whitelist"
+                )
+            t_lat0 = pars.get("latitude_of_origin", 0.0)
+            t_lon0 = pars.get("central_meridian", 0.0)
+            t_k = pars.get("scale_factor", 1.0)
+            t_x0 = pars.get("false_easting", 0.0)
+            t_y0 = pars.get("false_northing", 0.0)
+            zone = int(round((t_lon0 + 183.0) / 6.0))
+            if (
+                1 <= zone <= 60
+                and t_lon0 == (zone - 1) * 6.0 - 180.0 + 3.0
+                and t_k == _K0
+                and t_x0 == 500000.0
+                and t_lat0 == 0.0
+                and t_y0 in (0.0, 10000000.0)
+            ):
+                return utm(zone, south=t_y0 == 10000000.0)
+            return tmerc(t_lat0, t_lon0, t_k, t_x0, t_y0)
+        if pname == "mercator_1sp" and pars.get("scale_factor", 1.0) == 1.0:
+            # authority-less Mercator_1SP on the WGS84 DATUM is ellipsoidal
+            # world mercator (EPSG:3857's official WKT always carries its
+            # authority code and resolves above, never here)
+            return world_mercator(
                 pars.get("central_meridian", 0.0),
                 pars.get("false_easting", 0.0),
                 pars.get("false_northing", 0.0),

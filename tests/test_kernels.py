@@ -527,17 +527,74 @@ def test_window_from_bounds_rejects_rotation():
         aff.window_from_bounds(rot, 0, 0, 10, 10)
 
 
-def test_crs_rejects_ellipsoidal_merc_and_generic_tmerc():
-    with pytest.raises(crs.CRSError, match="ellipsoidal"):
-        crs.from_user_input("+proj=merc +datum=WGS84")
-    # spherical web-mercator spelling is still accepted
+def test_crs_ellipsoidal_merc_and_generic_tmerc():
+    """Ellipsoidal Mercator (EPSG:3395 family) + generic WGS84 tmerc are
+    first-class kinds (round-3 coverage item; the reference accepts them
+    via pyproj, /root/reference/rioxarray/crs.py:12-45)."""
+    # spherical web-mercator spelling is still its own (different) kernel
     assert crs.from_user_input("+proj=merc +R=6378137") == crs.WEB_MERCATOR
-    with pytest.raises(crs.CRSError, match="tmerc"):
-        crs.from_user_input("+proj=tmerc +lon_0=10.5 +k=1 +x_0=0")
-    # exact UTM parameterization as tmerc is accepted
+    m = crs.from_user_input("+proj=merc +datum=WGS84")
+    assert m == crs.from_epsg(3395) and m.to_epsg() == 3395
+    # ~30 km y divergence from spherical web mercator at 45N (the reason
+    # the two were never interchangeable)
+    _, y_sph = crs.WEB_MERCATOR.forward(0.0, 45.0)
+    _, y_ell = m.forward(0.0, 45.0)
+    assert 30_000 < float(y_sph - y_ell) < 31_000
+    # Snyder 1987 worked example (Mercator, Clarke 1866: a=6378206.4,
+    # e^2=0.00676866; phi=35N lam=75W lam0=180W -> 11688673.7, 4139145.6)
+    import math
+
+    x, y = crs.merc_ell_forward(
+        -75.0, 35.0, lon_0=-180.0, a=6378206.4, e=math.sqrt(0.00676866)
+    )
+    assert abs(float(x) - 11688673.7) < 0.2
+    assert abs(float(y) - 4139145.6) < 0.2
+    # dual-formulation identity on WGS84:
+    # y = a*asinh(tan(phi)) - a*e*atanh(e*sin(phi))
+    lats = np.linspace(-85.0, 85.0, 41)
+    _, Y = m.forward(np.zeros_like(lats), lats)
+    phi = np.deg2rad(lats)
+    Y2 = 6378137.0 * np.arcsinh(np.tan(phi)) - 6378137.0 * crs._E * np.arctanh(
+        crs._E * np.sin(phi)
+    )
+    assert np.abs(Y - Y2).max() < 1e-6
+    # inverse round-trip
+    lo, la = m.inverse(*m.forward(12.25, -55.5))
+    assert abs(float(lo) - 12.25) < 1e-9 and abs(float(la) + 55.5) < 1e-9
+
+    # generic tmerc: exact UTM parameterization keeps the UTM identity
     assert crs.from_user_input(
         "+proj=tmerc +lon_0=-93 +k=0.9996 +x_0=500000 +y_0=0 +lat_0=0"
     ) == crs.utm(15)
+    # arbitrary parameters are a real projection now, equal to the UTM
+    # kernel when driven with UTM parameters
+    g = crs.CRS("tmerc", params=(0.0, -93.0, 0.9996, 500000.0, 0.0))
+    for lon0, lat0 in [(-93.5, 42.0), (-90.0, 10.0), (-95.9, 60.0)]:
+        xu, yu = crs.utm(15).forward(lon0, lat0)
+        xg, yg = g.forward(lon0, lat0)
+        assert abs(float(xu - xg)) < 1e-9 and abs(float(yu - yg)) < 1e-9
+    # nonzero origin/scale/false offsets round-trip (series truncation is
+    # sub-mm: tolerance 1e-7 deg ~ 1 cm)
+    t = crs.from_user_input(
+        "+proj=tmerc +lat_0=49 +lon_0=-2 +k=0.9996012717 "
+        "+x_0=400000 +y_0=-100000 +datum=WGS84"
+    )
+    assert t == crs.tmerc(49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+    for lon0, lat0 in [(-3.5, 51.5), (0.5, 53.0), (-2.0, 49.0)]:
+        lo, la = t.inverse(*t.forward(lon0, lat0))
+        assert abs(float(lo) - lon0) < 1e-7 and abs(float(la) - lat0) < 1e-7
+    # the projection origin maps to the false origin exactly
+    x0, y0 = t.forward(-2.0, 49.0)
+    assert abs(float(x0) - 400000.0) < 1e-6 and abs(float(y0) + 100000.0) < 1e-6
+    # string/WKT round-trips for both new kinds
+    for c in (m, t, crs.world_mercator(10.0, 1000.0, 2000.0)):
+        assert crs.from_user_input(c.to_string()) == c
+        assert crs.from_user_input(c.to_wkt()) == c
+    # non-WGS84 datums stay rejected
+    with pytest.raises(crs.CRSError, match="WGS84"):
+        crs.from_user_input("+proj=tmerc +lon_0=10 +ellps=airy")
+    with pytest.raises(crs.CRSError, match="WGS84"):
+        crs.from_user_input("+proj=merc +datum=NAD83")
 
 
 def test_lq8_nan_nodata(rng):

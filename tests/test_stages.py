@@ -378,6 +378,116 @@ def test_warp_from_gcps_matches_affine_warp():
     assert np.array_equal(out, ref)
 
 
+def test_warp_from_geoloc_matches_affine_warp():
+    """Geolocation arrays sampled from an exact affine: the geoloc warp
+    must equal warping with the affine itself onto the same grid
+    (nearest, pixel-exact) — the §2.4 geolocation-array path."""
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import geoloc as geoloc_mod
+    from rioxarray_ray.kernels import warp as warp_mod
+
+    t = aff.compose(aff.translation(-60.0, 40.0), aff.scale(0.005, -0.005))
+    rng_ = np.random.default_rng(13)
+    data = rng_.integers(-2000, 2000, size=(1, 40, 50)).astype(np.int16)
+    cg, rg = np.meshgrid(
+        np.arange(50, dtype=np.float64), np.arange(40, dtype=np.float64)
+    )
+    # geoloc node (i,j) gives the lon/lat of pixel (j,i)'s CENTER (GDAL
+    # PIXEL_CENTER convention)
+    lon, lat = aff.apply(t, cg + 0.5, rg + 0.5)
+    out, dst_t, nod = geoloc_mod.warp_from_geoloc(
+        data, lon, lat, resampling="nearest",
+        src_nodata=-32768, dst_shape=(40, 50),
+    )
+    ref, ref_nod = warp_mod.reproject_array(
+        data, t, "EPSG:4326", dst_t, (40, 50), "EPSG:4326",
+        resampling="nearest", src_nodata=-32768,
+    )
+    assert nod == ref_nod
+    assert np.array_equal(out, ref)
+
+    # subsampled geolocation grid (GDAL PIXEL/LINE_STEP metadata): every
+    # 5th pixel / 4th line still reproduces the affine warp exactly
+    # (bilinear interpolation is exact on an affine field)
+    out_s, dst_ts, _ = geoloc_mod.warp_from_geoloc(
+        data, lon[::4, ::5], lat[::4, ::5], resampling="nearest",
+        src_nodata=-32768, dst_shape=(40, 50),
+        transformer_kwargs=dict(pixel_step=5.0, line_step=4.0),
+    )
+    # grids differ (envelope shrinks to the node hull) but the overlapping
+    # interior must agree: compare against an affine warp onto ITS grid
+    ref_s, _ = warp_mod.reproject_array(
+        data, t, "EPSG:4326", dst_ts, (40, 50), "EPSG:4326",
+        resampling="nearest", src_nodata=-32768,
+    )
+    assert np.array_equal(out_s, ref_s)
+
+
+def test_geoloc_transformer_nonlinear_roundtrip():
+    """A curved (sensor-swath-like) geolocation field: forward/inverse
+    round-trip to sub-1e-6-pixel accuracy, out-of-swath points NaN out,
+    and warped values reproduce a linear radiance field."""
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import geoloc as geoloc_mod
+
+    h, w = 48, 64
+    cg, rg = np.meshgrid(
+        np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64)
+    )
+    # nonlinear but smooth: shear + quadratic bow (a realistic swath shape)
+    lon = -60.0 + 0.01 * cg + 0.002 * rg + 1e-4 * (rg - h / 2) ** 2 / h
+    lat = 40.0 - 0.01 * rg + 5e-5 * (cg - w / 2) ** 2 / w
+    tr = geoloc_mod.GeolocTransformer(lon, lat)
+    qc = np.array([0.5, 10.25, 33.75, 63.0])
+    qr = np.array([0.5, 40.5, 7.125, 47.0])
+    flon, flat = tr.forward(qc, qr)
+    ic, ir = tr.inverse(flon, flat)
+    assert np.allclose(ic, qc, atol=1e-6) and np.allclose(ir, qr, atol=1e-6)
+    # a point far outside the swath does not converge -> NaN
+    oc, orow = tr.inverse(np.array([0.0]), np.array([0.0]))
+    assert np.isnan(oc[0]) and np.isnan(orow[0])
+
+    # warp a radiance field LINEAR IN PIXEL COORDS (bilinear-exact in the
+    # resample space); the oracle inverts the closed-form geoloc equations
+    # with an independent analytic Newton, so the expected value never
+    # touches the transformer's bilinear surface
+    field = (2.0 * cg + 3.0 * rg).astype(np.float64)
+    out, dst_t, nod = geoloc_mod.warp_from_geoloc(
+        field, lon, lat, resampling="bilinear", src_nodata=np.nan
+    )
+    dh, dw = out.shape
+    dcg, drg = np.meshgrid(
+        np.arange(dw, dtype=np.float64) + 0.5,
+        np.arange(dh, dtype=np.float64) + 0.5,
+    )
+    dlon, dlat = aff.apply(dst_t, dcg, drg)
+
+    def analytic_inverse(tl, tb):
+        c = np.full_like(tl, w / 2.0)
+        r = np.full_like(tb, h / 2.0)
+        for _ in range(50):
+            f1 = -60.0 + 0.01 * c + 0.002 * r + 1e-4 * (r - h / 2) ** 2 / h - tl
+            f2 = 40.0 - 0.01 * r + 5e-5 * (c - w / 2) ** 2 / w - tb
+            a = np.full_like(c, 0.01)
+            b = 0.002 + 2e-4 * (r - h / 2) / h
+            cc = 1e-4 * (c - w / 2) / w
+            d = np.full_like(r, -0.01)
+            det = a * d - b * cc
+            c = c - (d * f1 - b * f2) / det
+            r = r - (-cc * f1 + a * f2) / det
+        return c, r
+
+    ec, er = analytic_inverse(dlon, dlat)
+    # geoloc nodes sample the field at integer pixel coords, so the
+    # resampled value at fractional (c, r) is 2c + 3r up to bilinear-vs-
+    # quadratic geoloc interpolation error (curvature * cell^2, ~1e-3 px)
+    expect = 2.0 * ec + 3.0 * er
+    inside = (ec > 1) & (ec < w - 1) & (er > 1) & (er < h - 1)
+    valid = ~np.isnan(out) & inside
+    assert valid.mean() > 0.5  # the swath covers most of its bbox
+    assert np.abs(out[valid] - expect[valid]).max() < 0.02
+
+
 def test_rpc_pixel_coords_and_warp():
     """RPCs encoding an exact affine inverse (linear numerators, unit
     denominators): evaluation must reproduce the affine's pixel coords and
