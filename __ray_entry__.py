@@ -249,7 +249,9 @@ def q_geo_reproject_grid(sf_dir: str):
 
 def q_geo_pixel_checksum(sf_dir: str):
     """Decode integrity: per-image integer checksum of valid pixels +
-    byte-identical caption passthrough (input_hint invariant)."""
+    byte-identical caption passthrough (input_hint invariant).  Pixel
+    oracles: tests/test_stages.py::test_decode_matches_single_process_oracle
+    (literal checksums) and ::test_decode_phash_integrity_detects_corruption."""
     from rioxarray_ray.kernels.nodata import valid_mask
     from rioxarray_ray.pipelines import flagship as fpipe
     from rioxarray_ray.stages import decode as dstage
@@ -321,7 +323,9 @@ def q_geo_downsample_avg(sf_dir: str):
 
 def q_geo_reproject_roundtrip(sf_dir: str):
     """Identity-grid reproject is exact; UTM round trip preserves captions
-    and produces deterministic valid-pixel counts."""
+    and produces deterministic valid-pixel counts.  Pixel oracles:
+    tests/test_stages.py::test_warp_stage_matches_kernel and the per-kernel
+    plane/rotation oracles in tests/test_kernels.py."""
     from rioxarray_ray.stages import warp as wstage
 
     tiles = _tiles_4326(sf_dir).limit(64)
@@ -396,7 +400,9 @@ def q_geo_tiled_halo_warp(sf_dir: str):
 
 
 def q_geo_clip_geometry(sf_dir: str):
-    """Polygon clip (concave stars) over tiles: kept tiles + valid counts."""
+    """Polygon clip (concave stars) over tiles: kept tiles + valid counts.
+    Pixel oracles: tests/test_kernels.py::test_clip_rect_equals_window_slice,
+    ::test_clip_invert_checksum, and the all_touched superset test."""
     from rioxarray_ray.stages import clip as cstage
 
     tiles = _tiles_4326(sf_dir)
@@ -426,7 +432,10 @@ def q_geo_clip_geometry(sf_dir: str):
 
 def q_geo_merge(sf_dir: str):
     """Mosaic the first 16 non-projected images (method=first) and emit
-    per-dst-tile integer checksums."""
+    per-dst-tile integer checksums.  Pixel oracles:
+    tests/test_stages.py::test_merge_stage_reassembles and
+    tests/test_kernels.py::test_merge_quadrants_reassembles /
+    ::test_merge_methods_on_overlap (literal MODIS bounds + overlap rules)."""
     from rioxarray_ray.stages import merge as mstage
 
     tiles = _tiles_4326(sf_dir)
@@ -471,7 +480,10 @@ def q_geo_merge(sf_dir: str):
 
 def q_geo_interpolate_na(sf_dir: str):
     """interpolate_na on a tile subset (nearest + cubic side by side):
-    all-valid outputs with deterministic integer checksums."""
+    all-valid outputs with deterministic integer checksums.  Pixel oracles:
+    tests/test_kernels.py::test_interpolate_na_nearest_exact,
+    ::test_interpolate_na_linear_plane (exact plane reproduction) and
+    ::test_interpolate_na_cubic_plane_exact_and_quadratic_close."""
     from rioxarray_ray.kernels.raster import Raster
     from rioxarray_ray.stages.schema import pixels_from_row, row_to_raster
 
@@ -629,6 +641,9 @@ def q_text_ngram_jaccard(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
+    """64-bit SimHash signatures (rows-only gate; the signature kernel is
+    pytest-verified: tests/test_functions.py::test_simhash_similar_docs_close_hamming
+    and the banded certification in ::test_simhash_banded_candidates_certified)."""
     from rioxarray_ray.functions import dedup
 
     ds = _rd().read_parquet(
@@ -652,6 +667,9 @@ def q_dedup_simhash_pairs(sf_dir: str):
 
 
 def q_dedup_minhash(sf_dir: str):
+    """Banded MinHash-LSH near-dup candidates (rows-only gate; the planted
+    near-duplicate oracle lives in
+    tests/test_functions.py::test_minhash_lsh_finds_near_duplicates)."""
     from rioxarray_ray.functions import dedup
 
     ds = _rd().read_parquet(

@@ -930,6 +930,19 @@ def transform_bounds(
     /root/reference/rioxarray/rioxarray.py:951-980; densify_pts=21 default)."""
     if densify_pts < 0:
         raise ValueError("densify_pts must be >= 0")
+    # separable-monotone fast path: when x depends only on lon and y only
+    # on lat, both monotonically, the envelope extremes sit at the corners
+    # — identical result to the densified walk (interior edge points can
+    # never exceed a corner), at 2 points instead of 4*(densify+2)
+    _sep = ("geographic", "mercator", "merc_ell")
+    if src.kind in _sep and dst.kind in _sep:
+        xs = np.array([left, right], dtype=np.float64)
+        ys = np.array([bottom, top], dtype=np.float64)
+        px, py = transform_points(src, dst, xs, ys)
+        return (
+            float(np.min(px)), float(np.min(py)),
+            float(np.max(px)), float(np.max(py)),
+        )
     n = densify_pts + 2
     tx = np.linspace(left, right, n)
     ty = np.linspace(bottom, top, n)

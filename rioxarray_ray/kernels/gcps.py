@@ -167,7 +167,7 @@ def warp_from_gcps(
     """
     from . import affine as aff
     from .nodata import default_nodata, valid_mask
-    from .warp import _resample_band, resolve_resampling
+    from .warp import _resample_band, finalize_band, resolve_resampling
 
     squeeze = pixels.ndim == 2
     if squeeze:
@@ -222,10 +222,7 @@ def warp_from_gcps(
     for b in range(pixels.shape[0]):
         vm = valid_mask(pixels[b], src_nodata)
         vals, ok = _resample_band(pixels[b], vm, fcol, frow, method)
-        if out_dtype.kind in "iu":
-            vals = np.clip(np.rint(vals), np.iinfo(out_dtype).min,
-                           np.iinfo(out_dtype).max)
-        out[b] = np.where(ok, vals, fill).astype(out_dtype)
+        out[b] = finalize_band(vals, ok, out_dtype, fill)
     return (out[0] if squeeze else out), dst_transform, dst_nodata
 
 
@@ -285,7 +282,7 @@ def warp_from_rpcs(
     center (at the given ellipsoid ``height``) and gather."""
     from . import affine as aff
     from .nodata import default_nodata, valid_mask
-    from .warp import _resample_band, resolve_resampling
+    from .warp import _resample_band, finalize_band, resolve_resampling
 
     squeeze = pixels.ndim == 2
     if squeeze:
@@ -317,8 +314,5 @@ def warp_from_rpcs(
     for b in range(pixels.shape[0]):
         vm = valid_mask(pixels[b], src_nodata)
         vals, ok = _resample_band(pixels[b], vm, fcol, frow, method)
-        if out_dtype.kind in "iu":
-            vals = np.clip(np.rint(vals), np.iinfo(out_dtype).min,
-                           np.iinfo(out_dtype).max)
-        out[b] = np.where(ok, vals, fill).astype(out_dtype)
+        out[b] = finalize_band(vals, ok, out_dtype, fill)
     return (out[0] if squeeze else out), dst_transform, dst_nodata

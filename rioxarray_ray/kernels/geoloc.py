@@ -204,7 +204,7 @@ def warp_from_geoloc(
     """
     from . import affine as aff
     from .nodata import default_nodata, valid_mask
-    from .warp import _resample_band, resolve_resampling
+    from .warp import _resample_band, finalize_band, resolve_resampling
 
     squeeze = pixels.ndim == 2
     if squeeze:
@@ -251,9 +251,5 @@ def warp_from_geoloc(
     for b in range(pixels.shape[0]):
         vm = valid_mask(pixels[b], src_nodata)
         vals, ok = _resample_band(pixels[b], vm, fcol, frow, method)
-        if out_dtype.kind in "iu":
-            vals = np.clip(
-                np.rint(vals), np.iinfo(out_dtype).min, np.iinfo(out_dtype).max
-            )
-        out[b] = np.where(ok, vals, fill).astype(out_dtype)
+        out[b] = finalize_band(vals, ok, out_dtype, fill)
     return (out[0] if squeeze else out), dst_transform, dst_nodata

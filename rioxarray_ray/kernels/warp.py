@@ -163,6 +163,28 @@ def _floor_idx(f):
     return np.floor(f).astype(np.int32)
 
 
+def finalize_band(vals, ok, out_dtype, fill):
+    """Round/clip for integer outputs and fill rejected pixels — the shared
+    tail of every per-band warp (affine, GCP, RPC, geoloc, tiled paths).
+
+    Fast lane: nearest-resampled values arrive in their NATIVE dtype
+    (see _resample_band); when that already matches an integer output and
+    the fill is representable, the round/clip pass is skipped and the
+    whole fill stays in the narrow lane (no float64 temporaries).
+    """
+    if (
+        out_dtype.kind in "iu"
+        and vals.dtype == out_dtype
+        and fill == fill
+        and np.iinfo(out_dtype).min <= fill <= np.iinfo(out_dtype).max
+    ):
+        return np.where(ok, vals, out_dtype.type(fill))
+    if out_dtype.kind in "iu":
+        info = np.iinfo(out_dtype)
+        vals = np.clip(np.rint(vals), info.min, info.max)
+    return np.where(ok, vals, fill).astype(out_dtype)
+
+
 def _resample_band(band, vmask, fcol, frow, method):
     """Resample one (h, w) band at fractional coords. Returns (values, ok).
 
@@ -174,7 +196,10 @@ def _resample_band(band, vmask, fcol, frow, method):
         c = _floor_idx(fcol)
         r = _floor_idx(frow)
         vals, ok = _gather(band, r, c, vmask)
-        return vals.astype(np.float64), ok
+        # NATIVE dtype out: nearest copies source values verbatim, so the
+        # float64 widening (4x the memory traffic on int16 rasters) is
+        # pure waste — finalize_band handles typed fills downstream
+        return vals, ok
     # pixel-center sample position
     x = fcol - 0.5
     y = frow - 0.5
@@ -427,11 +452,6 @@ def reproject_array(
             vals, ok = _resample_band_area(src[b], vm, cedges, redges, method)
         else:
             vals, ok = _resample_band(src[b], vm, fcol, frow, method)
-        if out_dtype.kind in "iu":
-            vals = np.rint(vals)
-        filled = np.where(ok, vals, float(dst_nodata) if dst_nodata == dst_nodata else np.nan)
-        if out_dtype.kind in "iu":
-            info = np.iinfo(out_dtype)
-            filled = np.clip(filled, info.min, info.max)
-        out[b] = filled.astype(out_dtype)
+        fill = float(dst_nodata) if dst_nodata == dst_nodata else np.nan
+        out[b] = finalize_band(vals, ok, out_dtype, fill)
     return (out[0] if squeeze else out), dst_nodata

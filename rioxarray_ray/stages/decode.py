@@ -40,7 +40,16 @@ def decode_batch(batch: pa.Table, verify_phash: bool = True) -> pa.Table:
     fmts = batch["fmt"].to_pylist()
     phashes = batch["phash"].to_numpy(zero_copy_only=False)
     bands, hs, ws, dtypes, nodatas, crss, transforms = [], [], [], [], [], [], []
-    builder = BinaryBuilder()
+    # exact output payload size from the metadata columns: presizing skips
+    # the amortized-doubling reallocs on multi-GB decode batches
+    wv = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+    hv = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    itemsize = np.array(
+        [1 if f == "rawu8" else 2 for f in fmts], dtype=np.int64
+    )
+    idxv = np.array([int(s[3:]) for s in ids], dtype=np.int64)
+    bandv = np.where(idxv % 5 == 0, 3, 1)  # corpus band rule (corpus.py:19)
+    builder = BinaryBuilder(reserve=int((wv * hv * itemsize * bandv).sum()))
     for i, payload in enumerate(binary_views(batch, "bytes")):
         idx = int(ids[i][3:])
         meta = corpus.geo_meta_for(idx)

@@ -51,7 +51,16 @@ def tile_batch(
     phashes = batch["phash"].to_numpy(zero_copy_only=False)
     transforms = batch["transform"].to_pylist()
     out = {name: [] for name in TILE_SCHEMA.names if name != "pixels"}
-    builder = BinaryBuilder()
+    # halo=0 tiles partition their image exactly, so the output payload
+    # equals the input payload size; halo'd tiles grow past the reserve
+    # and BinaryBuilder expands transparently
+    pixcol = batch["pixels"]
+    in_bytes = (
+        sum(c.nbytes for c in pixcol.chunks)
+        if isinstance(pixcol, pa.ChunkedArray)
+        else pixcol.nbytes
+    )
+    builder = BinaryBuilder(reserve=in_bytes)
     for i, pixels in enumerate(pixel_views(batch)):
         transform = tuple(transforms[i])
         c = crs_mod.from_user_input(crss[i]) if crss[i] else None

@@ -44,14 +44,9 @@ class GridSpec:
 
 
 
-def _finalize_band(vals, ok, out_dtype, fill):
-    """Round/clip for integer outputs and fill rejected pixels — the shared
-    tail of every per-band warp (also the kernel's reproject_array tail)."""
-    if out_dtype.kind in "iu":
-        vals = np.rint(vals)
-        info = np.iinfo(out_dtype)
-        vals = np.clip(vals, info.min, info.max)
-    return np.where(ok, vals, fill).astype(out_dtype)
+# shared tail of every per-band warp — kernels/warp.finalize_band (keeps
+# nearest's native-dtype fast lane in one place)
+_finalize_band = warp_mod.finalize_band
 
 
 from .schema import rebuild_table as _rebuild_table  # shared reassembly helper
@@ -457,11 +452,7 @@ class TiledMatchWarpActor(WarpActor):
         for b in range(bands):
             vm = valid_mask(src.pixels[b], src.nodata)
             vals, ok = self._resample(src.pixels[b], vm, coords)
-            if out_dtype.kind in "iu":
-                vals = np.rint(vals)
-                info = np.iinfo(out_dtype)
-                vals = np.clip(vals, info.min, info.max)
-            out[b] = np.where(ok & own, vals, fill).astype(out_dtype)
+            out[b] = _finalize_band(vals, ok & own, out_dtype, fill)
         return out, dst_t, float(dst_nodata)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
