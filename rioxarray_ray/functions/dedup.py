@@ -110,19 +110,21 @@ class MinHasher:
     long-doc path (round-1 verdict: dedup_minhash was the slowest stage).
     """
 
-    def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3):
+    def __init__(self, num_perm: int = 64, bands: int = 16, ngram: int = 3,
+                 gram_hash: str = "fast"):
         assert num_perm % bands == 0
+        if gram_hash not in ("fast", "md5"):
+            raise ValueError(f"gram_hash must be 'fast' or 'md5', got {gram_hash!r}")
         self.a, self.b = _minhash_params(num_perm)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.ngram = ngram
+        self.gram_hash = gram_hash
 
-    def _gram_hashes(self, batch: pa.Table):
-        """(gram_hash uint64, doc_index int64) over the whole batch, sorted
-        by doc.  Docs with 0 < len < ngram hash their whole token run (the
-        `_shingles` short-doc rule); empty docs contribute no grams."""
-        n = self.ngram
+    def _tokens(self, batch: pa.Table):
+        """(words object-ndarray, doc-parent int64-ndarray) — lowercase,
+        whitespace-split, empty tokens dropped; shared by both hash modes."""
         filled = pc.fill_null(batch["text"], "")
         toks = pc.utf8_split_whitespace(pc.utf8_lower(filled))
         if isinstance(toks, pa.ChunkedArray):
@@ -131,7 +133,54 @@ class MinHasher:
         par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
         nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
         words = flat.to_numpy(zero_copy_only=False)[nonempty]
-        par = par[nonempty].astype(np.int64, copy=False)
+        return words, par[nonempty].astype(np.int64, copy=False)
+
+    def _gram_hashes_md5(self, batch: pa.Table):
+        """SQL-mirrorable gram hashes: each word n-gram is joined with a
+        single space and hashed with md5, taking the first 8 digest bytes
+        little-endian — exactly DuckDB's ``md5_number_upper``, so a DuckDB
+        oracle can replicate signatures (and thus LSH buckets) bit-exactly.
+        Slower than the rolling-poly "fast" mode (one md5 per gram); meant
+        for the oracle-gated twin queries, not the throughput path."""
+        n = self.ngram
+        words, par = self._tokens(batch)
+        m = len(words)
+        if m == 0:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        grams: list = []
+        gpar: list = []
+        if m >= n:
+            valid = np.nonzero(par[: m - n + 1] == par[n - 1 :])[0]
+            for i in valid:
+                grams.append(" ".join(words[i : i + n]))
+            gpar.extend(par[valid].tolist())
+        counts = np.bincount(par, minlength=batch.num_rows)
+        short = np.nonzero((counts > 0) & (counts < n))[0]
+        if len(short):
+            starts = np.concatenate(([0], np.cumsum(counts)))
+            for d in short:
+                grams.append(" ".join(words[starts[d] : starts[d + 1]]))
+                gpar.append(int(d))
+        g = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
+                for s in grams
+            ),
+            dtype=np.uint64,
+            count=len(grams),
+        )
+        p = np.asarray(gpar, np.int64)
+        order = np.argsort(p, kind="stable")
+        return g[order], p[order]
+
+    def _gram_hashes(self, batch: pa.Table):
+        """(gram_hash uint64, doc_index int64) over the whole batch, sorted
+        by doc.  Docs with 0 < len < ngram hash their whole token run (the
+        `_shingles` short-doc rule); empty docs contribute no grams."""
+        if self.gram_hash == "md5":
+            return self._gram_hashes_md5(batch)
+        n = self.ngram
+        words, par = self._tokens(batch)
         if len(words) == 0:
             return np.empty(0, np.uint64), np.empty(0, np.int64)
         wh = pd.util.hash_array(words.astype(object), categorize=False)
@@ -212,8 +261,10 @@ import functools
 
 
 @functools.lru_cache(maxsize=8)
-def _hasher_for(num_perm: int, bands: int, ngram: int) -> "MinHasher":
-    return MinHasher(num_perm=num_perm, bands=bands, ngram=ngram)
+def _hasher_for(num_perm: int, bands: int, ngram: int,
+                gram_hash: str = "fast") -> "MinHasher":
+    return MinHasher(num_perm=num_perm, bands=bands, ngram=ngram,
+                     gram_hash=gram_hash)
 
 
 # cap on doc ids collected per (band, bucket): bounds reducer memory on
@@ -227,7 +278,7 @@ _BUCKET_PAIR_CAP = 262_144
 
 
 def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
-                       ngram: int = 3):
+                       ngram: int = 3, gram_hash: str = "fast"):
     """Candidate near-dup pairs via banded MinHash LSH.
 
     shingle -> minhash -> band rows -> ONE (band, bucket) groupby with a
@@ -241,7 +292,7 @@ def minhash_candidates(ds, num_perm: int = 64, bands: int = 16,
     from ray.data.aggregate import AggregateFn, Count
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        return _hasher_for(num_perm, bands, ngram)(batch)
+        return _hasher_for(num_perm, bands, ngram, gram_hash)(batch)
 
     def _accumulate(acc: list, block) -> list:
         if len(acc) >= _BUCKET_CAP:
@@ -420,10 +471,11 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", col: str = "text",
 
 
 # ---------------------------------------------------------------- simhash
-def _simhash_signatures(batch: pa.Table, col: str, ngram: int) -> np.ndarray:
+def _simhash_signatures(batch: pa.Table, col: str, ngram: int,
+                        gram_hash: str = "fast") -> np.ndarray:
     """(num_rows,) uint64 SimHash (Charikar 2002) over word n-grams, fully
     vectorized: shared gram-hash machinery + 64 bincount votes per batch."""
-    hasher = _hasher_for(64, 16, ngram)  # only _gram_hashes is used
+    hasher = _hasher_for(64, 16, ngram, gram_hash)  # only _gram_hashes used
     g, gpar = hasher._gram_hashes(pa.table({"text": batch[col]}))
     n = batch.num_rows
     out = np.zeros(n, np.uint64)
@@ -443,15 +495,16 @@ def simhash64(text: str, ngram: int = 2) -> int:
 
 
 def simhash_batch(batch: pa.Table, col: str = "text",
-                  ngram: int = 2) -> pa.Table:
-    sig = _simhash_signatures(batch, col, ngram)
+                  ngram: int = 2, gram_hash: str = "fast") -> pa.Table:
+    sig = _simhash_signatures(batch, col, ngram, gram_hash)
     return batch.append_column(
         "simhash", pa.array(sig.view(np.int64), pa.int64())
     )
 
 
 def simhash_candidates(ds, col: str = "text", ngram: int = 2,
-                       max_hamming: int = 3, bands: int = 4):
+                       max_hamming: int = 3, bands: int = 4,
+                       gram_hash: str = "fast"):
     """Near-dup candidate pairs by banded SimHash (hamming LSH).
 
     The 64-bit signature splits into ``bands`` equal segments; a pair is a
@@ -488,7 +541,7 @@ def simhash_candidates(ds, col: str = "text", ngram: int = 2,
     mask = np.uint64((1 << seg_bits) - 1)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        sig = _simhash_signatures(batch, col, ngram)
+        sig = _simhash_signatures(batch, col, ngram, gram_hash)
         n = batch.num_rows
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         buckets = np.empty((n, bands), np.int64)

@@ -317,3 +317,64 @@ def test_simhash_pair_hamming_is_unsigned(ray_session):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         dedup.simhash_candidates(ds, max_hamming=10, bands=4)
+
+
+def test_md5_gram_twins_match_duckdb_oracles(ray_session):
+    """Driver-gate rehearsal for the md5-gram oracle twins: run each
+    ``q_dedup_*_md5`` Ray pipeline at sf0.001 and its ``oracle_sql()``
+    DuckDB mirror on the same parquet — row sets must match exactly
+    (signatures, LSH band buckets, candidate pairs are all replicated
+    bit-for-bit by the SQL)."""
+    import duckdb
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_for_test", "/root/repo/__ray_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    oracles = mod.oracle_sql()
+    qs = mod.queries()
+    for name in ("dedup_minhash_md5", "dedup_simhash_md5",
+                 "dedup_simhash_pairs_md5"):
+        got = qs[name](SF).to_pandas()
+        want = con.execute(oracles[name]).df()
+        got_set = set(map(tuple, got[sorted(got.columns)].itertuples(index=False)))
+        want_set = set(map(tuple, want[sorted(want.columns)].itertuples(index=False)))
+        assert got_set == want_set, (
+            f"{name}: ray={len(got_set)} oracle={len(want_set)} rows; "
+            f"ray-only={sorted(got_set - want_set)[:3]} "
+            f"oracle-only={sorted(want_set - got_set)[:3]}"
+        )
+
+
+def test_minhash_md5_mode_same_pipeline_recall(ray_session):
+    """The md5 twin runs the SAME LSH pipeline as the fast mode — planted
+    exact/near dups must be recovered identically."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import dedup
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(500)]
+    docs = []
+    for i in range(40):
+        docs.append(
+            {"doc_id": i, "text": " ".join(rng.choice(vocab, size=80))}
+        )
+    base = docs[0]["text"].split()
+    docs.append({"doc_id": 41, "text": " ".join(base[:77] + ["x1", "x2", "x3"])})
+    docs.append({"doc_id": 42, "text": " ".join(base)})
+    ds = rd.from_items(docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidates(
+            ds, num_perm=64, bands=16, gram_hash="md5"
+        ).take_all()
+    }
+    assert (0, 42) in pairs and (0, 41) in pairs
