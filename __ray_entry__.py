@@ -249,9 +249,13 @@ def q_geo_reproject_grid(sf_dir: str):
 
 def q_geo_pixel_checksum(sf_dir: str):
     """Decode integrity: per-image integer checksum of valid pixels +
-    byte-identical caption passthrough (input_hint invariant).  Pixel
-    oracles: tests/test_stages.py::test_decode_matches_single_process_oracle
-    (literal checksums) and ::test_decode_phash_integrity_detects_corruption."""
+    byte-identical caption passthrough (input_hint invariant).  EXACT SQL
+    oracle: the frozen pixel spec (sources/corpus.py) regenerated in
+    DuckDB for all four codecs — incl. the lq8 lossy quantize/dequantize
+    chain — with BIGINT sums (order-free, no float accumulation).  Pixel
+    oracles in pytest: tests/test_stages.py::
+    test_decode_matches_single_process_oracle (literal checksums) and
+    ::test_decode_phash_integrity_detects_corruption."""
     from rioxarray_ray.kernels.nodata import valid_mask
     from rioxarray_ray.pipelines import flagship as fpipe
     from rioxarray_ray.stages import decode as dstage
@@ -432,10 +436,13 @@ def q_geo_clip_geometry(sf_dir: str):
 
 def q_geo_merge(sf_dir: str):
     """Mosaic the first 16 non-projected images (method=first) and emit
-    per-dst-tile integer checksums.  Pixel oracles:
-    tests/test_stages.py::test_merge_stage_reassembles and
-    tests/test_kernels.py::test_merge_quadrants_reassembles /
-    ::test_merge_methods_on_overlap (literal MODIS bounds + overlap rules)."""
+    per-dst-tile integer checksums.  EXACT SQL oracle: union-grid plan,
+    round-even tile anchors, per-pixel first-valid-source winners and
+    BIGINT sums of the regenerated pixel spec, all in DuckDB.  Pixel
+    oracles in pytest: tests/test_stages.py::test_merge_stage_reassembles
+    and tests/test_kernels.py::test_merge_quadrants_reassembles /
+    ::test_merge_methods_on_overlap (literal MODIS bounds + overlap
+    rules)."""
     from rioxarray_ray.stages import merge as mstage
 
     tiles = _tiles_4326(sf_dir)
@@ -1223,6 +1230,188 @@ SELECT image_id,
        CAST(GREATEST(CAST(round((dr - dl) / res) AS BIGINT), 1) AS INT) AS dst_w,
        CAST(GREATEST(CAST(round((dt - db) / res) AS BIGINT), 1) AS INT) AS dst_h
 FROM r
+""",
+        # Exact decode gate for ALL FOUR codecs: regenerate the frozen
+        # corpus pixel spec (sources/corpus.py docstring) in plain SQL —
+        # sha256-derived params, the band-limited sin*cos+gradient pattern,
+        # round_even (numpy rint = banker's), the nodata disc, the rawu8
+        # min/max normalization and the lq8 quantize->dequantize chain —
+        # then sum decoded values as BIGINT (order-free, no float
+        # accumulation).  numpy SIMD sin/cos differ from libm by <=1 ulp on
+        # this box but every rounded value agrees (verified exhaustively
+        # at sf0.01; deterministic corpus => deterministic gate).
+        "geo_pixel_checksum": """
+WITH img AS (
+  SELECT doc_id AS idx,
+         'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+         CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS w,
+         CASE (doc_id + 1) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS h,
+         CASE doc_id % 4 WHEN 0 THEN 'raw16' WHEN 1 THEN 'rawu8' WHEN 2 THEN 'pngz' ELSE 'lq8' END AS fmt,
+         CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS band_count
+  FROM documents WHERE doc_id < 128
+),
+par AS (
+  SELECT *,
+         'caption-' || CAST(idx AS VARCHAR) || '-' || substr(sha256(image_id), 1, 8) AS caption,
+         1e3 + CAST(('0x' || substr(sha256(image_id), 1, 2)) AS INT) * 8e0 AS amp,
+         1 + CAST(('0x' || substr(sha256(image_id), 3, 2)) AS INT) % 8 AS f1,
+         1 + CAST(('0x' || substr(sha256(image_id), 5, 2)) AS INT) % 8 AS f2,
+         CAST(('0x' || substr(sha256(image_id), 7, 2)) AS INT) / 2.55e2 AS phi,
+         CAST(('0x' || substr(sha256(image_id), 9, 2)) AS INT) % h AS cr,
+         CAST(('0x' || substr(sha256(image_id), 11, 2)) AS INT) % w AS cc,
+         5e-2 * h * w / pi() AS radius2
+  FROM img
+),
+pr AS (SELECT *, unnest(range(0, h)) AS r FROM par),
+prc AS (SELECT *, unnest(range(0, w)) AS c FROM pr),
+pb AS (SELECT *, unnest(range(0, band_count)) AS b FROM prc),
+v0 AS (
+  SELECT idx, image_id, caption, fmt, h, w, b, r, c,
+         amp * sin(((2*pi())*f1)*(CAST(r AS DOUBLE)+(phi + 3.7e-1*b))/h)
+             * cos(((2*pi())*f2)*(CAST(c AS DOUBLE)+(phi + 3.7e-1*b))/w)
+         + (5e2*(CAST(r AS DOUBLE)/h) + 3e2*(CAST(c AS DOUBLE)/w)) AS vf,
+         ((r-cr)*(r-cr) + (c-cc)*(c-cc)) < radius2 AS disc
+  FROM pb
+),
+v16 AS (SELECT *, CAST(round_even(vf, 0) AS BIGINT) AS q16 FROM v0),
+u8 AS (
+  SELECT *, MIN(vf) OVER (PARTITION BY idx) AS lo8,
+            MAX(vf) OVER (PARTITION BY idx) AS hi8
+  FROM v16 WHERE fmt = 'rawu8'
+),
+u8px AS (
+  SELECT idx, image_id, caption,
+         CAST(round_even((vf - lo8) / GREATEST(hi8 - lo8, 1e-9) * 2.54e2, 0) AS BIGINT) AS px
+  FROM u8 WHERE NOT disc
+),
+lmm AS (
+  SELECT idx, b,
+         CAST(MIN(q16) AS DOUBLE) AS lo,
+         CASE WHEN MAX(q16) <= MIN(q16)
+              THEN CAST(MIN(q16) AS DOUBLE) + 1 ELSE CAST(MAX(q16) AS DOUBLE) END AS hi
+  FROM v16 WHERE fmt = 'lq8' AND NOT disc GROUP BY idx, b
+),
+lq AS (
+  SELECT v.idx, v.image_id, v.caption, v.q16, m.lo, (m.hi - m.lo) / 2.54e2 AS step
+  FROM v16 v JOIN lmm m ON v.idx = m.idx AND v.b = m.b
+  WHERE v.fmt = 'lq8' AND NOT v.disc
+),
+lqpx AS (
+  SELECT idx, image_id, caption,
+         CAST(round_even(lo + LEAST(GREATEST(round_even((CAST(q16 AS DOUBLE) - lo) / step, 0), 0e0), 2.54e2) * step, 0) AS BIGINT) AS px
+  FROM lq
+),
+i16px AS (
+  SELECT idx, image_id, caption, q16 AS px
+  FROM v16 WHERE fmt IN ('raw16', 'pngz') AND NOT disc
+),
+allpx AS (
+  SELECT * FROM i16px UNION ALL SELECT * FROM u8px UNION ALL SELECT * FROM lqpx
+)
+SELECT image_id, caption,
+       CAST(SUM(px) AS BIGINT) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM allpx GROUP BY image_id, caption
+""",
+        # Exact mosaic gate: union grid (rasterio ceil-snap sizing), the
+        # round-even integer anchor of every source tile on the dst grid,
+        # per-dst-pixel 'first' winner (= lexicographically-first VALID
+        # source, stages/merge.py reduce order), BIGINT per-tile sums of
+        # the regenerated raw16 pixel spec.  All float exprs mirror the
+        # engine term-by-term (kernels/affine.py invert/apply with the
+        # +-0.0 no-op terms dropped).
+        "geo_merge": """
+WITH img AS (
+  SELECT doc_id AS idx,
+         'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+         CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS w,
+         CASE (doc_id + 1) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS h,
+         -6e1 + (doc_id % 64) * (CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END) * 5e-3 AS left_x,
+         4e1 - ((doc_id // 64) % 64) * (CASE (doc_id + 1) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END) * 5e-3 AS top_y
+  FROM documents
+  WHERE doc_id % 4 = 0 AND doc_id % 7 <> 6 AND doc_id % 5 <> 0 AND doc_id < 200
+  QUALIFY row_number() OVER (ORDER BY doc_id) <= 16
+),
+stiles AS (
+  SELECT i.*, tr.tr AS s_tr, tc.tc AS s_tc,
+         CAST(LEAST(64, i.h - tr.tr * 64) AS INT) AS th,
+         CAST(LEAST(64, i.w - tc.tc * 64) AS INT) AS tw,
+         (5e-3 * (tc.tc * 64) + i.left_x) AS tile_left,
+         ((-5e-3) * (tr.tr * 64) + i.top_y) AS tile_top
+  FROM img i,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(i.h / 6.4e1) AS BIGINT))) AS tr) tr,
+       LATERAL (SELECT unnest(range(0, CAST(ceil(i.w / 6.4e1) AS BIGINT))) AS tc) tc
+),
+u AS (
+  SELECT MIN(tile_left) AS uleft,
+         MIN((-5e-3) * th + tile_top) AS ubottom,
+         MAX(5e-3 * tw + tile_left) AS uright,
+         MAX(tile_top) AS utop
+  FROM stiles
+),
+grid AS (
+  SELECT *,
+         CAST(ceil((uright - uleft) / 5e-3 - 1e-9) AS BIGINT) AS gw,
+         CAST(ceil((utop - ubottom) / 5e-3 - 1e-9) AS BIGINT) AS gh,
+         (-5e-3) / (5e-3 * (-5e-3)) AS ia,
+         5e-3 / (5e-3 * (-5e-3)) AS ie
+  FROM u
+),
+g2 AS (SELECT *, (gw + 255) // 256 AS n_tc, (gh + 255) // 256 AS n_tr FROM grid),
+anch AS (
+  SELECT s.*, g.gw, g.gh, g.n_tc, g.n_tr,
+         CAST(round_even((g.ia * s.tile_left) + (-(g.ia * g.uleft)), 0) AS BIGINT) AS ic0,
+         CAST(round_even((g.ie * s.tile_top) + (-(g.ie * g.utop)), 0) AS BIGINT) AS ir0
+  FROM stiles s CROSS JOIN g2 g
+),
+par AS (
+  SELECT idx, image_id, w, h,
+         1e3 + CAST(('0x' || substr(sha256(image_id), 1, 2)) AS INT) * 8e0 AS amp,
+         1 + CAST(('0x' || substr(sha256(image_id), 3, 2)) AS INT) % 8 AS f1,
+         1 + CAST(('0x' || substr(sha256(image_id), 5, 2)) AS INT) % 8 AS f2,
+         CAST(('0x' || substr(sha256(image_id), 7, 2)) AS INT) / 2.55e2 AS phi,
+         CAST(('0x' || substr(sha256(image_id), 9, 2)) AS INT) % h AS cr,
+         CAST(('0x' || substr(sha256(image_id), 11, 2)) AS INT) % w AS cc,
+         5e-2 * h * w / pi() AS radius2
+  FROM img
+),
+pr AS (SELECT *, unnest(range(0, h)) AS r FROM par),
+prc AS (SELECT *, unnest(range(0, w)) AS c FROM pr),
+px AS (
+  SELECT idx, image_id, r, c,
+         CAST(round_even(
+           amp * sin(((2*pi())*f1)*(CAST(r AS DOUBLE)+phi)/h)
+               * cos(((2*pi())*f2)*(CAST(c AS DOUBLE)+phi)/w)
+           + (5e2*(CAST(r AS DOUBLE)/h) + 3e2*(CAST(c AS DOUBLE)/w)), 0) AS BIGINT) AS v,
+         NOT (((r-cr)*(r-cr) + (c-cc)*(c-cc)) < radius2) AS valid
+  FROM prc
+),
+placed AS (
+  SELECT a.image_id, a.n_tc,
+         a.ir0 + (p.r - a.s_tr * 64) AS gr,
+         a.ic0 + (p.c - a.s_tc * 64) AS gc,
+         p.v, p.valid
+  FROM anch a JOIN px p ON a.idx = p.idx
+   AND p.r >= a.s_tr * 64 AND p.r < a.s_tr * 64 + a.th
+   AND p.c >= a.s_tc * 64 AND p.c < a.s_tc * 64 + a.tw
+),
+winner AS (
+  SELECT (gr // 256) AS d_tr, (gc // 256) AS d_tc,
+         arg_min(v, image_id) AS v
+  FROM placed WHERE valid
+  GROUP BY gr, gc, (gr // 256), (gc // 256)
+),
+dtiles AS (
+  SELECT DISTINCT (gr // 256) AS d_tr, (gc // 256) AS d_tc FROM placed
+),
+sums AS (
+  SELECT d_tr, d_tc, CAST(SUM(v) AS BIGINT) AS s FROM winner GROUP BY d_tr, d_tc
+)
+SELECT 'mosaic/' || CAST(t.d_tr AS VARCHAR) || '/' || CAST(t.d_tc AS VARCHAR) AS tile_id,
+       CAST(LEAST(256, g.gh - t.d_tr * 256) AS BIGINT) AS h,
+       CAST(LEAST(256, g.gw - t.d_tc * 256) AS BIGINT) AS w,
+       COALESCE(s.s, 0) AS checksum
+FROM dtiles t CROSS JOIN g2 g LEFT JOIN sums s ON t.d_tr = s.d_tr AND t.d_tc = s.d_tc
 """,
         "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
