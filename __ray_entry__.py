@@ -285,9 +285,13 @@ def q_geo_pixel_checksum(sf_dir: str):
 
 def q_geo_downsample_avg(sf_dir: str):
     """Area-kernel reproject (resampling='average'): aligned 2x downsample
-    per image; per-image mean is box-mean-invariant, so mean(down) ~=
-    mean(src) — asserted in pytest; driver records rows-only (pixel
-    semantics are covered by kernel/stage pytest oracles)."""
+    over the native-4326 images.  EXACT SQL oracle: the SAT box sums are
+    float64 sums of integers far below 2**53 (exact), each dst pixel is
+    rint(block_sum / block_count) in the native dtype, and the per-image
+    checksum sums those ints as BIGINT — DuckDB regenerates the blocks by
+    grouping the pixel spec on (r//2, c//2).  Pixel oracles in pytest:
+    per-kernel area tests in tests/test_kernels.py (projected inputs,
+    which this gate's scope excludes, are covered there)."""
     from rioxarray_ray.kernels.nodata import valid_mask
     from rioxarray_ray.pipelines import flagship as fpipe
     from rioxarray_ray.stages import decode as dstage
@@ -296,7 +300,16 @@ def q_geo_downsample_avg(sf_dir: str):
 
     n = min(_ndocs(sf_dir), 64)
     ds = fpipe.read_corpus(n)
-    decoded = dstage.decode_stage(ds)
+
+    def native_4326(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    decoded = dstage.decode_stage(
+        ds.map_batches(native_4326, batch_format="pyarrow", zero_copy_batch=True)
+    )
     down = wstage.reproject_stage(
         decoded,
         "EPSG:4326",
@@ -315,9 +328,8 @@ def q_geo_downsample_avg(sf_dir: str):
                     "image_id": r["image_id"],
                     "h": int(r["h"]),
                     "w": int(r["w"]),
-                    "mean_valid": float(px.astype(np.float64)[vm].mean())
-                    if vm.any()
-                    else 0.0,
+                    "n_valid": int(vm.sum()),
+                    "checksum": int(px.astype(np.int64)[vm].sum()),
                 }
             )
         return pa.Table.from_pylist(out)
@@ -1312,6 +1324,96 @@ SELECT image_id, caption,
        CAST(SUM(px) AS BIGINT) AS checksum,
        CAST(COUNT(*) AS BIGINT) AS n_valid
 FROM allpx GROUP BY image_id, caption
+""",
+        # Exact area-resampling gate: regenerate decoded pixels (all 3
+        # native-4326 codec lanes), group into the aligned 2x2 blocks the
+        # separable area kernel resolves (SAT box sums of ints < 2**53 are
+        # exact in float64), dst pixel = round_even(sum/count) in the
+        # native dtype, checksum = BIGINT sum of dst pixels.
+        "geo_downsample_avg": """
+WITH img AS (
+  SELECT doc_id AS idx,
+         'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+         CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS w,
+         CASE (doc_id + 1) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS h,
+         CASE doc_id % 4 WHEN 0 THEN 'raw16' WHEN 1 THEN 'rawu8' WHEN 2 THEN 'pngz' ELSE 'lq8' END AS fmt,
+         CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS band_count
+  FROM documents WHERE doc_id < 64 AND doc_id % 7 <> 6
+),
+par AS (
+  SELECT *,
+         1e3 + CAST(('0x' || substr(sha256(image_id), 1, 2)) AS INT) * 8e0 AS amp,
+         1 + CAST(('0x' || substr(sha256(image_id), 3, 2)) AS INT) % 8 AS f1,
+         1 + CAST(('0x' || substr(sha256(image_id), 5, 2)) AS INT) % 8 AS f2,
+         CAST(('0x' || substr(sha256(image_id), 7, 2)) AS INT) / 2.55e2 AS phi,
+         CAST(('0x' || substr(sha256(image_id), 9, 2)) AS INT) % h AS cr,
+         CAST(('0x' || substr(sha256(image_id), 11, 2)) AS INT) % w AS cc,
+         5e-2 * h * w / pi() AS radius2
+  FROM img
+),
+pr AS (SELECT *, unnest(range(0, h)) AS r FROM par),
+prc AS (SELECT *, unnest(range(0, w)) AS c FROM pr),
+pb AS (SELECT *, unnest(range(0, band_count)) AS b FROM prc),
+v0 AS (
+  SELECT idx, image_id, fmt, h, w, b, r, c,
+         amp * sin(((2*pi())*f1)*(CAST(r AS DOUBLE)+(phi + 3.7e-1*b))/h)
+             * cos(((2*pi())*f2)*(CAST(c AS DOUBLE)+(phi + 3.7e-1*b))/w)
+         + (5e2*(CAST(r AS DOUBLE)/h) + 3e2*(CAST(c AS DOUBLE)/w)) AS vf,
+         ((r-cr)*(r-cr) + (c-cc)*(c-cc)) < radius2 AS disc
+  FROM pb
+),
+v16 AS (SELECT *, CAST(round_even(vf, 0) AS BIGINT) AS q16 FROM v0),
+u8 AS (
+  SELECT *, MIN(vf) OVER (PARTITION BY idx) AS lo8,
+            MAX(vf) OVER (PARTITION BY idx) AS hi8
+  FROM v16 WHERE fmt = 'rawu8'
+),
+u8px AS (
+  SELECT idx, image_id, b, r, c,
+         CAST(round_even((vf - lo8) / GREATEST(hi8 - lo8, 1e-9) * 2.54e2, 0) AS BIGINT) AS px
+  FROM u8 WHERE NOT disc
+),
+lmm AS (
+  SELECT idx, b,
+         CAST(MIN(q16) AS DOUBLE) AS lo,
+         CASE WHEN MAX(q16) <= MIN(q16)
+              THEN CAST(MIN(q16) AS DOUBLE) + 1 ELSE CAST(MAX(q16) AS DOUBLE) END AS hi
+  FROM v16 WHERE fmt = 'lq8' AND NOT disc GROUP BY idx, b
+),
+lq AS (
+  SELECT v.idx, v.image_id, v.b, v.r, v.c, v.q16, m.lo, (m.hi - m.lo) / 2.54e2 AS step
+  FROM v16 v JOIN lmm m ON v.idx = m.idx AND v.b = m.b
+  WHERE v.fmt = 'lq8' AND NOT v.disc
+),
+lqpx AS (
+  SELECT idx, image_id, b, r, c,
+         CAST(round_even(lo + LEAST(GREATEST(round_even((CAST(q16 AS DOUBLE) - lo) / step, 0), 0e0), 2.54e2) * step, 0) AS BIGINT) AS px
+  FROM lq
+),
+i16px AS (
+  SELECT idx, image_id, b, r, c, q16 AS px
+  FROM v16 WHERE fmt IN ('raw16', 'pngz') AND NOT disc
+),
+allpx AS (
+  SELECT * FROM i16px UNION ALL SELECT * FROM u8px UNION ALL SELECT * FROM lqpx
+),
+blocks AS (
+  SELECT image_id, b, r // 2 AS br, c // 2 AS bc,
+         CAST(SUM(px) AS BIGINT) AS s, COUNT(*) AS n
+  FROM allpx GROUP BY image_id, b, r // 2, c // 2
+),
+dstpx AS (
+  SELECT image_id,
+         CAST(round_even(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 0) AS BIGINT) AS dpx
+  FROM blocks
+)
+SELECT i.image_id,
+       CAST(i.h // 2 AS BIGINT) AS h,
+       CAST(i.w // 2 AS BIGINT) AS w,
+       CAST(COUNT(d.dpx) AS BIGINT) AS n_valid,
+       CAST(COALESCE(SUM(d.dpx), 0) AS BIGINT) AS checksum
+FROM img i JOIN dstpx d ON i.image_id = d.image_id
+GROUP BY i.image_id, i.h, i.w
 """,
         # Exact mosaic gate: union grid (rasterio ceil-snap sizing), the
         # round-even integer anchor of every source tile on the dst grid,
