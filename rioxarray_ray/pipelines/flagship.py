@@ -238,6 +238,98 @@ def _semi_join_matched(tiles, join_rows):
     )
 
 
+class FusedPIPWarpActor:
+    """One-pass PIP join + warp: each tile batch is joined against the
+    broadcast geometry index AND warped in the SAME actor, emitting a
+    union-schema table (warped tile rows side='t', join stat rows
+    side='j').
+
+    Why: with separate join/warp branches off a lazy tile boundary, each
+    consumer re-executes read->decode->tile — ~2x the decode DRAM traffic,
+    which is exactly what saturates this box (and a real node) at high
+    parallelism.  Fusing halves the bandwidth per image; at 100 TB it also
+    halves the storage reads.  Costs: the join relation rides the warped
+    stream (tiny — no pixels) and the two ops share one pool's schedule.
+    """
+
+    def __init__(self, geom_rows, dst_crs, resampling="nearest",
+                 cell_res=corpus.CELL_RES, nodata=None):
+        from ..stages.join import PIPJoinActor
+        from ..stages.warp import WarpActor
+        from ..kernels import crs as crs_mod
+
+        self.pip = PIPJoinActor(geom_rows, cell_res=cell_res)
+        self.warp = WarpActor(
+            dst_crs=crs_mod.from_user_input(dst_crs).to_string(),
+            resampling=resampling, nodata=nodata,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.join import PIP_SCHEMA
+
+        join = self.pip(batch)
+        warped = self.warp(batch)
+        schema = warped.schema
+        stat_fields = [f for f in PIP_SCHEMA if f.name not in schema.names]
+        out_fields = list(schema) + stat_fields + [pa.field("side", pa.string())]
+        out_schema = pa.schema(out_fields)
+
+        def combined(col):
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+        w_arrays = [combined(warped[f.name]) for f in schema]
+        w_arrays += [pa.nulls(warped.num_rows, f.type) for f in stat_fields]
+        w_arrays.append(pa.array(["t"] * warped.num_rows, pa.string()))
+        w_tab = pa.Table.from_arrays(w_arrays, schema=out_schema)
+        j_arrays = []
+        for f in schema:
+            if f.name in join.schema.names:
+                j_arrays.append(combined(pc.cast(join[f.name], f.type)))
+            else:
+                j_arrays.append(pa.nulls(join.num_rows, f.type))
+        j_arrays += [combined(join[f.name]) for f in stat_fields]
+        j_arrays.append(pa.array(["j"] * join.num_rows, pa.string()))
+        j_tab = pa.Table.from_arrays(j_arrays, schema=out_schema)
+        return pa.concat_tables([w_tab, j_tab])
+
+
+def flagship_fused(
+    n_images: int = 2048,
+    n_geoms: int = 200,
+    tile_size: int = 64,
+    dst_crs: str = "EPSG:3857",
+    resampling: str = "nearest",
+    concurrency: int = 4,
+):
+    """Single-pass flagship: decode -> tile -> (PIP join + warp in one
+    actor pool) -> one union-schema stream.  Identical outputs to
+    ``flagship(warp_scope='all')`` (same join relation, same warped
+    tiles), but the corpus is read and decoded ONCE instead of once per
+    branch — the bandwidth-optimal plan this box's DRAM ceiling rewards
+    and the storage-optimal plan at 100 TB."""
+    ds = read_corpus(
+        n_images,
+        override_num_blocks=min(max(concurrency * 8, 16), max(n_images // 16, 16)),
+    )
+    decoded = decode_stage_mod.decode_stage(ds)
+    tiles = tile_mod.tile_stage(decoded, tile_size=tile_size)
+    geoms = [
+        g for g in corpus.geometry_table(n_geoms) if g["kind"] != "point"
+    ]
+    return tiles.map_batches(
+        FusedPIPWarpActor,
+        fn_constructor_kwargs=dict(
+            geom_rows=geoms, dst_crs=dst_crs, resampling=resampling
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=None,  # whole blocks, same as the warp-all branch
+    )
+
+
 def write_output(warped, out_dir: str):
     """Partitioned, resumable output layout: one dir per image-id prefix."""
     warped.write_parquet(out_dir)

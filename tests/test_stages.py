@@ -1002,6 +1002,59 @@ def test_flagship_matched_plans_agree(ray_session):
     assert kb == kj
 
 
+def test_flagship_fused_equals_two_branch(ray_session):
+    """flagship_fused (one-pass PIP+warp union stream) emits EXACTLY the
+    two-branch plan's outputs: same join relation rows, same warped tile
+    payloads (crc) — plan equivalence for the bandwidth-optimal headline."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    from rioxarray_ray.pipelines import flagship
+
+    fused = flagship.flagship_fused(n_images=48, n_geoms=24, concurrency=2)
+    fj, fw = [], []
+    for b in fused.iter_batches(batch_format="pyarrow"):
+        j = b.filter(pc.equal(b["side"], "j"))
+        t = b.filter(pc.equal(b["side"], "t"))
+        fj += [
+            (r["image_id"], r["tile_row"], r["tile_col"], r["geom_id"],
+             r["n_pixels"], r["n_inside"], r["sum_inside"])
+            for r in j.select(
+                ["image_id", "tile_row", "tile_col", "geom_id",
+                 "n_pixels", "n_inside", "sum_inside"]
+            ).to_pylist()
+        ]
+        fw += [
+            (r["image_id"], r["tile_row"], r["tile_col"], r["h"], r["w"],
+             zlib.crc32(r["pixels"]))
+            for r in t.select(
+                ["image_id", "tile_row", "tile_col", "h", "w", "pixels"]
+            ).to_pylist()
+        ]
+    warped, join_rows = flagship.flagship(
+        n_images=48, n_geoms=24, concurrency=2
+    )
+    bj = [
+        (r["image_id"], r["tile_row"], r["tile_col"], r["geom_id"],
+         r["n_pixels"], r["n_inside"], r["sum_inside"])
+        for r in join_rows.select_columns(
+            ["image_id", "tile_row", "tile_col", "geom_id",
+             "n_pixels", "n_inside", "sum_inside"]
+        ).take_all()
+    ]
+    bw = [
+        (r["image_id"], r["tile_row"], r["tile_col"], r["h"], r["w"],
+         zlib.crc32(r["pixels"]))
+        for r in warped.select_columns(
+            ["image_id", "tile_row", "tile_col", "h", "w", "pixels"]
+        ).take_all()
+    ]
+    assert len(fw) > 0 and len(fj) > 0
+    assert sorted(fj) == sorted(bj)
+    assert sorted(fw) == sorted(bw)
+
+
 def test_multimodal_native_codec_decode_is_real(ray_session):
     """Native-format payloads (engine codecs) decode to their ACTUAL
     pixels through the multimodal stages; foreign payloads still flow via
