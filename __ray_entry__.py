@@ -417,7 +417,10 @@ def q_geo_tiled_halo_warp(sf_dir: str):
 
 def q_geo_clip_geometry(sf_dir: str):
     """Polygon clip (concave stars) over tiles: kept tiles + valid counts.
-    Pixel oracles: tests/test_kernels.py::test_clip_rect_equals_window_slice,
+    EXACT SQL oracle: star vertices + the same even-odd ray-casting PIP
+    per pixel center, bbox candidate rule, drop-empty contract (DuckDB).
+    Pixel oracles in pytest:
+    tests/test_kernels.py::test_clip_rect_equals_window_slice,
     ::test_clip_invert_checksum, and the all_touched superset test."""
     from rioxarray_ray.stages import clip as cstage
 
@@ -1053,6 +1056,101 @@ WHERE GREATEST(0, LEAST(r.gx + r.wpx, t.gx0 + t.win_col_off + t.tw)
 """
 
 
+# Exact concave-polygon clip gate: regenerate the star vertices
+# (sha-derived radii, linspace angles), run the SAME even-odd
+# ray-casting rule as kernels/geometry.py points_in_rings per pixel
+# center, apply the bbox-index candidate rule and the drop-empty
+# contract, and count surviving valid pixels (disc validity only —
+# no per-pixel transcendentals needed).
+_CLIP_GEOM_SQL = f"""
+WITH {_TILES_CTE},
+{_GEOMS_CTE.strip().lstrip()},
+stars AS (
+  SELECT k, geom_id, gx, gy FROM geoms_placed WHERE kind = 'concave'
+),
+sv AS (
+  SELECT s.geom_id, i.i,
+         (-6e1 + s.gx * 5e-3)
+           + (CASE WHEN i.i % 2 = 0
+                THEN 5e-2 + (CAST(('0x' || substr(sha256(s.geom_id), 5, 2)) AS INT) / 2.55e2) * 2.5e-1
+                ELSE 2e-2 + (CAST(('0x' || substr(sha256(s.geom_id), 7, 2)) AS INT) / 2.55e2) * 5e-2 END)
+             * cos(CAST(i.i AS DOUBLE) * ((2*pi()) / 1e1)) AS vx,
+         (4e1 - s.gy * 5e-3)
+           + (CASE WHEN i.i % 2 = 0
+                THEN 5e-2 + (CAST(('0x' || substr(sha256(s.geom_id), 5, 2)) AS INT) / 2.55e2) * 2.5e-1
+                ELSE 2e-2 + (CAST(('0x' || substr(sha256(s.geom_id), 7, 2)) AS INT) / 2.55e2) * 5e-2 END)
+             * sin(CAST(i.i AS DOUBLE) * ((2*pi()) / 1e1)) AS vy
+  FROM stars s, LATERAL (SELECT unnest(range(0, 10)) AS i) i
+),
+gbox AS (
+  SELECT geom_id, MIN(vx) AS minx, MAX(vx) AS maxx,
+         MIN(vy) AS miny, MAX(vy) AS maxy
+  FROM sv GROUP BY geom_id
+),
+edges AS (
+  SELECT a.geom_id, a.vx AS ex1, a.vy AS ey1, b.vx AS ex2, b.vy AS ey2
+  FROM sv a JOIN sv b ON a.geom_id = b.geom_id AND b.i = (a.i + 1) % 10
+),
+pairs AS (
+  SELECT t.image_id, t.idx, t.tile_row, t.tile_col, t.th, t.tw,
+         t.tile_left, t.tile_top, t.win_row_off, t.win_col_off,
+         g.geom_id, g.minx, g.maxx, g.miny, g.maxy
+  FROM tiles t JOIN gbox g
+    ON g.minx <= (5e-3 * t.tw + t.tile_left) AND g.maxx >= t.tile_left
+   AND g.miny <= t.tile_top AND g.maxy >= ((-5e-3) * t.th + t.tile_top)
+),
+pairpx AS (
+  SELECT p.*, r.r, c.c,
+         (5e-3 * (CAST(c.c AS DOUBLE) + 5e-1)) + p.tile_left AS px,
+         ((-5e-3) * (CAST(r.r AS DOUBLE) + 5e-1)) + p.tile_top AS py
+  FROM pairs p,
+       LATERAL (SELECT unnest(range(0, p.th)) AS r) r,
+       LATERAL (SELECT unnest(range(0, p.tw)) AS c) c
+  WHERE (5e-3 * (CAST(c.c AS DOUBLE) + 5e-1)) + p.tile_left BETWEEN p.minx AND p.maxx
+    AND ((-5e-3) * (CAST(r.r AS DOUBLE) + 5e-1)) + p.tile_top BETWEEN p.miny AND p.maxy
+),
+cross_ AS (
+  SELECT pp.image_id, pp.tile_row, pp.tile_col, pp.r, pp.c, pp.geom_id,
+         SUM(CASE WHEN ((e.ey1 > pp.py) <> (e.ey2 > pp.py))
+                   AND pp.px < (((e.ex2 - e.ex1) * (pp.py - e.ey1) / (e.ey2 - e.ey1)) + e.ex1)
+              THEN 1 ELSE 0 END) AS ncross
+  FROM pairpx pp JOIN edges e ON pp.geom_id = e.geom_id
+  GROUP BY pp.image_id, pp.tile_row, pp.tile_col, pp.r, pp.c, pp.geom_id
+),
+inside AS (
+  SELECT image_id, tile_row, tile_col, r, c, bool_or(ncross % 2 = 1) AS ins
+  FROM cross_ GROUP BY image_id, tile_row, tile_col, r, c
+),
+tinfo AS (
+  SELECT DISTINCT image_id, idx, tile_row, tile_col, win_row_off, win_col_off FROM pairs
+),
+ipar AS (
+  SELECT idx, h, w, band_count,
+         CAST(('0x' || substr(sha256(image_id), 9, 2)) AS INT) % h AS cr,
+         CAST(('0x' || substr(sha256(image_id), 11, 2)) AS INT) % w AS cc,
+         5e-2 * h * w / pi() AS radius2
+  FROM img4326
+),
+agg AS (
+  SELECT i.image_id, i.tile_row, i.tile_col,
+         COUNT(*) FILTER (WHERE i.ins) AS n_inside,
+         COUNT(*) FILTER (WHERE i.ins AND NOT (
+           ((t.win_row_off + i.r) - p.cr) * ((t.win_row_off + i.r) - p.cr)
+           + ((t.win_col_off + i.c) - p.cc) * ((t.win_col_off + i.c) - p.cc)
+           < p.radius2)) AS n_valid_1b,
+         MAX(p.band_count) AS band_count
+  FROM inside i
+  JOIN tinfo t ON i.image_id = t.image_id AND i.tile_row = t.tile_row AND i.tile_col = t.tile_col
+  JOIN ipar p ON t.idx = p.idx
+  GROUP BY i.image_id, i.tile_row, i.tile_col
+)
+SELECT image_id, tile_row, tile_col,
+       CAST(band_count * n_valid_1b AS BIGINT) AS n_valid
+FROM agg WHERE n_inside >= 1
+ORDER BY image_id, tile_row, tile_col
+"""
+
+
 # ---- md5-gram dedup oracles: SQL that replicates functions/dedup.py's
 # md5 gram-hash mode bit-exactly (gram = words joined by ' ', hash =
 # md5_number_upper = first 8 md5 digest bytes little-endian)
@@ -1208,6 +1306,7 @@ WHERE LEAST(cw, tw - ci) >= 1 AND LEAST(rh, th - ri) >= 1
 """,
         "geo_pip_rect": _PIP_RECT_SQL,
         "geo_pip_shuffle": _PIP_RECT_SQL,
+        "geo_clip_geometry": _CLIP_GEOM_SQL,
         "geo_knn": f"""
 WITH {_TILES_CTE},
 {_GEOMS_CTE.strip().lstrip()},
