@@ -253,7 +253,7 @@ class FusedPIPWarpActor:
     """
 
     def __init__(self, geom_rows, dst_crs, resampling="nearest",
-                 cell_res=corpus.CELL_RES, nodata=None):
+                 cell_res=corpus.CELL_RES, nodata=None, tile_size=None):
         from ..stages.join import PIPJoinActor
         from ..stages.warp import WarpActor
         from ..kernels import crs as crs_mod
@@ -263,8 +263,22 @@ class FusedPIPWarpActor:
             dst_crs=crs_mod.from_user_input(dst_crs).to_string(),
             resampling=resampling, nodata=nodata,
         )
+        # deep mode: decode+tile INSIDE the actor, so only the (smaller)
+        # encoded payloads ever cross the object store — decoded pixels
+        # live and die in this actor's heap
+        self.tile_size = tile_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.tile_size is not None:
+            from ..stages import decode as decode_mod
+            from ..stages import tile as tile_mod_
+
+            batch = tile_mod_.tile_batch(
+                decode_mod.decode_batch(batch), tile_size=self.tile_size
+            )
+        return self._join_and_warp(batch)
+
+    def _join_and_warp(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         from ..stages.join import PIP_SCHEMA
@@ -302,27 +316,35 @@ def flagship_fused(
     dst_crs: str = "EPSG:3857",
     resampling: str = "nearest",
     concurrency: int = 4,
+    deep: bool = True,
 ):
-    """Single-pass flagship: decode -> tile -> (PIP join + warp in one
-    actor pool) -> one union-schema stream.  Identical outputs to
-    ``flagship(warp_scope='all')`` (same join relation, same warped
-    tiles), but the corpus is read and decoded ONCE instead of once per
-    branch — the bandwidth-optimal plan this box's DRAM ceiling rewards
-    and the storage-optimal plan at 100 TB."""
+    """Single-pass flagship: (decode -> tile -> PIP join -> warp) in ONE
+    actor pool over one read pass -> one union-schema stream.  Identical
+    outputs to ``flagship(warp_scope='all')`` (same join relation, same
+    warped tiles — pytest-gated), but the corpus is read ONCE and, with
+    ``deep=True`` (default), only the ENCODED payloads ever enter the
+    object store: decoded pixels are produced and consumed inside each
+    actor's heap.  The bandwidth-optimal plan this box's DRAM ceiling
+    rewards and the storage-optimal plan at 100 TB.  ``deep=False`` keeps
+    decode+tile as upstream task stages (useful when other consumers
+    share the tile lineage)."""
     ds = read_corpus(
         n_images,
         override_num_blocks=min(max(concurrency * 8, 16), max(n_images // 16, 16)),
     )
-    decoded = decode_stage_mod.decode_stage(ds)
-    tiles = tile_mod.tile_stage(decoded, tile_size=tile_size)
     geoms = [
         g for g in corpus.geometry_table(n_geoms) if g["kind"] != "point"
     ]
-    return tiles.map_batches(
+    ctor = dict(geom_rows=geoms, dst_crs=dst_crs, resampling=resampling)
+    if deep:
+        upstream = ds
+        ctor["tile_size"] = tile_size
+    else:
+        decoded = decode_stage_mod.decode_stage(ds)
+        upstream = tile_mod.tile_stage(decoded, tile_size=tile_size)
+    return upstream.map_batches(
         FusedPIPWarpActor,
-        fn_constructor_kwargs=dict(
-            geom_rows=geoms, dst_crs=dst_crs, resampling=resampling
-        ),
+        fn_constructor_kwargs=ctor,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

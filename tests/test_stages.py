@@ -1012,26 +1012,35 @@ def test_flagship_fused_equals_two_branch(ray_session):
 
     from rioxarray_ray.pipelines import flagship
 
-    fused = flagship.flagship_fused(n_images=48, n_geoms=24, concurrency=2)
-    fj, fw = [], []
-    for b in fused.iter_batches(batch_format="pyarrow"):
-        j = b.filter(pc.equal(b["side"], "j"))
-        t = b.filter(pc.equal(b["side"], "t"))
-        fj += [
-            (r["image_id"], r["tile_row"], r["tile_col"], r["geom_id"],
-             r["n_pixels"], r["n_inside"], r["sum_inside"])
-            for r in j.select(
-                ["image_id", "tile_row", "tile_col", "geom_id",
-                 "n_pixels", "n_inside", "sum_inside"]
-            ).to_pylist()
-        ]
-        fw += [
-            (r["image_id"], r["tile_row"], r["tile_col"], r["h"], r["w"],
-             zlib.crc32(r["pixels"]))
-            for r in t.select(
-                ["image_id", "tile_row", "tile_col", "h", "w", "pixels"]
-            ).to_pylist()
-        ]
+    def collect(deep):
+        fused = flagship.flagship_fused(
+            n_images=48, n_geoms=24, concurrency=2, deep=deep
+        )
+        fj, fw = [], []
+        for b in fused.iter_batches(batch_format="pyarrow"):
+            j = b.filter(pc.equal(b["side"], "j"))
+            t = b.filter(pc.equal(b["side"], "t"))
+            fj += [
+                (r["image_id"], r["tile_row"], r["tile_col"], r["geom_id"],
+                 r["n_pixels"], r["n_inside"], r["sum_inside"])
+                for r in j.select(
+                    ["image_id", "tile_row", "tile_col", "geom_id",
+                     "n_pixels", "n_inside", "sum_inside"]
+                ).to_pylist()
+            ]
+            fw += [
+                (r["image_id"], r["tile_row"], r["tile_col"], r["h"], r["w"],
+                 zlib.crc32(r["pixels"]))
+                for r in t.select(
+                    ["image_id", "tile_row", "tile_col", "h", "w", "pixels"]
+                ).to_pylist()
+            ]
+        return fj, fw
+
+    fj, fw = collect(deep=True)
+    fj_shallow, fw_shallow = collect(deep=False)
+    assert sorted(fj) == sorted(fj_shallow)
+    assert sorted(fw) == sorted(fw_shallow)
     warped, join_rows = flagship.flagship(
         n_images=48, n_geoms=24, concurrency=2
     )
