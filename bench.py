@@ -137,6 +137,7 @@ def run_bench() -> dict:
         "geo_tile_cells",
         "geo_clip_box",
         "geo_pip_rect",
+        "geo_pip_shuffle",
         "geo_knn",
         "geo_downsample_avg",
         "dedup_exact",
