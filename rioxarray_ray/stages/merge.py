@@ -19,7 +19,6 @@ The Ray-Data recast of rioxarray.merge.merge_arrays
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..kernels import affine as aff
@@ -197,14 +196,20 @@ def merge_stage(
             names=list(out) + ["pixels"],
         )
 
-    def reduce_tile(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("src_index", kind="stable")
-        tile_id = int(group["dst_tile"].iloc[0])
+    def reduce_tile(group: pa.Table) -> pa.Table:
+        # columnar: piece payloads stay zero-copy Arrow buffer views —
+        # no pandas objects, no per-row python bytes in the shuffle reduce
+        import pyarrow.compute as pc
+
+        from .schema import binary_views
+
+        group = group.take(pc.sort_indices(group["src_index"]))
+        tile_id = int(group["dst_tile"][0].as_py())
         tr, tc = tile_id // n_tc, tile_id % n_tc
         th = min(dst_tile_size, height - tr * dst_tile_size)
         tw = min(dst_tile_size, width - tc * dst_tile_size)
-        bands = int(group["band_count"].iloc[0])
-        dt = np.dtype(group["dtype"].iloc[0])
+        bands = int(group["band_count"][0].as_py())
+        dt = np.dtype(group["dtype"][0].as_py())
         acc = np.zeros((bands, th, tw), dtype=np.float64)
         accv = np.zeros((bands, th, tw), dtype=bool)
         # NaN sentinel means "no nodata" ONLY for integer dtypes; float
@@ -216,11 +221,18 @@ def merge_stage(
         )
         from ..kernels.nodata import valid_mask
 
-        for _, piece in group.iterrows():
-            arr = np.frombuffer(
-                piece["pixels"], dtype=np.dtype(piece["dtype"]).newbyteorder("<")
-            ).reshape(piece["band_count"], piece["h"], piece["w"])
-            r0, c0 = int(piece["row_off"]), int(piece["col_off"])
+        row_offs = group["row_off"].to_numpy(zero_copy_only=False)
+        col_offs = group["col_off"].to_numpy(zero_copy_only=False)
+        p_bands = group["band_count"].to_numpy(zero_copy_only=False)
+        p_hs = group["h"].to_numpy(zero_copy_only=False)
+        p_ws = group["w"].to_numpy(zero_copy_only=False)
+        p_dts = group["dtype"].to_pylist()
+        for i, view in enumerate(binary_views(group, "pixels")):
+            arr = (
+                view.view(np.dtype(p_dts[i]).newbyteorder("<"))
+                .reshape(int(p_bands[i]), int(p_hs[i]), int(p_ws[i]))
+            )
+            r0, c0 = int(row_offs[i]), int(col_offs[i])
             sub = arr.astype(np.float64)
             subv = valid_mask(sub, nod)
             merge_kernel.combine(
@@ -244,7 +256,7 @@ def merge_stage(
         tile_transform = aff.window_transform(
             transform, tc * dst_tile_size, tr * dst_tile_size
         )
-        return pd.DataFrame(
+        return pa.Table.from_pylist(
             [
                 {
                     "image_id": f"mosaic/{tr}/{tc}",
@@ -259,11 +271,12 @@ def merge_stage(
                     "caption": "",
                     "phash": 0,
                 }
-            ]
+            ],
+            schema=RASTER_SCHEMA,
         )
 
     placed = ds.map_batches(place, batch_format="pyarrow", zero_copy_batch=True)
     return (
-        placed.groupby("dst_tile").map_groups(reduce_tile, batch_format="pandas"),
+        placed.groupby("dst_tile").map_groups(reduce_tile, batch_format="pyarrow"),
         (transform, width, height),
     )
