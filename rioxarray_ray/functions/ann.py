@@ -133,25 +133,36 @@ def blocked_topk_cosine(
             "blk_key", pa.array(keys, pa.int64())
         ).append_column("side", pa.array(["q"] * len(keys), pa.string()))
 
-    def partial_topk(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def partial_topk(group: pa.Table) -> pa.Table:
+        # columnar: embeddings flatten zero-copy out of the Arrow list
+        # buffers into the (n, d) matmul operand — no python list hops
+        import pyarrow.compute as pc
+
+        empty = pa.table(
             {
-                "query_id": pd.Series(dtype=np.int64),
-                "vec_id": pd.Series(dtype=np.int64),
-                "cosine": pd.Series(dtype=np.float64),
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
             }
         )
-        qmask = (group["side"] == "q").to_numpy()
-        if not qmask.any() or qmask.all():
+        qmask = pc.equal(group["side"], "q")
+        nq = pc.sum(qmask).as_py() or 0
+        if nq == 0 or nq == group.num_rows:
             return empty
-        qids = group[id_col].to_numpy()[qmask].astype(np.int64)
-        dids = group[id_col].to_numpy()[~qmask].astype(np.int64)
-        qv = _normalize(
-            np.asarray(group["embedding"][qmask].to_list(), np.float64)
-        )
-        dv = _normalize(
-            np.asarray(group["embedding"][~qmask].to_list(), np.float64)
-        )
+        qt = group.filter(qmask)
+        dt = group.filter(pc.invert(qmask))
+        qids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dids = dt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def mat(t):
+            col = t["embedding"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            return flat.astype(np.float64, copy=False).reshape(len(col), -1)
+
+        qv = _normalize(mat(qt))
+        dv = _normalize(mat(dt))
         sims = dv @ qv.T  # (n_d, n_q)
         kk = min(k, len(dids))
         # deterministic tie-break (cosine desc, vec_id asc) per query —
@@ -163,8 +174,12 @@ def blocked_topk_cosine(
         out_c = np.concatenate(
             [sims[c, j] for j, c in enumerate(cols)]
         )
-        return pd.DataFrame(
-            {"query_id": out_q, "vec_id": out_v, "cosine": out_c}
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
         )
 
     def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
@@ -184,7 +199,7 @@ def blocked_topk_cosine(
     partials = (
         data_rows.union(query_rows)
         .groupby("blk_key")
-        .map_groups(partial_topk, batch_format="pandas")
+        .map_groups(partial_topk, batch_format="pyarrow")
     )
     return partials.groupby("query_id").map_groups(
         reduce_query, batch_format="pandas"
