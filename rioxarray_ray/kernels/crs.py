@@ -691,7 +691,12 @@ def from_epsg(code: int) -> CRS:
         return CRS(kind, params=params)
     if code in _PS_EPSG:
         return polar_stereographic(*_PS_EPSG[code])
-    raise CRSError(f"EPSG:{code} is outside the supported whitelist")
+    raise CRSError(
+        f"EPSG:{code} is outside the supported whitelist — supported: 4326, "
+        "3857, 3395, UTM 326xx/327xx, the conic set "
+        f"({sorted(_CONIC_EPSG)}), polar stereographic ({sorted(_PS_EPSG)}); "
+        "WGS84 +proj=tmerc/merc/sinu/lcc/aea/stere proj4 strings also parse"
+    )
 
 
 def from_user_input(value) -> CRS:
@@ -806,7 +811,12 @@ def from_user_input(value) -> CRS:
             ):
                 return utm(zone, south=y0 == 10000000.0)
             return tmerc(lat0, lon0, k, x0, y0)
-        raise CRSError(f"unsupported proj4 string: {s}")
+        raise CRSError(
+            f"unsupported proj4 string: {s} — supported +proj values: "
+            "longlat, merc (spherical & ellipsoidal WGS84), utm, tmerc, "
+            "sinu, lcc (2SP), aea (2SP), stere (polar); all WGS84-family "
+            "datums only"
+        )
     # WKT: try EPSG authority/id codes outermost-last (skipping unit/datum
     # authority ids like 9001 that never name a CRS).  A PROJCS WKT must
     # NEVER resolve through its inner GEOGCS code (e.g. the embedded 4326):
