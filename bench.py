@@ -140,6 +140,8 @@ def run_bench() -> dict:
         "geo_pip_shuffle",
         "geo_knn",
         "geo_downsample_avg",
+        "geo_merge",
+        "geo_clip_geometry",
         "dedup_exact",
         "dedup_minhash",
         "embedding_near_dup",
