@@ -259,7 +259,7 @@ def q_geo_pixel_checksum(sf_dir: str):
     from rioxarray_ray.kernels.nodata import valid_mask
     from rioxarray_ray.pipelines import flagship as fpipe
     from rioxarray_ray.stages import decode as dstage
-    from rioxarray_ray.stages.schema import pixels_from_row
+    from rioxarray_ray.stages.schema import pixel_views
 
     n = min(_ndocs(sf_dir), 128)
     ds = fpipe.read_corpus(n)
@@ -267,8 +267,8 @@ def q_geo_pixel_checksum(sf_dir: str):
 
     def checksum(batch: pa.Table) -> pa.Table:
         out = []
-        for r in batch.to_pylist():
-            px = pixels_from_row(r)
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
             vm = valid_mask(px, r["nodata"])
             out.append(
                 {
@@ -296,7 +296,7 @@ def q_geo_downsample_avg(sf_dir: str):
     from rioxarray_ray.pipelines import flagship as fpipe
     from rioxarray_ray.stages import decode as dstage
     from rioxarray_ray.stages import warp as wstage
-    from rioxarray_ray.stages.schema import pixels_from_row
+    from rioxarray_ray.stages.schema import pixel_views
 
     n = min(_ndocs(sf_dir), 64)
     ds = fpipe.read_corpus(n)
@@ -320,8 +320,8 @@ def q_geo_downsample_avg(sf_dir: str):
 
     def summarize(batch: pa.Table) -> pa.Table:
         out = []
-        for r in batch.to_pylist():
-            px = pixels_from_row(r)
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
             vm = valid_mask(px, r["nodata"])
             out.append(
                 {
@@ -351,11 +351,11 @@ def q_geo_reproject_roundtrip(sf_dir: str):
 
     def summarize(batch: pa.Table) -> pa.Table:
         from rioxarray_ray.kernels.nodata import valid_mask
-        from rioxarray_ray.stages.schema import pixels_from_row
+        from rioxarray_ray.stages.schema import pixel_views
 
         out = []
-        for r in batch.to_pylist():
-            px = pixels_from_row(r)
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
             out.append(
                 {
                     "image_id": r["image_id"],
@@ -395,11 +395,11 @@ def q_geo_tiled_halo_warp(sf_dir: str):
 
     def summarize(batch: pa.Table) -> pa.Table:
         from rioxarray_ray.kernels.nodata import valid_mask
-        from rioxarray_ray.stages.schema import pixels_from_row
+        from rioxarray_ray.stages.schema import pixel_views
 
         rows = []
-        for r in batch.to_pylist():
-            px = pixels_from_row(r)
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
             vm = valid_mask(px, r["nodata"])
             rows.append(
                 {
@@ -431,11 +431,11 @@ def q_geo_clip_geometry(sf_dir: str):
 
     def summarize(batch: pa.Table) -> pa.Table:
         from rioxarray_ray.kernels.nodata import valid_mask
-        from rioxarray_ray.stages.schema import pixels_from_row
+        from rioxarray_ray.stages.schema import pixel_views
 
         out = []
-        for r in batch.to_pylist():
-            px = pixels_from_row(r)
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
             out.append(
                 {
                     "image_id": r["image_id"],
@@ -481,11 +481,11 @@ def q_geo_merge(sf_dir: str):
 
     def summarize(batch: pa.Table) -> pa.Table:
         from rioxarray_ray.kernels.nodata import valid_mask
-        from rioxarray_ray.stages.schema import pixels_from_row
+        from rioxarray_ray.stages.schema import pixel_views
 
         out = []
-        for r in batch.to_pylist():
-            px = pixels_from_row(r)
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
             vm = valid_mask(px, r["nodata"])
             out.append(
                 {
@@ -507,7 +507,7 @@ def q_geo_interpolate_na(sf_dir: str):
     ::test_interpolate_na_linear_plane (exact plane reproduction) and
     ::test_interpolate_na_cubic_plane_exact_and_quadratic_close."""
     from rioxarray_ray.kernels.raster import Raster
-    from rioxarray_ray.stages.schema import pixels_from_row, row_to_raster
+    from rioxarray_ray.stages.schema import pixel_views, row_to_raster
 
     tiles = _tiles_4326(sf_dir).limit(48)
 
