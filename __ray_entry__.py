@@ -506,16 +506,16 @@ def q_geo_interpolate_na(sf_dir: str):
     tests/test_kernels.py::test_interpolate_na_nearest_exact,
     ::test_interpolate_na_linear_plane (exact plane reproduction) and
     ::test_interpolate_na_cubic_plane_exact_and_quadratic_close."""
-    from rioxarray_ray.kernels.raster import Raster
-    from rioxarray_ray.stages.schema import pixel_views, row_to_raster
+    from rioxarray_ray.stages.schema import pixel_views, raster_from_view
 
     tiles = _tiles_4326(sf_dir).limit(48)
 
     def interp(batch: pa.Table) -> pa.Table:
         out = []
-        for r in batch.to_pylist():
-            near = row_to_raster(r).interpolate_na("nearest")
-            cub = row_to_raster(r).interpolate_na("cubic")
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            near = raster_from_view(px, r).interpolate_na("nearest")
+            cub = raster_from_view(px, r).interpolate_na("cubic")
             out.append(
                 {
                     "image_id": r["image_id"],
