@@ -1064,6 +1064,41 @@ def test_flagship_fused_equals_two_branch(ray_session):
     assert sorted(fw) == sorted(bw)
 
 
+def test_flagship_fused_edge_cases(ray_session):
+    """Fused actor degenerate inputs: zero matching geometries still emits
+    every warped tile with an empty join side; the union schema stays
+    stable so downstream consumers need no special-casing."""
+    import pyarrow.compute as pc
+
+    from rioxarray_ray.pipelines import flagship
+
+    far = {
+        "geom_id": "gfar",
+        "kind": "rect",
+        "geometry": {
+            "type": "Polygon",
+            "coordinates": [[[150.0, -40.0], [151.0, -40.0], [151.0, -39.0],
+                             [150.0, -39.0], [150.0, -40.0]]],
+        },
+    }
+    ds = flagship.read_corpus(8)
+    fused = ds.map_batches(
+        flagship.FusedPIPWarpActor,
+        fn_constructor_kwargs=dict(
+            geom_rows=[far], dst_crs="EPSG:3857", tile_size=64
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=1,
+    )
+    n_t = n_j = 0
+    for b in fused.iter_batches(batch_format="pyarrow"):
+        t = pc.sum(pc.equal(b["side"], "t")).as_py() or 0
+        n_t += t
+        n_j += b.num_rows - t
+    assert n_t > 0 and n_j == 0
+
+
 def test_multimodal_native_codec_decode_is_real(ray_session):
     """Native-format payloads (engine codecs) decode to their ACTUAL
     pixels through the multimodal stages; foreign payloads still flow via
