@@ -158,7 +158,16 @@ def blocked_topk_cosine(
             col = t["embedding"]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            # list_flatten silently DROPS null entries: one null row would
+            # misalign the reshape and attribute every later vector to the
+            # wrong id — fail loudly instead
+            if col.null_count:
+                raise ValueError(
+                    f"{col.null_count} null embedding rows in top-k input"
+                )
             flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            if len(col) and flat.size % len(col):
+                raise ValueError("ragged embedding lists in top-k input")
             return flat.astype(np.float64, copy=False).reshape(len(col), -1)
 
         qv = _normalize(mat(qt))

@@ -89,9 +89,17 @@ def decode_cf_datetime(values, units: str, calendar: str | None = "standard"):
     # int64): float64 routing costs ~256 ns of ulp at ~1.7e18 ns offsets,
     # enough to flip a microsecond boundary after a datetime64[us] cast
     if raw.dtype.kind in "iu":
-        iv = raw.astype(np.int64)
-        if iv.size == 0 or np.all(np.abs(iv) <= (2**63 - 1) // step_ns):
-            return epoch + (iv * step_ns).astype("timedelta64[ns]")
+        # a uint64 above 2**63-1 WRAPS under astype(int64) (2**64-5 → -5)
+        # and can then pass the magnitude guard — bounds-check unsigned
+        # inputs first and fall through to the float path otherwise
+        if raw.dtype.kind == "u" and raw.size and not np.all(
+            raw <= np.uint64(2**63 - 1)
+        ):
+            pass
+        else:
+            iv = raw.astype(np.int64)
+            if iv.size == 0 or np.all(np.abs(iv) <= (2**63 - 1) // step_ns):
+                return epoch + (iv * step_ns).astype("timedelta64[ns]")
     vals = np.asarray(raw, dtype=np.float64)
     if (
         vals.size
@@ -102,7 +110,18 @@ def decode_cf_datetime(values, units: str, calendar: str | None = "standard"):
         return epoch + (vals.astype(np.int64) * step_ns).astype(
             "timedelta64[ns]"
         )
-    out = epoch + np.round(vals * step_ns).astype("timedelta64[ns]")
+    with np.errstate(invalid="ignore"):
+        offs_ns = np.round(vals * step_ns)
+        if vals.size and np.any(
+            np.abs(offs_ns[np.isfinite(offs_ns)]) >= float(2**63)
+        ):
+            # beyond datetime64[ns] range: astype(int64) would WRAP to a
+            # bogus (often pre-epoch) instant — fail loudly instead
+            raise ValueError(
+                f"CF time offsets under {units!r} overflow the "
+                "datetime64[ns] range"
+            )
+    out = epoch + offs_ns.astype("timedelta64[ns]")
     return out
 
 

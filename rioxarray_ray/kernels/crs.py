@@ -28,6 +28,7 @@ _F = 1.0 / 298.257223563
 _E2 = _F * (2.0 - _F)
 _EP2 = _E2 / (1.0 - _E2)
 _K0 = 0.9996  # UTM scale factor
+_B = _A * (1.0 - _F)  # WGS84 semi-minor axis
 _MERC_R = 6378137.0  # spherical web mercator radius
 _SINU_R = 6371007.181  # MODIS sinusoidal sphere radius
 
@@ -699,6 +700,11 @@ def from_epsg(code: int) -> CRS:
     )
 
 
+def _is_wgs84_axes(a: float, b: float) -> bool:
+    """Explicit +a/+b ellipsoid axes must equal WGS84's (mm tolerance)."""
+    return abs(a - _A) <= 1e-3 and abs(b - _B) <= 1e-3
+
+
 def from_user_input(value) -> CRS:
     """Lenient parse (semantics of /root/reference/rioxarray/crs.py:12-45)."""
     if isinstance(value, CRS):
@@ -727,19 +733,36 @@ def from_user_input(value) -> CRS:
         if proj == "webmerc":
             return WEB_MERCATOR
         if proj == "merc":
-            # spherical (+R/+a==+b: web mercator) vs ellipsoidal (WGS84:
-            # EPSG:3395 family) — NOT the same projection (~30 km y error
-            # at lat 45), so the datum decides which kernel runs
-            r_val = kv.get("+R") or kv.get("+a")
-            if r_val is not None and kv.get("+b") in (None, r_val) and (
-                "+datum" not in kv and "+ellps" not in kv
+            # spherical (+R, or +a with no/equal +b: web mercator) vs
+            # ellipsoidal (WGS84: EPSG:3395 family) — NOT the same
+            # projection (~30 km y error at lat 45).  An explicit +R is
+            # spherical in PROJ even alongside +datum/+ellps.
+            r_val = kv.get("+R")
+            a_val = kv.get("+a")
+            b_val = kv.get("+b")
+            if r_val is not None or (
+                a_val is not None
+                and b_val in (None, a_val)
+                and "+datum" not in kv
+                and "+ellps" not in kv
             ):
-                if float(r_val) == _MERC_R:
+                if float(r_val if r_val is not None else a_val) == _MERC_R:
                     return WEB_MERCATOR
                 raise CRSError(
                     "spherical '+proj=merc' with a non-web-mercator radius "
                     "is outside the whitelist"
                 )
+            if a_val is not None or b_val is not None:
+                # explicit ellipsoid axes must BE the WGS84 ellipsoid —
+                # Airy/International/... would silently run the WGS84
+                # kernel hundreds of meters wrong
+                if a_val is None or b_val is None or not _is_wgs84_axes(
+                    float(a_val), float(b_val)
+                ):
+                    raise CRSError(
+                        "'+proj=merc' with non-WGS84 +a/+b ellipsoid axes "
+                        "is outside the whitelist"
+                    )
             datum = (kv.get("+datum") or kv.get("+ellps") or "WGS84").upper()
             if datum != "WGS84":
                 raise CRSError(
@@ -794,6 +817,21 @@ def from_user_input(value) -> CRS:
                     f"'+proj=tmerc' on datum {datum} is outside the "
                     "whitelist (WGS84 only)"
                 )
+            if "+a" in kv or "+b" in kv or "+R" in kv:
+                # explicit axes override any datum keyword in PROJ: an
+                # Airy '+a=6377563.396 +b=6356256.909' must not silently
+                # run the WGS84 kernel
+                a_val, b_val = kv.get("+a"), kv.get("+b")
+                if (
+                    "+R" in kv
+                    or a_val is None
+                    or b_val is None
+                    or not _is_wgs84_axes(float(a_val), float(b_val))
+                ):
+                    raise CRSError(
+                        "'+proj=tmerc' with non-WGS84 ellipsoid axes "
+                        "(+a/+b/+R) is outside the whitelist"
+                    )
             lon0 = float(kv.get("+lon_0", 0) or 0)
             k = float(kv.get("+k", kv.get("+k_0", 1.0)) or 1.0)
             x0 = float(kv.get("+x_0", 0) or 0)
@@ -882,7 +920,14 @@ def from_user_input(value) -> CRS:
         if pname == "mercator_1sp" and pars.get("scale_factor", 1.0) == 1.0:
             # authority-less Mercator_1SP on the WGS84 DATUM is ellipsoidal
             # world mercator (EPSG:3857's official WKT always carries its
-            # authority code and resolves above, never here)
+            # authority code and resolves above, never here); mirror the
+            # transverse_mercator datum guard — a Bessel/Airy Mercator_1SP
+            # must not silently run the WGS84 kernel
+            if '"WGS 84"' not in s and '"WGS_1984"' not in s:
+                raise CRSError(
+                    "Mercator_1SP WKT on a non-WGS84 datum is outside "
+                    "the whitelist"
+                )
             return world_mercator(
                 pars.get("central_meridian", 0.0),
                 pars.get("false_easting", 0.0),

@@ -182,6 +182,12 @@ def finalize_band(vals, ok, out_dtype, fill):
     if out_dtype.kind in "iu":
         info = np.iinfo(out_dtype)
         vals = np.clip(np.rint(vals), info.min, info.max)
+        # the fill must land in-range too: astype on an out-of-range fill
+        # (dst_nodata=-1 on uint8) would WRAP to 255, and NaN→int is
+        # undefined — clip, matching the pre-fast-lane behavior
+        fill = info.min if fill != fill else min(
+            max(float(np.rint(fill)), float(info.min)), float(info.max)
+        )
     return np.where(ok, vals, fill).astype(out_dtype)
 
 

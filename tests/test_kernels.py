@@ -1129,3 +1129,81 @@ def test_ps_grid_mapping_attrs():
     assert gm["standard_parallel"] == 70.0
     gm = _cf_grid_mapping(crs.from_epsg(3031))
     assert gm["latitude_of_projection_origin"] == -90.0
+
+
+def test_crs_datum_guards_on_explicit_axes():
+    """Round-4 advisor items: explicit +a/+b (or +R with +datum) and
+    authority-less non-WGS84 WKT must not silently run the WGS84 kernels."""
+    # Airy axes on tmerc / merc -> loud CRSError, not a silently-wrong kernel
+    with pytest.raises(crs.CRSError):
+        crs.from_user_input("+proj=tmerc +a=6377563.396 +b=6356256.909")
+    with pytest.raises(crs.CRSError):
+        crs.from_user_input("+proj=merc +a=6378388 +b=6356912")
+    with pytest.raises(crs.CRSError):
+        crs.from_user_input("+proj=tmerc +R=6371000")
+    # exact WGS84 axes spelled explicitly are the same whitelist member
+    assert crs.from_user_input(
+        "+proj=merc +a=6378137 +b=6356752.314245179"
+    ) == crs.from_epsg(3395)
+    assert crs.from_user_input(
+        "+proj=tmerc +a=6378137 +b=6356752.314245179 +lon_0=-93 "
+        "+k=0.9996 +x_0=500000"
+    ) == crs.utm(15)
+    # +R is spherical in PROJ even alongside +datum: web mercator, not 3395
+    assert crs.from_user_input(
+        "+proj=merc +R=6378137 +datum=WGS84"
+    ) == crs.WEB_MERCATOR
+    # authority-less Mercator_1SP WKT on a non-WGS84 datum -> CRSError
+    bessel_merc = (
+        'PROJCS["Bessel Merc",GEOGCS["Bessel 1841",DATUM["D_Bessel",'
+        'SPHEROID["Bessel_1841",6377397.155,299.1528128]],'
+        'PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],'
+        'PROJECTION["Mercator_1SP"],PARAMETER["central_meridian",0],'
+        'PARAMETER["scale_factor",1],PARAMETER["false_easting",0],'
+        'PARAMETER["false_northing",0],UNIT["metre",1]]'
+    )
+    with pytest.raises(crs.CRSError):
+        crs.from_user_input(bessel_merc)
+    # the WGS84 spelling still parses to world mercator
+    wgs_merc = bessel_merc.replace("Bessel 1841", "WGS 84").replace(
+        'DATUM["D_Bessel",SPHEROID["Bessel_1841",6377397.155,299.1528128]]',
+        'DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]]',
+    )
+    assert crs.from_user_input(wgs_merc) == crs.from_epsg(3395)
+
+
+def test_finalize_band_clips_out_of_range_fill():
+    """Round-4 advisor item: an out-of-range dst_nodata on an integer
+    output must clip (old reproject_array behavior), never wrap via astype
+    (-1 on uint8 must NOT become 255)."""
+    from rioxarray_ray.kernels import warp as warp_mod
+
+    vals = np.array([[1.4, 2.6]], dtype=np.float64)
+    ok = np.array([[True, False]])
+    out = warp_mod.finalize_band(vals, ok, np.dtype(np.uint8), -1.0)
+    assert out.dtype == np.uint8
+    assert out[0, 0] == 1 and out[0, 1] == 0  # clipped, not wrapped to 255
+    out_hi = warp_mod.finalize_band(vals, ok, np.dtype(np.int16), 1e9)
+    assert out_hi[0, 1] == np.iinfo(np.int16).max
+    # NaN fill on an int output is deterministic (dtype min), not UB
+    out_nan = warp_mod.finalize_band(vals, ok, np.dtype(np.int16), np.nan)
+    assert out_nan[0, 1] == np.iinfo(np.int16).min
+    # float outputs keep the fill verbatim
+    out_f = warp_mod.finalize_band(vals, ok, np.dtype(np.float32), np.nan)
+    assert np.isnan(out_f[0, 1]) and out_f[0, 0] == np.float32(1.4)
+
+
+def test_decode_cf_datetime_uint64_overflow_falls_to_float():
+    """Round-4 advisor item: uint64 above 2**63-1 must not wrap through the
+    int64 fast path (2**64-5 -> epoch-minus-5)."""
+    from rioxarray_ray.kernels import cf
+
+    big = np.array([2**64 - 5], dtype=np.uint64)
+    # 2**64-5 us since epoch is outside datetime64[ns] entirely: the float
+    # fallback must raise, never wrap to a pre-epoch instant
+    with pytest.raises(ValueError, match="overflow"):
+        cf.decode_cf_datetime(big, "microseconds since 2000-01-01")
+    # in-range unsigned values still take the exact int path
+    small = np.array([5, 10], dtype=np.uint64)
+    exact = cf.decode_cf_datetime(small, "seconds since 2000-01-01")
+    assert exact[0] == np.datetime64("2000-01-01T00:00:05", "ns")
