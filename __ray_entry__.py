@@ -820,31 +820,41 @@ def q_ann_topk_blocked(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def _ann_queries_ds(sf_dir: str):
+    """The standard gate query set (vec_id % 50 == 0) as a DATASET — the
+    IVF plan never collects queries driver-side."""
+    return _rd().read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        lambda b: b.filter(
+            pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_ann_topk_ivf(sf_dir: str):
     """IVF approximate top-k (recall/throughput tradeoff — rows-only gate;
-    the recall bound vs the exact plan is asserted in pytest)."""
+    the recall bound vs the exact plan is asserted in pytest).  Queries
+    stay a Dataset (round-3 verdict item #3)."""
     from rioxarray_ray.functions import ann
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    qdf = (
-        _rd()
-        .read_parquet(f"{sf_dir}/embeddings.parquet")
-        .map_batches(
-            lambda b: b.filter(
-                pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        .to_pandas()
-    )
     out = ann.ivf_topk(
-        ds,
-        qdf["vec_id"].to_numpy(),
-        np.asarray(qdf["embedding"].to_list(), dtype=np.float64),
-        k=_ANN_K,
-        n_centroids=16,
-        nprobe=4,
+        ds, _ann_queries_ds(sf_dir), k=_ANN_K, n_centroids=16, nprobe=4
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_ann_topk_ivf_exhaustive(sf_dir: str):
+    """GATED: IVF with nprobe == n_centroids is an exhaustive probe —
+    every (query, vector) pair meets in exactly one bucket group, so the
+    result equals exact top-k; gated against the SAME oracle as ann_topk
+    (plan equivalence, the geo_pip_rect/geo_pip_shuffle pattern)."""
+    from rioxarray_ray.functions import ann
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.ivf_topk(
+        ds, _ann_queries_ds(sf_dir), k=_ANN_K, n_centroids=16, nprobe=16
     )
     return out.select_columns(["query_id", "vec_id", "rank"])
 
@@ -948,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_topk_blocked": q_ann_topk_blocked,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "ann_topk_ivf_exhaustive": q_ann_topk_ivf_exhaustive,
         "text_tokens": q_text_tokens,
         "text_ngram_jaccard": q_text_ngram_jaccard,
         "text_quality": q_text_quality,
@@ -1783,5 +1794,7 @@ FROM lineitem GROUP BY 1, 2
     # both gated against ONE oracle (geo_pip_rect/geo_pip_shuffle pattern)
     sql["embedding_near_dup_bcast"] = sql["embedding_near_dup"]
     sql["ann_topk_blocked"] = sql["ann_topk"]
+    # exhaustive probe (nprobe == n_centroids) is exact -> same oracle
+    sql["ann_topk_ivf_exhaustive"] = sql["ann_topk"]
     sql["events_sessionize_scalable"] = sql["events_sessionize"]
     return sql

@@ -10,7 +10,6 @@ restricted to the ``nprobe`` nearest centroid buckets via a groupby.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -18,6 +17,88 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return m / n
+
+
+def _embedding_matrix(t, col_name: str = "embedding") -> np.ndarray:
+    """Zero-copy flatten of a list<float> column into an (n, d) float64
+    matrix — no python-list hops in the hot path."""
+    import pyarrow.compute as pc
+
+    col = t[col_name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # list_flatten silently DROPS null entries: one null row would
+    # misalign the reshape and attribute every later vector to the
+    # wrong id — fail loudly instead
+    if col.null_count:
+        raise ValueError(f"{col.null_count} null embedding rows in input")
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    if len(col) and flat.size % len(col):
+        raise ValueError("ragged embedding lists in input")
+    return flat.astype(np.float64, copy=False).reshape(len(col), -1)
+
+
+def _topk_reduce_arrow(k: int):
+    """Per-query final reduce (pyarrow, no pandas conversion): sort by
+    cosine desc / vec_id asc, keep k, attach rank 1..k.  Assumes each
+    (query, vector) pair appears at most once in the partials — true for
+    every plan in this module (a vector lives in exactly one batch / block
+    / IVF bucket)."""
+
+    def reduce_query(group: pa.Table) -> pa.Table:
+        cos = group["cosine"].to_numpy(zero_copy_only=False)
+        vid = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vid, -cos))[:k]
+        out = group.take(pa.array(order, pa.int64()))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int32))
+        )
+
+    return reduce_query
+
+
+def _group_partial_topk(k: int, id_col: str):
+    """Partial top-k inside one co-shuffled group holding 'q'-side and
+    'd'-side rows (columns: id_col, embedding, blk_key, side) — shared by
+    the blocked cross-join and IVF plans."""
+    import pyarrow.compute as pc
+
+    def partial_topk(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        qmask = pc.equal(group["side"], "q")
+        nq = pc.sum(qmask).as_py() or 0
+        if nq == 0 or nq == group.num_rows:
+            return empty
+        qt = group.filter(qmask)
+        dt = group.filter(pc.invert(qmask))
+        qids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        dids = dt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qv = _normalize(_embedding_matrix(qt))
+        dv = _normalize(_embedding_matrix(dt))
+        sims = dv @ qv.T  # (n_d, n_q)
+        kk = min(k, len(dids))
+        # deterministic tie-break (cosine desc, vec_id asc) per query —
+        # see BruteForceTopK
+        cols = [np.lexsort((dids, -sims[:, j]))[:kk]
+                for j in range(sims.shape[1])]
+        out_q = np.repeat(qids, kk)
+        out_v = np.concatenate([dids[c] for c in cols])
+        out_c = np.concatenate([sims[c, j] for j, c in enumerate(cols)])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    return partial_topk
 
 
 class BruteForceTopK:
@@ -31,10 +112,8 @@ class BruteForceTopK:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(
-            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        )
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vecs = _normalize(_embedding_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = vecs @ self.q.T  # (n, q)
         k = min(self.k, len(ids))
         out = {"query_id": [], "vec_id": [], "cosine": []}
@@ -65,15 +144,6 @@ def topk_cosine(ds, query_ids, query_vecs, k: int = 10, concurrency=4,
     Output columns: (query_id, vec_id, cosine, rank) with rank 1..k,
     ties broken by vec_id ascending (deterministic).
     """
-
-    def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "vec_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
-
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_kwargs=dict(query_ids=query_ids, query_vecs=query_vecs, k=k),
@@ -83,7 +153,7 @@ def topk_cosine(ds, query_ids, query_vecs, k: int = 10, concurrency=4,
         batch_size=batch_size,
     )
     return partials.groupby("query_id").map_groups(
-        reduce_query, batch_format="pandas"
+        _topk_reduce_arrow(k), batch_format="pyarrow"
     )
 
 
@@ -133,72 +203,6 @@ def blocked_topk_cosine(
             "blk_key", pa.array(keys, pa.int64())
         ).append_column("side", pa.array(["q"] * len(keys), pa.string()))
 
-    def partial_topk(group: pa.Table) -> pa.Table:
-        # columnar: embeddings flatten zero-copy out of the Arrow list
-        # buffers into the (n, d) matmul operand — no python list hops
-        import pyarrow.compute as pc
-
-        empty = pa.table(
-            {
-                "query_id": pa.array([], pa.int64()),
-                "vec_id": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
-        qmask = pc.equal(group["side"], "q")
-        nq = pc.sum(qmask).as_py() or 0
-        if nq == 0 or nq == group.num_rows:
-            return empty
-        qt = group.filter(qmask)
-        dt = group.filter(pc.invert(qmask))
-        qids = qt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        dids = dt[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-
-        def mat(t):
-            col = t["embedding"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            # list_flatten silently DROPS null entries: one null row would
-            # misalign the reshape and attribute every later vector to the
-            # wrong id — fail loudly instead
-            if col.null_count:
-                raise ValueError(
-                    f"{col.null_count} null embedding rows in top-k input"
-                )
-            flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-            if len(col) and flat.size % len(col):
-                raise ValueError("ragged embedding lists in top-k input")
-            return flat.astype(np.float64, copy=False).reshape(len(col), -1)
-
-        qv = _normalize(mat(qt))
-        dv = _normalize(mat(dt))
-        sims = dv @ qv.T  # (n_d, n_q)
-        kk = min(k, len(dids))
-        # deterministic tie-break (cosine desc, vec_id asc) per query —
-        # see BruteForceTopK
-        cols = [np.lexsort((dids, -sims[:, j]))[:kk]
-                for j in range(sims.shape[1])]
-        out_q = np.repeat(qids, kk)
-        out_v = np.concatenate([dids[c] for c in cols])
-        out_c = np.concatenate(
-            [sims[c, j] for j, c in enumerate(cols)]
-        )
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int64()),
-                "vec_id": pa.array(out_v, pa.int64()),
-                "cosine": pa.array(out_c, pa.float64()),
-            }
-        )
-
-    def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["cosine", "vec_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
-
     data_rows = ds.map_batches(
         expand_data, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -208,10 +212,10 @@ def blocked_topk_cosine(
     partials = (
         data_rows.union(query_rows)
         .groupby("blk_key")
-        .map_groups(partial_topk, batch_format="pyarrow")
+        .map_groups(_group_partial_topk(k, id_col), batch_format="pyarrow")
     )
     return partials.groupby("query_id").map_groups(
-        reduce_query, batch_format="pandas"
+        _topk_reduce_arrow(k), batch_format="pyarrow"
     )
 
 
@@ -233,10 +237,8 @@ class ExactPairFinder:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(
-            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        )
-        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        vecs = _normalize(_embedding_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         sims = vecs @ self.m.T  # (b, n)
         out_a, out_b, out_c = [], [], []
         for i in range(len(ids)):
@@ -298,20 +300,20 @@ def blocked_cosine_pairs(ds, threshold: float, n_blocks: int = 8):
             "pair_key", pa.array(np.concatenate(keys), pa.int64())
         )
 
-    def pairs_in_group(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "vec_a": pd.Series(dtype=np.int64),
-                "vec_b": pd.Series(dtype=np.int64),
-                "cosine": pd.Series(dtype=np.float64),
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
             }
         )
-        if len(group) < 2:
+        if group.num_rows < 2:
             return empty
-        key = int(group["pair_key"].iloc[0])
+        key = int(group["pair_key"][0].as_py())
         bi, bj = key // n_blocks, key % n_blocks
-        ids = group["vec_id"].to_numpy().astype(np.int64)
-        vecs = _normalize(np.asarray(group["embedding"].to_list(), np.float64))
+        ids = group["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _normalize(_embedding_matrix(group))
         blk = ids % n_blocks
         if bi == bj:
             sims = vecs @ vecs.T
@@ -328,14 +330,18 @@ def blocked_cosine_pairs(ds, threshold: float, n_blocks: int = 8):
             a, b = ids[ma][ii], ids[mb][jj]
             cos = sims[ii, jj]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame(
-            {"vec_a": lo, "vec_b": hi, "cosine": cos.astype(np.float64)}
+        return pa.table(
+            {
+                "vec_a": pa.array(lo, pa.int64()),
+                "vec_b": pa.array(hi, pa.int64()),
+                "cosine": pa.array(cos.astype(np.float64), pa.float64()),
+            }
         )
 
     return (
         ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("pair_key")
-        .map_groups(pairs_in_group, batch_format="pandas")
+        .map_groups(pairs_in_group, batch_format="pyarrow")
     )
 
 
@@ -369,78 +375,69 @@ class IVFIndex:
         return cls(c)
 
     def assign_batch(self, batch: pa.Table) -> pa.Table:
-        vecs = _normalize(
-            np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-        )
+        vecs = _normalize(_embedding_matrix(batch))
         assign = (vecs @ self.centroids.T).argmax(axis=1).astype(np.int32)
         return batch.append_column("ivf_bucket", pa.array(assign, pa.int32()))
 
 
-def ivf_topk(ds, query_ids, query_vecs, k: int = 10, n_centroids: int = 16,
-             nprobe: int = 4, train_sample: int = 2048, concurrency=4):
+def ivf_topk(ds, queries_ds, k: int = 10, n_centroids: int = 16,
+             nprobe: int = 4, train_sample: int = 2048,
+             id_col: str = "vec_id"):
     """Approximate top-k: restrict each query to its nprobe nearest
-    centroid buckets.  Recall measured against ``topk_cosine`` in tests."""
+    centroid buckets.  Recall measured against ``topk_cosine`` in tests.
+
+    BOTH sides stay Datasets (round-3 verdict item #3: no driver-side
+    query collect).  The centroid matrix is the only driver-side state —
+    trained once from a bounded ``train_sample``-row sample and shipped to
+    every task as a constructor arg (n_centroids x d floats, tiny).
+
+    Plan shape mirrors ``blocked_topk_cosine``: data rows shuffle ONCE to
+    their centroid bucket, query rows replicate to their ``nprobe``
+    probed buckets, a ``groupby(blk_key)`` computes per-bucket partial
+    top-k, and a per-query reduce merges <= k * nprobe candidates.  Each
+    (query, vector) pair meets in AT MOST one group (a vector lives in
+    exactly one bucket), so with ``nprobe == n_centroids`` the result is
+    bit-identical to the exact ``topk_cosine`` plan (exhaustive probe) —
+    the oracle gate for this plan.
+    """
     sample = ds.limit(train_sample).to_pandas()
     index = IVFIndex.train(
         np.asarray(sample["embedding"].to_list()), n_centroids=n_centroids
     )
-    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
-    probe = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]
-    # bucket -> query rows probing it
-    by_bucket: dict[int, list[int]] = {}
-    for qi, buckets in enumerate(probe):
-        for b in buckets:
-            by_bucket.setdefault(int(b), []).append(qi)
+    centroids = index.centroids
+    np_ = min(nprobe, len(centroids))
 
-    class BucketSearch:
-        def __init__(self):
-            self.q = q
-            self.qids = np.asarray(query_ids)
-            self.by_bucket = by_bucket
-            self.index = index
+    def expand_data(batch: pa.Table) -> pa.Table:
+        vecs = _normalize(_embedding_matrix(batch))
+        keys = (vecs @ centroids.T).argmax(axis=1).astype(np.int64)
+        base = batch.select([id_col, "embedding"])
+        return base.append_column(
+            "blk_key", pa.array(keys, pa.int64())
+        ).append_column("side", pa.array(["d"] * len(keys), pa.string()))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            assigned = self.index.assign_batch(batch)
-            vecs = _normalize(
-                np.asarray(assigned["embedding"].to_pylist(), dtype=np.float64)
-            )
-            ids = np.asarray(assigned["vec_id"].to_pylist(), dtype=np.int64)
-            buckets = np.asarray(assigned["ivf_bucket"].to_pylist())
-            out = {"query_id": [], "vec_id": [], "cosine": []}
-            for b in np.unique(buckets):
-                qrows = self.by_bucket.get(int(b), ())
-                if not qrows:
-                    continue
-                mask = buckets == b
-                sims = vecs[mask] @ self.q[qrows].T
-                sel_ids = ids[mask]
-                kk = min(k, int(mask.sum()))
-                for j, qi in enumerate(qrows):
-                    # deterministic tie-break (see BruteForceTopK)
-                    for r in np.lexsort((sel_ids, -sims[:, j]))[:kk]:
-                        out["query_id"].append(int(self.qids[qi]))
-                        out["vec_id"].append(int(sel_ids[r]))
-                        out["cosine"].append(float(sims[r, j]))
-            return pa.Table.from_pydict(
-                {
-                    "query_id": pa.array(out["query_id"], pa.int64()),
-                    "vec_id": pa.array(out["vec_id"], pa.int64()),
-                    "cosine": pa.array(out["cosine"], pa.float64()),
-                }
-            )
+    def expand_queries(batch: pa.Table) -> pa.Table:
+        q = _normalize(_embedding_matrix(batch))
+        probe = np.argsort(-(q @ centroids.T), axis=1)[:, :np_]  # (n, np_)
+        takes = np.repeat(np.arange(len(q), dtype=np.int64), np_)
+        keys = probe.reshape(-1).astype(np.int64)
+        base = batch.select([id_col, "embedding"]).take(
+            pa.array(takes, pa.int64())
+        )
+        return base.append_column(
+            "blk_key", pa.array(keys, pa.int64())
+        ).append_column("side", pa.array(["q"] * len(keys), pa.string()))
 
-    def reduce_query(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("vec_id").sort_values(
-            ["cosine", "vec_id"], ascending=[False, True], kind="stable"
-        ).head(k)
-        g = g.copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int32)
-        return g
-
-    partials = ds.map_batches(
-        BucketSearch, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
+    data_rows = ds.map_batches(
+        expand_data, batch_format="pyarrow", zero_copy_batch=True
+    )
+    query_rows = queries_ds.map_batches(
+        expand_queries, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = (
+        data_rows.union(query_rows)
+        .groupby("blk_key")
+        .map_groups(_group_partial_topk(k, id_col), batch_format="pyarrow")
     )
     return partials.groupby("query_id").map_groups(
-        reduce_query, batch_format="pandas"
+        _topk_reduce_arrow(k), batch_format="pyarrow"
     )

@@ -121,9 +121,10 @@ def test_ivf_topk_recall(emb_ds):
     df = emb_ds.to_pandas()
     qids = df["vec_id"].to_numpy()[:5]
     qvecs = np.asarray(df["embedding"].to_list(), dtype=np.float64)[:5]
+    queries_ds = emb_ds.limit(5).materialize()
     exact = ann.topk_cosine(emb_ds, qids, qvecs, k=10, concurrency=2).to_pandas()
     approx = ann.ivf_topk(
-        emb_ds, qids, qvecs, k=10, n_centroids=8, nprobe=4, concurrency=2
+        emb_ds, queries_ds, k=10, n_centroids=8, nprobe=4
     ).to_pandas()
     recalls = []
     for q in qids:
@@ -131,6 +132,31 @@ def test_ivf_topk_recall(emb_ds):
         a = set(approx[approx["query_id"] == q]["vec_id"])
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6, recalls  # nprobe=4/8 buckets
+
+
+def test_ivf_topk_exhaustive_probe_is_exact(emb_ds):
+    """nprobe == n_centroids => every (query, vector) pair meets in exactly
+    one bucket group: IVF output is bit-identical to the exact plan."""
+    from rioxarray_ray.functions import ann
+
+    df = emb_ds.to_pandas()
+    qids = df["vec_id"].to_numpy()[:5]
+    qvecs = np.asarray(df["embedding"].to_list(), dtype=np.float64)[:5]
+    queries_ds = emb_ds.limit(5).materialize()
+    exact = (
+        ann.topk_cosine(emb_ds, qids, qvecs, k=10, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        ann.ivf_topk(emb_ds, queries_ds, k=10, n_centroids=8, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    cols = ["query_id", "vec_id", "rank"]
+    assert exact[cols].equals(ivf[cols])
 
 
 def test_exact_topk_self_is_rank_one(emb_ds):
