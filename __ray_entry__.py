@@ -415,6 +415,141 @@ def q_geo_tiled_halo_warp(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_reproject_identity(sf_dir: str):
+    """GATED: identity reproject (4326 -> 4326, nearest) over halo-free
+    tiles — SURVEY §5 invariant (b): reproject onto the same CRS plans a
+    grid within 1 ulp of the source, so nearest passes every pixel through
+    verbatim (fractional coords land j+0.5 +- ~4e-12, floor is stable).
+    EXACT SQL oracle: the tile slices of the regenerated pixel spec
+    (round-3 verdict item #2 — the per-row warp stage's gate row)."""
+    from rioxarray_ray.stages import warp as wstage
+
+    def keep_small(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx < 64))
+
+    tiles = _tiles_4326(sf_dir).map_batches(
+        keep_small, batch_format="pyarrow", zero_copy_batch=True
+    )
+    warped = wstage.reproject_stage(
+        tiles, "EPSG:4326", resampling="nearest", concurrency=2
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.kernels.nodata import valid_mask
+        from rioxarray_ray.stages.schema import decode_nodata, pixel_views
+
+        out = []
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            nod = decode_nodata(float(r["nodata"]), r["dtype"])
+            vm = valid_mask(px, nod)
+            out.append(
+                {
+                    "image_id": r["image_id"],
+                    "tile_row": r["tile_row"],
+                    "tile_col": r["tile_col"],
+                    "dst_h": int(r["h"]),
+                    "dst_w": int(r["w"]),
+                    "n_valid": int(vm.sum()),
+                    "checksum": int(px.astype(np.int64)[vm].sum()),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return warped.map_batches(summarize, batch_format="pyarrow")
+
+
+# Shared grid of the NEAREST tiled-halo gate: res 2**-7 deg and integer
+# origin make every dst pixel-center coordinate an EXACT binary float, so
+# the value is identical whichever tile window computes it AND identical
+# to the SQL oracle's global closed form (no per-window rounding skew).
+_NGRID_RES = 7.8125e-3
+_NGRID_T = (_NGRID_RES, 0.0, -60.0, 0.0, -_NGRID_RES, 40.0)
+_NGRID_SHAPE = (170, 10500)
+
+
+def q_geo_tiled_halo_warp_nearest(sf_dir: str):
+    """GATED: the 100-TB scale path (halo tiles -> shared grid) in nearest
+    mode, mosaicked per image — round-3 verdict item #1.  The mosaic
+    dedups ownership-margin overlaps (overlapping windows compute
+    identical values; pytest test_tiled_halo_warp_equals_whole_image).
+    EXACT SQL oracle: per-dst-pixel src index is closed-form floor() over
+    the corpus pixel spec (reference nearest semantics:
+    /root/reference/rioxarray/raster_array.py:287-298)."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import tile as tstage
+    from rioxarray_ray.stages import warp as wstage
+
+    n = min(_ndocs(sf_dir), 64)
+    ds = fpipe.read_corpus(n)
+
+    def native_4326(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    tiles = tstage.tile_stage(
+        dstage.decode_stage(
+            ds.map_batches(
+                native_4326, batch_format="pyarrow", zero_copy_batch=True
+            )
+        ),
+        tile_size=_TILE,
+        halo=3,
+    )
+    grid = wstage.GridSpec("EPSG:4326", _NGRID_T, _NGRID_SHAPE)
+    out = wstage.reproject_match_tiled(
+        tiles, grid, resampling="nearest", concurrency=2
+    )
+    H, W = _NGRID_SHAPE
+
+    def mosaic(group: pa.Table) -> pa.Table:
+        """First-valid mosaic of one image's dst windows on the shared
+        grid: distinct (band, I, J) valid positions (values agree across
+        ownership-margin overlaps, so 'first' needs no ordering)."""
+        from rioxarray_ray.kernels.nodata import valid_mask
+        from rioxarray_ray.stages.schema import decode_nodata, pixel_views
+
+        meta = group.drop_columns(["pixels"]).to_pylist()
+        keys, vals = [], []
+        for r, px in zip(meta, pixel_views(group)):
+            t = r["transform"]
+            c0 = round((t[2] - _NGRID_T[2]) / _NGRID_T[0])
+            r0 = round((t[5] - _NGRID_T[5]) / _NGRID_T[4])
+            nod = decode_nodata(float(r["nodata"]), r["dtype"])
+            vm = valid_mask(px, nod)
+            b_i, i_i, j_i = np.nonzero(vm)
+            keys.append((b_i.astype(np.int64) * H + (r0 + i_i)) * W + (c0 + j_i))
+            vals.append(px[vm].astype(np.int64))
+        if not keys:
+            return pa.table(
+                {
+                    "image_id": pa.array([], pa.string()),
+                    "n_valid": pa.array([], pa.int64()),
+                    "checksum": pa.array([], pa.int64()),
+                }
+            )
+        all_keys = np.concatenate(keys)
+        all_vals = np.concatenate(vals)
+        _, first = np.unique(all_keys, return_index=True)
+        return pa.table(
+            {
+                "image_id": pa.array([meta[0]["image_id"]], pa.string()),
+                "n_valid": pa.array([len(first)], pa.int64()),
+                "checksum": pa.array(
+                    [int(all_vals[first].sum())], pa.int64()
+                ),
+            }
+        )
+
+    return out.groupby("image_id").map_groups(mosaic, batch_format="pyarrow")
+
+
 def q_geo_clip_geometry(sf_dir: str):
     """Polygon clip (concave stars) over tiles: kept tiles + valid counts.
     EXACT SQL oracle: star vertices + the same even-odd ray-casting PIP
@@ -941,7 +1076,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_downsample_avg": q_geo_downsample_avg,
         "geo_pixel_checksum": q_geo_pixel_checksum,
         "geo_reproject_roundtrip": q_geo_reproject_roundtrip,
+        "geo_reproject_identity": q_geo_reproject_identity,
         "geo_tiled_halo_warp": q_geo_tiled_halo_warp,
+        "geo_tiled_halo_warp_nearest": q_geo_tiled_halo_warp_nearest,
         "geo_clip_geometry": q_geo_clip_geometry,
         "geo_merge": q_geo_merge,
         "geo_interpolate_na": q_geo_interpolate_na,
@@ -972,6 +1109,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # SQL building blocks mirroring rioxarray_ray/sources/corpus.py exactly
+def _allpx_cte(img_where: str) -> str:
+    """The frozen corpus pixel spec (sources/corpus.py) regenerated in SQL
+    — identical chain to the geo_pixel_checksum oracle, parameterized by
+    the image subset.  Yields ``allpx(idx, image_id, b, r, c, px)`` with
+    only VALID (non-disc) pixels, plus ``img`` with the metadata columns."""
+    return f"""
+img AS (
+  SELECT doc_id AS idx,
+         'img' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS image_id,
+         CASE doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS w,
+         CASE (doc_id + 1) % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 200 ELSE 256 END AS h,
+         CASE doc_id % 4 WHEN 0 THEN 'raw16' WHEN 1 THEN 'rawu8' WHEN 2 THEN 'pngz' ELSE 'lq8' END AS fmt,
+         CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 1 END AS band_count
+  FROM documents WHERE {img_where}
+),
+par AS (
+  SELECT *,
+         1e3 + CAST(('0x' || substr(sha256(image_id), 1, 2)) AS INT) * 8e0 AS amp,
+         1 + CAST(('0x' || substr(sha256(image_id), 3, 2)) AS INT) % 8 AS f1,
+         1 + CAST(('0x' || substr(sha256(image_id), 5, 2)) AS INT) % 8 AS f2,
+         CAST(('0x' || substr(sha256(image_id), 7, 2)) AS INT) / 2.55e2 AS phi,
+         CAST(('0x' || substr(sha256(image_id), 9, 2)) AS INT) % h AS cr,
+         CAST(('0x' || substr(sha256(image_id), 11, 2)) AS INT) % w AS cc,
+         5e-2 * h * w / pi() AS radius2
+  FROM img
+),
+pr AS (SELECT *, unnest(range(0, h)) AS r FROM par),
+prc AS (SELECT *, unnest(range(0, w)) AS c FROM pr),
+pb AS (SELECT *, unnest(range(0, band_count)) AS b FROM prc),
+v0 AS (
+  SELECT idx, image_id, fmt, h, w, b, r, c,
+         amp * sin(((2*pi())*f1)*(CAST(r AS DOUBLE)+(phi + 3.7e-1*b))/h)
+             * cos(((2*pi())*f2)*(CAST(c AS DOUBLE)+(phi + 3.7e-1*b))/w)
+         + (5e2*(CAST(r AS DOUBLE)/h) + 3e2*(CAST(c AS DOUBLE)/w)) AS vf,
+         ((r-cr)*(r-cr) + (c-cc)*(c-cc)) < radius2 AS disc
+  FROM pb
+),
+v16 AS (SELECT *, CAST(round_even(vf, 0) AS BIGINT) AS q16 FROM v0),
+u8 AS (
+  SELECT *, MIN(vf) OVER (PARTITION BY idx) AS lo8,
+            MAX(vf) OVER (PARTITION BY idx) AS hi8
+  FROM v16 WHERE fmt = 'rawu8'
+),
+u8px AS (
+  SELECT idx, image_id, b, r, c,
+         CAST(round_even((vf - lo8) / GREATEST(hi8 - lo8, 1e-9) * 2.54e2, 0) AS BIGINT) AS px
+  FROM u8 WHERE NOT disc
+),
+lmm AS (
+  SELECT idx, b,
+         CAST(MIN(q16) AS DOUBLE) AS lo,
+         CASE WHEN MAX(q16) <= MIN(q16)
+              THEN CAST(MIN(q16) AS DOUBLE) + 1 ELSE CAST(MAX(q16) AS DOUBLE) END AS hi
+  FROM v16 WHERE fmt = 'lq8' AND NOT disc GROUP BY idx, b
+),
+lq AS (
+  SELECT v.idx, v.image_id, v.b, v.r, v.c, v.q16, m.lo, (m.hi - m.lo) / 2.54e2 AS step
+  FROM v16 v JOIN lmm m ON v.idx = m.idx AND v.b = m.b
+  WHERE v.fmt = 'lq8' AND NOT v.disc
+),
+lqpx AS (
+  SELECT idx, image_id, b, r, c,
+         CAST(round_even(lo + LEAST(GREATEST(round_even((CAST(q16 AS DOUBLE) - lo) / step, 0), 0e0), 2.54e2) * step, 0) AS BIGINT) AS px
+  FROM lq
+),
+i16px AS (
+  SELECT idx, image_id, b, r, c, q16 AS px
+  FROM v16 WHERE fmt IN ('raw16', 'pngz') AND NOT disc
+),
+allpx AS (
+  SELECT * FROM i16px UNION ALL SELECT * FROM u8px UNION ALL SELECT * FROM lqpx
+)
+"""
+
+
 _IMG_CTE = """
 img AS (
   SELECT doc_id AS idx,
@@ -1440,6 +1652,72 @@ FROM allpx GROUP BY image_id, caption
         # separable area kernel resolves (SAT box sums of ints < 2**53 are
         # exact in float64), dst pixel = round_even(sum/count) in the
         # native dtype, checksum = BIGINT sum of dst pixels.
+        # Identity-reproject gate: nearest 4326->4326 passes every tile
+        # pixel through verbatim, so the oracle is the tile slices of the
+        # regenerated pixel spec (r//64, c//64 lattice).
+        "geo_reproject_identity": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")}
+SELECT a.image_id,
+       CAST(a.r // 64 AS INT) AS tile_row,
+       CAST(a.c // 64 AS INT) AS tile_col,
+       CAST(LEAST(64, MAX(i.h) - (a.r // 64) * 64) AS INT) AS dst_h,
+       CAST(LEAST(64, MAX(i.w) - (a.c // 64) * 64) AS INT) AS dst_w,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(a.px) AS BIGINT) AS checksum
+FROM allpx a JOIN img i ON a.idx = i.idx
+GROUP BY a.image_id, a.r // 64, a.c // 64
+""",
+        # Tiled-halo nearest warp onto the shared 2**-7-degree grid: every
+        # dst pixel-center coordinate is an exact binary float, the src
+        # index is closed-form floor() over the affine inverse (mirrored
+        # term-by-term from kernels/affine.invert/apply as in geo_clip_box)
+        # and the per-image mosaic equals this direct per-pixel map.
+        "geo_tiled_halo_warp_nearest": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT *,
+         -6e1 + (idx % 64) * w * 5e-3 AS left_x,
+         4e1 - ((idx // 64) % 64) * h * 5e-3 AS top_y
+  FROM img
+),
+jr AS (
+  SELECT *, unnest(range(
+    GREATEST(CAST(floor((left_x + 6e1) / 7.8125e-3 - 5e-1) AS BIGINT), 0),
+    CAST(ceil((left_x + w * 5e-3 + 6e1) / 7.8125e-3) AS BIGINT) + 1)) AS J
+  FROM imj
+),
+ir AS (
+  SELECT *, unnest(range(
+    GREATEST(CAST(floor((4e1 - top_y) / 7.8125e-3 - 5e-1) AS BIGINT), 0),
+    CAST(floor((4e1 - top_y) / 7.8125e-3 - 5e-1) AS BIGINT)
+      + CAST(ceil(h * 5e-3 / 7.8125e-3) AS BIGINT) + 2)) AS I
+  FROM jr
+),
+mapd AS (
+  SELECT idx, image_id, w, h,
+         CAST(floor(
+           ((-5e-3) / (5e-3 * (-5e-3)))
+             * (7.8125e-3 * (CAST(J AS DOUBLE) + 5e-1) + (-6e1))
+           + (-(((-5e-3) / (5e-3 * (-5e-3))) * left_x))
+         ) AS BIGINT) AS c_src,
+         CAST(floor(
+           ((5e-3) / (5e-3 * (-5e-3)))
+             * ((-7.8125e-3) * (CAST(I AS DOUBLE) + 5e-1) + 4e1)
+           + (-(((5e-3) / (5e-3 * (-5e-3))) * top_y))
+         ) AS BIGINT) AS r_src
+  FROM ir
+),
+hit AS (
+  SELECT idx, image_id, c_src, r_src FROM mapd
+  WHERE c_src BETWEEN 0 AND w - 1 AND r_src BETWEEN 0 AND h - 1
+)
+SELECT t.image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(p.px) AS BIGINT) AS checksum
+FROM hit t JOIN allpx p
+  ON p.idx = t.idx AND p.r = t.r_src AND p.c = t.c_src
+GROUP BY t.image_id
+""",
         "geo_downsample_avg": """
 WITH img AS (
   SELECT doc_id AS idx,
