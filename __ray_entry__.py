@@ -41,6 +41,15 @@ def _rd():
     return rd
 
 
+def _read_pq(path, **kw):
+    """read_parquet with schema-level metadata stripped (pandas-written
+    parquet carries an unhashable-schema metadata dict that defeats Ray's
+    block-schema dedup -- see rioxarray_ray/sources/io.py)."""
+    from rioxarray_ray.sources.io import read_parquet_clean
+
+    return read_parquet_clean(path, **kw)
+
+
 def _ndocs(sf_dir: str) -> int:
     import pyarrow.parquet as pq
 
@@ -677,7 +686,7 @@ def q_multimodal_features(sf_dir: str):
     the real engine path; the codec boundary is the documented stub."""
     from rioxarray_ray.functions import multimodal
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -715,7 +724,7 @@ def q_multimodal_features(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     from rioxarray_ray.functions import dedup
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup.exact_dedup(ds)
@@ -724,7 +733,7 @@ def q_dedup_exact(sf_dir: str):
 def q_text_tokens(sf_dir: str):
     from rioxarray_ray.functions import text
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(
@@ -735,7 +744,7 @@ def q_text_tokens(sf_dir: str):
 def q_text_quality(sf_dir: str):
     from rioxarray_ray.functions import text
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     scored = ds.map_batches(
@@ -765,7 +774,7 @@ def q_text_quality(sf_dir: str):
 def q_text_langid(sf_dir: str):
     from rioxarray_ray.functions import text
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
     pred = ds.map_batches(
@@ -777,7 +786,7 @@ def q_text_langid(sf_dir: str):
 def q_text_fingerprint(sf_dir: str):
     from rioxarray_ray.functions import text
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(
@@ -791,7 +800,7 @@ def q_text_ngram_jaccard(sf_dir: str):
     feeds the same kernel through verify_jaccard_pairs)."""
     from rioxarray_ray.functions import dedup
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup.ngram_jaccard_pairs(ds, ngram=3, num_partitions=8)
@@ -803,7 +812,7 @@ def q_dedup_simhash(sf_dir: str):
     and the banded certification in ::test_simhash_banded_candidates_certified)."""
     from rioxarray_ray.functions import dedup
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return ds.map_batches(
@@ -817,7 +826,7 @@ def q_dedup_simhash_pairs(sf_dir: str):
     the certification is pytest-verified."""
     from rioxarray_ray.functions import dedup
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup.simhash_candidates(ds, max_hamming=3, bands=4)
@@ -829,7 +838,7 @@ def q_dedup_minhash(sf_dir: str):
     tests/test_functions.py::test_minhash_lsh_finds_near_duplicates)."""
     from rioxarray_ray.functions import dedup
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup.minhash_candidates(ds, num_perm=64, bands=16)
@@ -844,7 +853,7 @@ def q_dedup_minhash_md5(sf_dir: str):
     rolling-poly mode shares every line of pipeline code with this one."""
     from rioxarray_ray.functions import dedup
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup.minhash_candidates(
@@ -859,7 +868,7 @@ def q_dedup_simhash_md5(sf_dir: str):
     from rioxarray_ray.functions import dedup
     import functools
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     fn = functools.partial(dedup.simhash_batch, gram_hash="md5")
@@ -874,7 +883,7 @@ def q_dedup_simhash_pairs_md5(sf_dir: str):
     bucketing and verifies hamming via ``bit_count(xor(...))``."""
     from rioxarray_ray.functions import dedup
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return dedup.simhash_candidates(
@@ -887,7 +896,7 @@ def q_embedding_near_dup(sf_dir: str):
     driver collect, no whole-corpus broadcast (round-1 verdict item #1)."""
     from rioxarray_ray.functions import ann
 
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     out = ann.blocked_cosine_pairs(ds, threshold=_NEAR_DUP_TAU, n_blocks=8)
     return out.select_columns(["vec_a", "vec_b"])
 
@@ -897,8 +906,8 @@ def q_embedding_near_dup_bcast(sf_dir: str):
     oracle (the geo_pip_rect/geo_pip_shuffle pattern)."""
     from rioxarray_ray.functions import ann
 
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    all_rows = _rd().read_parquet(
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
+    all_rows = _read_pq(
         f"{sf_dir}/embeddings.parquet"
     ).to_pandas()
     out = ann.exact_cosine_pairs(
@@ -913,10 +922,9 @@ def q_embedding_near_dup_bcast(sf_dir: str):
 def q_ann_topk(sf_dir: str):
     from rioxarray_ray.functions import ann
 
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     qdf = (
-        _rd()
-        .read_parquet(f"{sf_dir}/embeddings.parquet")
+        _read_pq(f"{sf_dir}/embeddings.parquet")
         .map_batches(
             lambda b: b.filter(
                 pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
@@ -941,8 +949,8 @@ def q_ann_topk_blocked(sf_dir: str):
     as ann_topk (plan equivalence)."""
     from rioxarray_ray.functions import ann
 
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
-    queries_ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
+    queries_ds = _read_pq(f"{sf_dir}/embeddings.parquet").map_batches(
         lambda b: b.filter(
             pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
         ),
@@ -958,7 +966,7 @@ def q_ann_topk_blocked(sf_dir: str):
 def _ann_queries_ds(sf_dir: str):
     """The standard gate query set (vec_id % 50 == 0) as a DATASET — the
     IVF plan never collects queries driver-side."""
-    return _rd().read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+    return _read_pq(f"{sf_dir}/embeddings.parquet").map_batches(
         lambda b: b.filter(
             pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
         ),
@@ -973,7 +981,7 @@ def q_ann_topk_ivf(sf_dir: str):
     stay a Dataset (round-3 verdict item #3)."""
     from rioxarray_ray.functions import ann
 
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     out = ann.ivf_topk(
         ds, _ann_queries_ds(sf_dir), k=_ANN_K, n_centroids=16, nprobe=4
     )
@@ -987,7 +995,7 @@ def q_ann_topk_ivf_exhaustive(sf_dir: str):
     (plan equivalence, the geo_pip_rect/geo_pip_shuffle pattern)."""
     from rioxarray_ray.functions import ann
 
-    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
     out = ann.ivf_topk(
         ds, _ann_queries_ds(sf_dir), k=_ANN_K, n_centroids=16, nprobe=16
     )
@@ -997,7 +1005,7 @@ def q_ann_topk_ivf_exhaustive(sf_dir: str):
 def q_events_window(sf_dir: str):
     from rioxarray_ray.functions import events
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     return events.tumbling_window(ds, unit="hour")
@@ -1006,7 +1014,7 @@ def q_events_window(sf_dir: str):
 def q_events_sessionize(sf_dir: str):
     from rioxarray_ray.functions import events
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     return events.sessionize(ds, gap_minutes=30)
@@ -1017,7 +1025,7 @@ def q_events_sessionize_scalable(sf_dir: str):
     skew-safe per-reducer memory; same oracle as events_sessionize."""
     from rioxarray_ray.functions import events
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     return events.sessionize_scalable(ds, gap_minutes=30, bucket_hours=24)
@@ -1026,7 +1034,7 @@ def q_events_sessionize_scalable(sf_dir: str):
 def q_agg_pricing(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    ds = _rd().read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity"],
     )
