@@ -90,6 +90,36 @@ class RasterDataset:
             return self
         return RasterDataset(self.ds, attrs=self.attrs, encoding=encoding)
 
+    def update_encoding(self, encoding: dict, inplace: bool = False) -> "RasterDataset":
+        """Merge-update variant (rioxarray.py:503-607 family)."""
+        return self.set_encoding({**self.encoding, **encoding}, inplace=inplace)
+
+    def write_coordinate_system(self, inplace: bool = False) -> "RasterDataset":
+        """CF per-axis coordinate attrs from the dataset CRS
+        (write_coordinate_system, rioxarray.py:446-501).  The reference
+        attaches axis/long_name/standard_name/units to the x/y coordinate
+        variables; here rows carry a transform instead of materialized
+        coords, so the attrs land in the wrapper attrs dict (flat
+        ``x#axis``-style keys, matching the CF convention codec's schema
+        metadata) and persist through :meth:`write_parquet`'s sidecar.
+        Requires a single uniform CRS (the Dataset-contract of
+        write_crs below)."""
+        from .stages.convention import coordinate_system_attrs
+
+        crs_values = self.crs_set()
+        if len(crs_values) != 1:
+            raise ValueError(
+                "write_coordinate_system requires exactly one CRS across "
+                f"the dataset; found {sorted(crs_values)!r}"
+            )
+        per_axis = coordinate_system_attrs(next(iter(crs_values)))
+        flat = {
+            f"{dim}#{name}": value
+            for dim, attrs in per_axis.items()
+            for name, value in attrs.items()
+        }
+        return self.update_attrs(flat, inplace=inplace)
+
     # ---- plumbing -------------------------------------------------------
     def _map_rows(self, fn, **kwargs) -> "RasterDataset":
         """Per-row Raster -> Raster transform as a stateless map_batches."""

@@ -2,10 +2,11 @@
 metadata).
 
 The image decode path is REAL for the engine's own payload formats
-(raw16/rawu8/pngz/lq8, self-describing magic — kernels/codecs.py decodes
-them for actual pixels); external formats (JPEG/PNG via PIL, audio/video
-via ffmpeg) are not available in this container, so those fall back to a
-clearly marked deterministic fake / NotImplementedError behind
+(raw16/rawu8/pngz/lq8, self-describing magic — kernels/codecs.py) AND for
+real PNG bytes (from-scratch W3C-spec decoder, kernels/png.py — filters,
+bit depths 1-16, palette, Adam7).  Remaining foreign formats (JPEG via
+PIL, audio/video via ffmpeg — libraries absent in this container) fall
+back to a clearly marked deterministic fake / NotImplementedError behind
 ``DECODERS`` — the registry swap point — while the Ray-side plumbing
 (schema, actor signature, batch sizing, output layout) is real and tested.
 """

@@ -31,11 +31,17 @@ NODATA_CODE = 255  # lq8 reserved code
 
 
 def sniff(data: bytes) -> str | None:
-    """Format tag when the payload carries a native magic byte, else None.
+    """Format tag when the payload carries a recognized magic, else None.
 
     The cheap membership test callers use to separate "not one of ours"
     (foreign format — fall back / route elsewhere) from "ours but
-    malformed" (corruption — decode() must raise, never be masked)."""
+    malformed" (corruption — decode() must raise, never be masked).
+    Besides the four corpus formats this recognizes real PNG bytes
+    (kernels/png.py, from-scratch decoder)."""
+    from . import png as _png
+
+    if bytes(data[:8]) == _png.SIGNATURE:
+        return "png"
     return {v: k for k, v in _MAGIC.items()}.get(data[:1])
 
 
@@ -91,7 +97,16 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     For lq8 the dequantized value is rounded back to int16 and nodata codes
     map back to the nodata value embedded in the payload header (exactly the
     value the encoder was given), so nodata pixels round-trip losslessly.
+
+    Real PNG payloads (W3C signature) route to the from-scratch PNG
+    decoder (kernels/png.py) and return uint8/uint16.
     """
+    if bytes(data[:8]) == b"\x89PNG\r\n\x1a\n":
+        if fmt is not None and fmt != "png":
+            raise ValueError(f"fmt column says {fmt} but payload is png")
+        from . import png as _png
+
+        return _png.decode_png(data)
     magic, bands, h, w = _HDR.unpack_from(data, 0)
     try:
         tag = {v: k for k, v in _MAGIC.items()}[magic]

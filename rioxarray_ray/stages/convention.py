@@ -24,6 +24,51 @@ from ..kernels import affine as aff
 from ..kernels import crs as crs_mod
 
 
+def coordinate_system_attrs(crs) -> dict[str, dict[str, str]]:
+    """Per-axis CF coordinate attrs — write_coordinate_system semantics
+    (/root/reference/rioxarray/rioxarray.py:446-501): projected CRSes get
+    projection_x/y_coordinate + linear units, geographic get
+    longitude/latitude + degrees_east/north.  Every CRS kind this engine
+    supports is metre-based, so the projected units branch is always
+    "metre" (the reference's unit_factor==1 case)."""
+    c = crs_mod.from_user_input(crs)
+    x: dict[str, str] = {"axis": "X"}
+    y: dict[str, str] = {"axis": "Y"}
+    if c.is_projected:
+        x.update(
+            long_name="x coordinate of projection",
+            standard_name="projection_x_coordinate",
+            units="metre",
+        )
+        y.update(
+            long_name="y coordinate of projection",
+            standard_name="projection_y_coordinate",
+            units="metre",
+        )
+    else:
+        x.update(
+            long_name="longitude", standard_name="longitude",
+            units="degrees_east",
+        )
+        y.update(
+            long_name="latitude", standard_name="latitude",
+            units="degrees_north",
+        )
+    return {"x": x, "y": y}
+
+
+#: flat ``<dim>#<attr>`` metadata keys the CF codec emits for the per-axis
+#: coordinate attrs (same flat-key style as the GDAL ``NC_GLOBAL#`` tags
+#: sources/tags.py already parses; values stay flat bytes so block schemas
+#: remain hashable — see sources/io.py).
+_COORD_ATTR_NAMES = ("axis", "long_name", "standard_name", "units")
+_COORD_KEYS = tuple(
+    f"{dim}#{name}".encode()
+    for dim in ("x", "y")
+    for name in _COORD_ATTR_NAMES
+)
+
+
 class CFConvention:
     name = "cf"
 
@@ -41,6 +86,10 @@ class CFConvention:
         if transform is not None:
             gdal = aff.to_gdal(tuple(float(v) for v in transform))
             out[b"GeoTransform"] = " ".join(repr(float(v)) for v in gdal).encode()
+        # per-axis coordinate attrs (rioxarray.py:446-501), flat keys
+        for dim, attrs in coordinate_system_attrs(c).items():
+            for name, value in attrs.items():
+                out[f"{dim}#{name}".encode()] = value.encode()
         return out
 
     @staticmethod
@@ -163,7 +212,7 @@ def encode_schema(schema: pa.Schema, crs, transform,
     # from a previous encode must not survive a re-encode (it would
     # resurrect an old transform/CRS on read)
     stale = {b"spatial_ref", b"GeoTransform", b"zarr_geo", b"crs_wkt",
-             b"grid_mapping", b"rioxarray_ray:convention"}
+             b"grid_mapping", b"rioxarray_ray:convention", *_COORD_KEYS}
     meta = {k: v for k, v in meta.items() if k not in stale}
     meta.update(codec.encode(crs, transform))
     meta[b"rioxarray_ray:convention"] = codec.name.encode()
@@ -190,6 +239,18 @@ def decode_schema(schema: pa.Schema):
         if got is not None:
             return got
     return None
+
+
+def decode_coordinate_system(schema: pa.Schema) -> dict[str, dict[str, str]] | None:
+    """Read back the per-axis coordinate attrs the CF codec emitted
+    (write_coordinate_system round-trip); None when absent."""
+    meta = schema.metadata or {}
+    out: dict[str, dict[str, str]] = {}
+    for key, value in meta.items():
+        if key in _COORD_KEYS:
+            dim, name = key.decode().split("#", 1)
+            out.setdefault(dim, {})[name] = value.decode()
+    return out or None
 
 
 def write_parquet_with_meta(table: pa.Table, path: str, crs, transform,

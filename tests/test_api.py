@@ -201,3 +201,34 @@ def test_attrs_encoding_and_multi_variable_writer(ray_session, tmp_path):
     assert back["a"].encoding == {"dtype": "int16"}
     assert back["b"].count() == 8
     assert back["a"].count() == tiled.count()
+
+
+def test_write_coordinate_system_and_update_encoding(ray_session, tmp_path):
+    """RasterDataset.write_coordinate_system derives per-axis CF attrs from
+    the (uniform) dataset CRS and they persist through the attrs sidecar;
+    update_encoding merges (rioxarray.py:446-501 + 503-607 family)."""
+    import pytest
+
+    import rioxarray_ray.api as api
+
+    rds = api.open_corpus(8).write_crs("EPSG:32615")
+    out = rds.write_coordinate_system()
+    assert out.attrs["x#axis"] == "X"
+    assert out.attrs["y#standard_name"] == "projection_y_coordinate"
+    assert out.attrs["x#units"] == "metre"
+    # geographic branch
+    geo = api.open_corpus(4).write_crs("EPSG:4326").write_coordinate_system()
+    assert geo.attrs["x#standard_name"] == "longitude"
+    assert geo.attrs["y#units"] == "degrees_north"
+    # mixed-CRS dataset refuses (corpus mixes 4326 + projected)
+    with pytest.raises(ValueError, match="exactly one CRS"):
+        api.open_corpus(8).write_coordinate_system()
+    # attrs survive the parquet sidecar round-trip
+    path = str(tmp_path / "cs")
+    out.write_parquet(path)
+    back = api.open_parquet(path)
+    assert back.attrs["y#standard_name"] == "projection_y_coordinate"
+    # update_encoding merges, set_encoding replaces
+    enc = out.set_encoding({"dtype": "int16"}).update_encoding({"zlib": True})
+    assert enc.encoding == {"dtype": "int16", "zlib": True}
+    assert enc.set_encoding({"a": 1}).encoding == {"a": 1}

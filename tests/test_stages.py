@@ -907,6 +907,64 @@ def test_convention_reencode_strips_stale_keys(tmp_path):
     assert geo4 == (convention.crs_mod.GEOGRAPHIC, None)
 
 
+def test_cf_coordinate_system_attrs_round_trip(tmp_path):
+    """write_coordinate_system semantics (rioxarray.py:446-501): the CF
+    codec emits per-axis axis/standard_name/units attrs, projected vs
+    geographic, and they survive write->read."""
+    import pyarrow as pa
+
+    from rioxarray_ray.stages import convention
+
+    tbl = pa.table({"x": [1]})
+    t = (0.005, 0.0, -60.0, 0.0, -0.005, 40.0)
+
+    # projected (UTM 15N)
+    p = str(tmp_path / "proj.parquet")
+    convention.write_parquet_with_meta(tbl, p, "EPSG:32615", t, "cf")
+    back, _ = convention.read_parquet_with_meta(p)
+    cs = convention.decode_coordinate_system(back.schema)
+    assert cs == {
+        "x": {
+            "axis": "X",
+            "long_name": "x coordinate of projection",
+            "standard_name": "projection_x_coordinate",
+            "units": "metre",
+        },
+        "y": {
+            "axis": "Y",
+            "long_name": "y coordinate of projection",
+            "standard_name": "projection_y_coordinate",
+            "units": "metre",
+        },
+    }
+
+    # geographic
+    g = str(tmp_path / "geo.parquet")
+    convention.write_parquet_with_meta(tbl, g, "EPSG:4326", t, "cf")
+    back, _ = convention.read_parquet_with_meta(g)
+    cs = convention.decode_coordinate_system(back.schema)
+    assert cs["x"]["standard_name"] == "longitude"
+    assert cs["x"]["units"] == "degrees_east"
+    assert cs["y"]["standard_name"] == "latitude"
+    assert cs["y"]["units"] == "degrees_north"
+    assert cs["x"]["axis"] == "X" and cs["y"]["axis"] == "Y"
+
+    # re-encode projected -> geographic must not leave stale projected attrs
+    r = str(tmp_path / "re.parquet")
+    proj_back, _ = convention.read_parquet_with_meta(p)
+    convention.write_parquet_with_meta(proj_back, r, "EPSG:4326", None, "cf")
+    back, _ = convention.read_parquet_with_meta(r)
+    cs = convention.decode_coordinate_system(back.schema)
+    assert cs["x"]["standard_name"] == "longitude"
+
+    # plain parquet -> None
+    import pyarrow.parquet as pq
+
+    plain = str(tmp_path / "plain.parquet")
+    pq.write_table(tbl, plain)
+    assert convention.decode_coordinate_system(pq.read_schema(plain)) is None
+
+
 def test_clip_anti_join_keeps_untouched_tiles(rds):
     """invert=True is the ANTI-join: tiles touching no geometry keep all
     their pixels (review finding s1)."""
