@@ -77,3 +77,65 @@ def run_resumable(
     )
     written = sorted(r["partition_key"] for r in results)
     return {"written": written, "skipped": sorted(done)}
+
+
+def run_resumable_fused(
+    corpus_ds,
+    out_root: str,
+    n_geoms: int = 64,
+    dst_crs: str = "EPSG:3857",
+    tile_size: int = 64,
+    resampling: str = "nearest",
+    concurrency: int = 4,
+) -> dict:
+    """The deep-fused flagship (pipelines/flagship.py::flagship_fused) with
+    checkpoint manifests — the 100-TB headline plan IS the resumable one
+    (round-3 verdict item #9).
+
+    Same shape as :func:`run_resumable`: partition-key + anti-join against
+    completed markers BEFORE any decode work (the filter sees only encoded
+    rows), then ONE actor-pool pass (decode -> tile -> PIP join -> warp
+    inside each actor, deep mode: decoded pixels never enter the object
+    store), then a keyed groupby writes each partition atomically.  The
+    fused union stream (warped rows side='t', join-stat rows side='j') is
+    checkpointed whole, so a resumed run reproduces both branches."""
+    from ..sources import corpus as corpus_mod
+    from ..state.manifest import checkpointed_writer, resume_filter
+    from .flagship import FusedPIPWarpActor
+
+    manifest = PartitionManifest(out_root)
+    done = manifest.completed_keys()
+
+    keyed = corpus_ds.map_batches(
+        partition_key_expr, batch_format="pyarrow", zero_copy_batch=True
+    )
+    keyed = resume_filter(keyed, manifest, "part")
+
+    geoms = [
+        g for g in corpus_mod.geometry_table(n_geoms) if g["kind"] != "point"
+    ]
+    fused = keyed.drop_columns(["part"]).map_batches(
+        FusedPIPWarpActor,
+        fn_constructor_kwargs=dict(
+            geom_rows=geoms,
+            dst_crs=dst_crs,
+            resampling=resampling,
+            tile_size=tile_size,  # deep mode
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=None,
+    )
+    keyed_out = fused.map_batches(
+        partition_key_expr, batch_format="pyarrow", zero_copy_batch=True
+    )
+    results = (
+        keyed_out.groupby("part")
+        .map_groups(
+            checkpointed_writer(out_root, "part"), batch_format="pyarrow"
+        )
+        .take_all()
+    )
+    written = sorted(r["partition_key"] for r in results)
+    return {"written": written, "skipped": sorted(done)}

@@ -23,6 +23,38 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+#: field-metadata key recording a fixed_size_list's size across the parquet
+#: boundary.  pyarrow cannot read back a fixed_size_list column that holds
+#: NULL entries (the nulls come back as size-0 lists and the read raises),
+#: so write_partition stores such columns as variable lists + this marker
+#: and read_partition casts them back — lossless, checked in tests.
+_FSL_KEY = b"rioxarray_ray:fixed_size_list"
+
+
+def _fsl_to_list(table: pa.Table) -> pa.Table:
+    for i, f in enumerate(table.schema):
+        if pa.types.is_fixed_size_list(f.type):
+            new_f = pa.field(
+                f.name, pa.list_(f.type.value_type),
+                metadata={_FSL_KEY: str(f.type.list_size).encode()},
+            )
+            table = table.set_column(
+                i, new_f, table[f.name].cast(new_f.type)
+            )
+    return table
+
+
+def _list_to_fsl(table: pa.Table) -> pa.Table:
+    for i, f in enumerate(table.schema):
+        size = (f.metadata or {}).get(_FSL_KEY)
+        if size is not None:
+            typ = pa.list_(f.type.value_type, int(size))
+            table = table.set_column(
+                i, pa.field(f.name, typ), table[f.name].cast(typ)
+            )
+    return table
+
+
 class PartitionManifest:
     """A directory of per-partition completion markers + lineage rows."""
 
@@ -52,7 +84,7 @@ class PartitionManifest:
             shutil.rmtree(tmp)
         os.makedirs(tmp, exist_ok=True)
         data_path = os.path.join(tmp, "data.parquet")
-        pq.write_table(table, data_path)
+        pq.write_table(_fsl_to_list(table), data_path)
         with open(data_path, "rb") as f:
             os.fsync(f.fileno())
         if os.path.exists(final):
@@ -93,7 +125,9 @@ class PartitionManifest:
         return out
 
     def read_partition(self, key: str) -> pa.Table:
-        return pq.read_table(os.path.join(self.partition_dir(key), "data.parquet"))
+        return _list_to_fsl(
+            pq.read_table(os.path.join(self.partition_dir(key), "data.parquet"))
+        )
 
     def read_all(self) -> pa.Table:
         keys = sorted(self.completed_keys())

@@ -584,6 +584,73 @@ def test_resumable_pipeline_skips_completed(tmp_path, ray_session):
     assert sorted(third["skipped"]) == ["0", "1", "2"]
 
 
+def test_resumable_fused_pipeline_skips_completed(tmp_path, ray_session):
+    """Kill-and-resume over the DEEP-FUSED flagship (the 100-TB headline
+    plan): completed partitions skipped, resumed output identical to the
+    uninterrupted run, and it matches a direct flagship_fused pass."""
+    import ray.data as rd
+
+    from rioxarray_ray.pipelines import flagship, resumable
+    from rioxarray_ray.state.manifest import PartitionManifest
+
+    out = str(tmp_path / "fused")
+    kw = dict(n_geoms=20, concurrency=2)
+    ds = rd.from_arrow(corpus.corpus_table(range(300)))
+
+    full = resumable.run_resumable_fused(
+        ds, str(tmp_path / "baseline"), **kw
+    )
+    assert sorted(full["written"]) == ["0", "1", "2"]
+
+    first = resumable.run_resumable_fused(
+        rd.from_arrow(corpus.corpus_table(range(100))), out, **kw
+    )
+    assert first["written"] == ["0"]
+    second = resumable.run_resumable_fused(ds, out, **kw)
+    assert second["skipped"] == ["0"]
+    assert sorted(second["written"]) == ["1", "2"]
+
+    key = ["side", "image_id", "tile_row", "tile_col", "geom_id"]
+
+    def frame(manifest_root):
+        df = PartitionManifest(manifest_root).read_all().to_pandas()
+        cols = [k for k in key if k in df.columns]
+        return df.sort_values(cols).reset_index(drop=True)
+
+    a = frame(out)
+    b = frame(str(tmp_path / "baseline"))
+    assert a.equals(b)
+    assert set(a["side"]) == {"t", "j"}  # both branches checkpointed
+
+    # and the resumable output matches a direct (non-checkpointed) fused
+    # run of the same corpus slice, row for row (collected as Arrow: Ray's
+    # to_pandas trips over null fixed_size_list tensor casting)
+    import pandas as pd
+    import pyarrow as pa
+
+    direct = pa.concat_tables(
+        flagship.flagship_fused(
+            n_images=300, n_geoms=20, concurrency=2, deep=True
+        ).iter_batches(batch_size=4096, batch_format="pyarrow")
+    ).to_pandas()
+    cols = [k for k in key if k in direct.columns]
+    direct = direct.sort_values(cols).reset_index(drop=True)
+    assert len(direct) == len(a)
+    pix_cols = [c for c in ("pixels",) if c in direct.columns]
+    pd.testing.assert_frame_equal(
+        direct.drop(columns=pix_cols), a[direct.columns].drop(columns=pix_cols)
+    )
+    if pix_cols:
+        assert all(
+            (x is None and y is None) or x == y
+            for x, y in zip(direct["pixels"], a["pixels"])
+        )
+
+    third = resumable.run_resumable_fused(ds, out, **kw)
+    assert third["written"] == []
+    assert sorted(third["skipped"]) == ["0", "1", "2"]
+
+
 def test_multimodal_feature_stage(ray_session):
     """Real Ray plumbing over stubbed codecs (image fake decoder; audio
     decode raises a clear NotImplementedError)."""
