@@ -721,6 +721,56 @@ def q_multimodal_features(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_multimodal_png(sf_dir: str):
+    """REAL PNG bytes through the codec registry, oracle-gated.  Pixels are
+    a closed-form function of doc_id ((doc_id*31 + i*i) % 251 over a
+    3x16x16 image), encoded to PNG with filter = doc_id % 5 (every
+    scanline filter exercised across the corpus), decoded back via the
+    registry's signature sniff (kernels/png.py), and summarized FROM THE
+    DECODED ARRAY.  The oracle computes the same sums directly from the
+    formula, so a codec defect (filter reconstruction, geometry, sample
+    order, byte order) breaks the value hash.  The decoder is additionally
+    pinned by encoder-independent hand-built spec goldens in
+    tests/test_png.py."""
+    import numpy as np
+
+    from rioxarray_ray.kernels import codecs, png
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(3 * 16 * 16, dtype=np.int64)
+        vals = (ids[:, None] * 31 + i[None, :] * i[None, :]) % 251
+        sums, mins, maxs, bands, hs, ws = [], [], [], [], [], []
+        for k, d in enumerate(ids):
+            arr = vals[k].astype(np.uint8).reshape(3, 16, 16)
+            payload = png.encode_png(arr, filter_type=int(d) % 5)
+            back = codecs.decode(payload)  # sniff routes to the PNG decoder
+            sums.append(int(back.astype(np.int64).sum()))
+            mins.append(int(back.min()))
+            maxs.append(int(back.max()))
+            b, h, w = back.shape
+            bands.append(b)
+            hs.append(h)
+            ws.append(w)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "pixel_min": pa.array(mins, pa.int64()),
+                "pixel_max": pa.array(maxs, pa.int64()),
+                "bands": pa.array(bands, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(
+        roundtrip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     from rioxarray_ray.functions import dedup
 
@@ -1091,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_merge": q_geo_merge,
         "geo_interpolate_na": q_geo_interpolate_na,
         "multimodal_features": q_multimodal_features,
+        "multimodal_png": q_multimodal_png,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1914,6 +1965,19 @@ FROM dtiles t CROSS JOIN g2 g LEFT JOIN sums s ON t.d_tr = s.d_tr AND t.d_tc = s
         "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
 FROM documents GROUP BY 1
+""",
+        "multimodal_png": """
+SELECT d.doc_id,
+       s.pixel_sum, s.pixel_min, s.pixel_max,
+       CAST(3 AS BIGINT) AS bands,
+       CAST(16 AS BIGINT) AS h,
+       CAST(16 AS BIGINT) AS w
+FROM documents d, LATERAL (
+  SELECT CAST(SUM((d.doc_id * 31 + i * i) % 251) AS BIGINT) AS pixel_sum,
+         CAST(MIN((d.doc_id * 31 + i * i) % 251) AS BIGINT) AS pixel_min,
+         CAST(MAX((d.doc_id * 31 + i * i) % 251) AS BIGINT) AS pixel_max
+  FROM generate_series(0, 767) t(i)
+) s
 """,
         "text_tokens": r"""
 SELECT doc_id,

@@ -41,12 +41,44 @@ from .stages.schema import (
 )
 
 
-def open_corpus(n_images: int, **read_kwargs) -> "RasterDataset":
-    """Front door (open_rasterio analogue): read + decode the image corpus."""
+def open_corpus(n_images: int, vrt_params: dict | None = None,
+                **read_kwargs) -> "RasterDataset":
+    """Front door (open_rasterio analogue): read + decode the image corpus.
+
+    ``vrt_params`` is the WarpedVRT-ingestion analogue
+    (/root/reference/rioxarray/_io.py:1096-1122): warp parameters captured
+    at OPEN time, fused into the open path so every downstream consumer
+    sees warped rows.  Recognized keys mirror the reference's dict:
+    ``crs`` (destination, required), ``resampling``, ``nodata``, and the
+    explicit destination grid ``transform`` + ``width`` + ``height``
+    (all three or none — a partial grid raises, like rasterio's VRT).
+    Unknown keys raise (typos must not silently no-op)."""
     from .pipelines import flagship as fpipe
 
     ds = fpipe.read_corpus(n_images, **read_kwargs)
-    return RasterDataset(decode_stage_mod.decode_stage(ds))
+    rds = RasterDataset(decode_stage_mod.decode_stage(ds))
+    if vrt_params is None:
+        return rds
+    params = dict(vrt_params)
+    dst_crs = params.pop("crs", None)
+    if dst_crs is None:
+        raise ValueError("vrt_params requires a destination 'crs'")
+    resampling = params.pop("resampling", "nearest")
+    nodata = params.pop("nodata", None)
+    transform = params.pop("transform", None)
+    width = params.pop("width", None)
+    height = params.pop("height", None)
+    if params:
+        raise ValueError(f"unsupported vrt_params keys: {sorted(params)}")
+    grid_parts = (transform is not None, width is not None, height is not None)
+    if any(grid_parts) and not all(grid_parts):
+        raise ValueError(
+            "vrt_params grid needs transform AND width AND height"
+        )
+    if all(grid_parts):
+        grid = warp_stage_mod.GridSpec(dst_crs, transform, (height, width))
+        return rds.reproject_match(grid, resampling=resampling, nodata=nodata)
+    return rds.reproject(dst_crs, resampling=resampling, nodata=nodata)
 
 
 def wrap(ds) -> "RasterDataset":

@@ -136,7 +136,7 @@ class BruteForceTopK:
         )
 
 
-def topk_cosine(ds, query_ids, query_vecs, k: int = 10, concurrency=4,
+def topk_cosine(ds, query_ids, query_vecs, k: int = 10, concurrency=(1, 4),
                 batch_size: int = 4096):
     """Exact top-k: per-batch partials then a per-query reduce.
 
@@ -256,7 +256,7 @@ class ExactPairFinder:
         )
 
 
-def exact_cosine_pairs(ds, all_ids, all_vecs, threshold: float, concurrency=4):
+def exact_cosine_pairs(ds, all_ids, all_vecs, threshold: float, concurrency=(1, 4)):
     return ds.map_batches(
         ExactPairFinder,
         fn_constructor_kwargs=dict(

@@ -638,7 +638,7 @@ def embedding_near_dup(
     threshold: float = 0.95,
     n_planes: int = 12,
     seed: int = 11,
-    concurrency=4,
+    concurrency=(1, 4),
 ):
     """Near-dup pairs by cosine similarity >= threshold.
 
@@ -680,26 +680,31 @@ def embedding_near_dup(
                 }
             )
 
-    def exact_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["vec_id"].to_numpy()
+    _PAIRS_SCHEMA = pa.schema(
+        [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def exact_pairs(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
         uniq, first_idx = np.unique(ids, return_index=True)
-        vecs = np.asarray(group["embedding"].iloc[first_idx].to_list(),
-                          dtype=np.float64)
         if len(uniq) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
-                                 "vec_b": pd.Series(dtype=np.int64),
-                                 "cosine": pd.Series(dtype=np.float64)})
+            return _PAIRS_SCHEMA.empty_table()
+        emb = group["embedding"].combine_chunks()
+        assert emb.null_count == 0, "null embedding in near-dup bucket"
+        flat = emb.flatten().to_numpy(zero_copy_only=False)
+        vecs = flat.reshape(len(ids), -1).astype(np.float64)[first_idx]
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         sims = (vecs / norms) @ (vecs / norms).T
         ia, ib = np.triu_indices(len(uniq), k=1)
         keep = sims[ia, ib] >= threshold
-        return pd.DataFrame(
-            {
-                "vec_a": np.minimum(uniq[ia[keep]], uniq[ib[keep]]),
-                "vec_b": np.maximum(uniq[ia[keep]], uniq[ib[keep]]),
-                "cosine": sims[ia, ib][keep],
-            }
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.minimum(uniq[ia[keep]], uniq[ib[keep]]).astype(np.int64)),
+                pa.array(np.maximum(uniq[ia[keep]], uniq[ib[keep]]).astype(np.int64)),
+                pa.array(sims[ia, ib][keep].astype(np.float64)),
+            ],
+            schema=_PAIRS_SCHEMA,
         )
 
     from ray.data.aggregate import Max
@@ -712,7 +717,7 @@ def embedding_near_dup(
             concurrency=concurrency,
         )
         .groupby("bucket")
-        .map_groups(exact_pairs, batch_format="pandas")
+        .map_groups(exact_pairs, batch_format="pyarrow")
         .groupby(["vec_a", "vec_b"])
         .aggregate(Max("cosine", alias_name="cosine"))
     )

@@ -2,17 +2,19 @@
 
 Ray Data has no event-time windowing (SURVEY.md §2.9) — the engine treats
 the events table as a keyed log: partition by ``user_id``, sort by ``ts``
-within the group, and window with vectorized pandas inside ``map_groups``
-(the guide's canonical stream-shaped recipe).  Both ops are SQL-expressible
-so the driver gate checks them exactly.
+within the group, and window with numpy segment kernels inside
+``map_groups`` (Arrow end-to-end; ``np.*.reduceat`` does the per-session
+aggregation without a pandas conversion).  Both ops are SQL-expressible so
+the driver gate checks them exactly.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_NS_PER_MIN = 60_000_000_000
 
 
 def tumbling_window(ds, unit: str = "hour"):
@@ -33,6 +35,34 @@ def tumbling_window(ds, unit: str = "hour"):
     )
 
 
+def _ts_ns(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Timestamp column -> int64 nanoseconds (unit-safe)."""
+    return (
+        col.cast(pa.timestamp("ns"))
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[ns]")
+        .astype(np.int64)
+    )
+
+
+def _uid_column(group: pa.Table, n: int) -> pa.Array:
+    uid = group["user_id"][0].as_py()
+    return pa.array([uid] * n, group.schema.field("user_id").type)
+
+
+def _segment_sessions(ts: np.ndarray, eid: np.ndarray, gap_ns: int):
+    """Sorted-by-(ts, eid) arrays -> (starts, ends) segment offsets where a
+    segment breaks when the time since the previous event exceeds gap_ns.
+    The (ts, event_id) sort order matches the oracle's ORDER BY — without
+    the id tie-break, equal-timestamp events split nondeterministically."""
+    new_session = np.empty(len(ts), dtype=bool)
+    new_session[0] = True
+    new_session[1:] = np.diff(ts) > gap_ns
+    starts = np.flatnonzero(new_session)
+    ends = np.append(starts[1:], len(ts))
+    return starts, ends
+
+
 def sessionize(ds, gap_minutes: int = 30):
     """Gap-based sessions per user: a new session starts when the time
     since the previous event exceeds ``gap_minutes``.
@@ -41,33 +71,29 @@ def sessionize(ds, gap_minutes: int = 30):
     ``session_id`` = 0-based session ordinal per user.  The groupby ships
     only (event_id, ts, user_id) — pre-projected, no payload columns.
     """
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap_ns = int(gap_minutes) * _NS_PER_MIN
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        # (ts, event_id) matches the oracle's ORDER BY — without the id
-        # tie-break, equal-timestamp events make the split nondeterministic
-        g = group.sort_values(["ts", "event_id"], kind="stable")
-        # timedelta comparison is unit-safe (datetime64[us] vs [ns] both work)
-        diffs = g["ts"].diff()
-        new_session = (diffs.isna() | (diffs > gap)).to_numpy()
-        sid = np.cumsum(new_session) - 1
-        g = g.assign(session_id=sid.astype(np.int64))
-        out = (
-            g.groupby("session_id", sort=True)
-            .agg(
-                n_events=("event_id", "size"),
-                first_event=("event_id", "min"),
-                last_event=("event_id", "max"),
-            )
-            .reset_index()
+    def sessions(group: pa.Table) -> pa.Table:
+        ts = _ts_ns(group["ts"])
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        starts, ends = _segment_sessions(ts, eid, gap_ns)
+        k = len(starts)
+        return pa.Table.from_pydict(
+            {
+                "user_id": _uid_column(group, k),
+                "session_id": pa.array(np.arange(k, dtype=np.int64)),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "first_event": pa.array(np.minimum.reduceat(eid, starts)),
+                "last_event": pa.array(np.maximum.reduceat(eid, starts)),
+            }
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
 
     return (
         ds.select_columns(["event_id", "ts", "user_id"])
         .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 
@@ -88,7 +114,7 @@ def sessionize_scalable(ds, gap_minutes: int = 30, bucket_hours: int = 24):
       heals exactly those.  Aggregates compose (sum/min/max), so the
       merged rows equal the single-pass output row-for-row.
     """
-    gap = pd.Timedelta(minutes=gap_minutes)
+    gap_ns = int(gap_minutes) * _NS_PER_MIN
     bucket_ns = int(bucket_hours) * 3_600_000_000_000
 
     def bucketize(batch: pa.Table) -> pa.Table:
@@ -96,55 +122,58 @@ def sessionize_scalable(ds, gap_minutes: int = 30, bucket_hours: int = 24):
         bucket = pc.divide(ts, bucket_ns)
         return batch.append_column("bucket", bucket)
 
-    def local_sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="stable")
-        diffs = g["ts"].diff()
-        new_session = (diffs.isna() | (diffs > gap)).to_numpy()
-        sid = np.cumsum(new_session) - 1
-        g = g.assign(_sid=sid)
-        out = (
-            g.groupby("_sid", sort=True)
-            .agg(
-                n_events=("event_id", "size"),
-                first_event=("event_id", "min"),
-                last_event=("event_id", "max"),
-                start_ts=("ts", "min"),
-                end_ts=("ts", "max"),
-            )
-            .reset_index(drop=True)
+    def local_sessions(group: pa.Table) -> pa.Table:
+        ts = _ts_ns(group["ts"])
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        starts, ends = _segment_sessions(ts, eid, gap_ns)
+        k = len(starts)
+        return pa.Table.from_pydict(
+            {
+                "user_id": _uid_column(group, k),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "first_event": pa.array(np.minimum.reduceat(eid, starts)),
+                "last_event": pa.array(np.maximum.reduceat(eid, starts)),
+                "start_ts": pa.array(ts[starts].view("datetime64[ns]")),
+                "end_ts": pa.array(
+                    np.maximum.reduceat(ts, starts).view("datetime64[ns]")
+                ),
+            }
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
 
-    def merge_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["start_ts", "first_event"], kind="stable"
-        ).reset_index(drop=True)
-        starts = g["start_ts"].to_numpy()
-        ends = g["end_ts"].to_numpy()
-        prev_end = np.maximum.accumulate(ends)
-        new_s = np.ones(len(g), dtype=bool)
-        new_s[1:] = (starts[1:] - prev_end[:-1]) > gap.to_timedelta64()
-        sid = np.cumsum(new_s) - 1
-        merged = (
-            g.assign(session_id=sid.astype(np.int64))
-            .groupby("session_id", sort=True)
-            .agg(
-                n_events=("n_events", "sum"),
-                first_event=("first_event", "min"),
-                last_event=("last_event", "max"),
-            )
-            .reset_index()
+    def merge_user(group: pa.Table) -> pa.Table:
+        starts_ts = _ts_ns(group["start_ts"])
+        ends_ts = _ts_ns(group["end_ts"])
+        first = group["first_event"].to_numpy(zero_copy_only=False)
+        last = group["last_event"].to_numpy(zero_copy_only=False)
+        n = group["n_events"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((first, starts_ts))
+        starts_ts, ends_ts = starts_ts[order], ends_ts[order]
+        first, last, n = first[order], last[order], n[order]
+        prev_end = np.maximum.accumulate(ends_ts)
+        new_s = np.ones(len(n), dtype=bool)
+        new_s[1:] = (starts_ts[1:] - prev_end[:-1]) > gap_ns
+        seg = np.flatnonzero(new_s)
+        k = len(seg)
+        return pa.Table.from_pydict(
+            {
+                "user_id": _uid_column(group, k),
+                "session_id": pa.array(np.arange(k, dtype=np.int64)),
+                "n_events": pa.array(
+                    np.add.reduceat(n, seg).astype(np.int64)
+                ),
+                "first_event": pa.array(np.minimum.reduceat(first, seg)),
+                "last_event": pa.array(np.maximum.reduceat(last, seg)),
+            }
         )
-        merged.insert(0, "user_id", g["user_id"].iloc[0])
-        return merged
 
     summaries = (
         ds.select_columns(["event_id", "ts", "user_id"])
         .map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "bucket"])
-        .map_groups(local_sessions, batch_format="pandas")
+        .map_groups(local_sessions, batch_format="pyarrow")
     )
     return summaries.groupby("user_id").map_groups(
-        merge_user, batch_format="pandas"
+        merge_user, batch_format="pyarrow"
     )

@@ -114,7 +114,7 @@ class FeatureExtractor:
         )
 
 
-def feature_stage(ds, feature_dim: int = 16, concurrency=2, batch_size: int = 64):
+def feature_stage(ds, feature_dim: int = 16, concurrency=(1, 2), batch_size: int = 64):
     return ds.map_batches(
         FeatureExtractor,
         fn_constructor_kwargs=dict(feature_dim=feature_dim),
@@ -159,7 +159,7 @@ class Resizer:
         )
 
 
-def resize_stage(ds, out_h: int = 16, out_w: int = 16, concurrency=2,
+def resize_stage(ds, out_h: int = 16, out_w: int = 16, concurrency=(1, 2),
                  batch_size: int = 64):
     return ds.map_batches(
         Resizer,
@@ -171,7 +171,7 @@ def resize_stage(ds, out_h: int = 16, out_w: int = 16, concurrency=2,
     )
 
 
-def frame_sample_stage(ds, every_nth: int = 10, concurrency=2):
+def frame_sample_stage(ds, every_nth: int = 10, concurrency=(1, 2)):
     """Video frame sampling plumbing: one output row per sampled frame
     (flat-map shape).  The video decode boundary is stubbed — the emitted
     rows carry (media_id, frame_index) so the downstream contract (schema,

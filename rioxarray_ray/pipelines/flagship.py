@@ -26,13 +26,19 @@ from ..stages import warp as warp_mod
 
 
 def corpus_parquet(n: int, root: str = "/tmp/rioxarray_ray/corpus",
-                   shard_size: int = 256) -> str:
+                   shard_size: int = 256, row_group_images: int = 64) -> str:
     """Materialize (once) the first-n-images corpus as sharded parquet.
 
     Input preparation, not engine work: parallelized over Ray tasks when a
     session is up (first bench run at a new sf), sequential otherwise.
+
+    ``row_group_images`` bounds the parquet row-group size: Ray's reader
+    cannot split a block below one row group, so single-row-group shards
+    force 256-image blocks whose 4x work variance becomes the straggler
+    tail of every actor-pool stage.  64-image row groups let
+    ``override_num_blocks`` hand out even work at any parallelism.
     """
-    path = os.path.join(root, f"n{n}-s{shard_size}")
+    path = os.path.join(root, f"n{n}-s{shard_size}-rg{row_group_images}")
     marker = os.path.join(path, "_SUCCESS")
     if os.path.exists(marker):
         return path
@@ -42,7 +48,8 @@ def corpus_parquet(n: int, root: str = "/tmp/rioxarray_ray/corpus",
     def write_shard(start: int) -> None:
         ids = range(start, min(start + shard_size, n))
         tbl = corpus.corpus_table(ids)
-        pq.write_table(tbl, os.path.join(path, f"shard-{start:08d}.parquet"))
+        pq.write_table(tbl, os.path.join(path, f"shard-{start:08d}.parquet"),
+                       row_group_size=row_group_images)
 
     try:
         import ray
@@ -93,7 +100,12 @@ def flagship(
     # enough (hundreds of images/task) to amortize per-task overheads
     ds = read_corpus(
         n_images,
-        override_num_blocks=min(max(concurrency * 8, 16), max(n_images // 16, 16)),
+        override_num_blocks=min(
+            # ~16 even blocks per actor bounds the straggler tail to a
+            # few percent; floor of 64 images per block keeps per-task
+            # overhead amortized (row groups are 64 images)
+            max(concurrency * 16, 16), max(n_images // 64, 16)
+        ),
     )
     decoded = decode_stage_mod.decode_stage(ds)
     tiles = tile_mod.tile_stage(decoded, tile_size=tile_size)
@@ -330,7 +342,12 @@ def flagship_fused(
     share the tile lineage)."""
     ds = read_corpus(
         n_images,
-        override_num_blocks=min(max(concurrency * 8, 16), max(n_images // 16, 16)),
+        override_num_blocks=min(
+            # ~16 even blocks per actor bounds the straggler tail to a
+            # few percent; floor of 64 images per block keeps per-task
+            # overhead amortized (row groups are 64 images)
+            max(concurrency * 16, 16), max(n_images // 64, 16)
+        ),
     )
     geoms = [
         g for g in corpus.geometry_table(n_geoms) if g["kind"] != "point"

@@ -157,8 +157,6 @@ def pad_box_stage(tiles_ds, bounds, box_crs=None, tile_size: int = 64,
     synthetic payloads are generated inside the group.  ``bounds`` is in
     each row's native CRS unless ``box_crs`` is given (clip_box convention).
     """
-    import pandas as pd
-
     from ..kernels import cellindex as cell_mod
     from .schema import TILE_SCHEMA, pixels_to_bytes
 
@@ -167,8 +165,8 @@ def pad_box_stage(tiles_ds, bounds, box_crs=None, tile_size: int = 64,
     meta = tiles_ds.select_columns(meta_cols)
     T = int(tile_size)
 
-    def plan(group: pd.DataFrame) -> pd.DataFrame:
-        first = group.iloc[0]
+    def plan(group: pa.Table) -> pa.Table:
+        first = group.slice(0, 1).to_pylist()[0]
         t0 = tuple(float(v) for v in first["transform"])
         # the row transform describes the (possibly halo-EXPANDED) window,
         # whose absolute origin is win_off - core_off; shifting by the raw
@@ -189,7 +187,9 @@ def pad_box_stage(tiles_ds, bounds, box_crs=None, tile_size: int = 64,
         c_lo = int(np.floor(np.floor(c0f) / T))
         r_hi = int(np.ceil((r0f + hf) / T))  # exclusive tile index bound
         c_hi = int(np.ceil((c0f + wf) / T))
-        existing = set(zip(group["tile_row"], group["tile_col"]))
+        existing = set(
+            zip(group["tile_row"].to_pylist(), group["tile_col"].to_pylist())
+        )
         dtype = np.dtype(first["dtype"])
         nod = float(first["nodata"])
         if constant_values is not None:
@@ -240,18 +240,11 @@ def pad_box_stage(tiles_ds, bounds, box_crs=None, tile_size: int = 64,
                     }
                 )
         if not rows:
-            return pd.DataFrame({n: pd.Series(dtype=object)
-                                 for n in TILE_SCHEMA.names}).iloc[:0]
-        return pd.DataFrame(rows, columns=TILE_SCHEMA.names)
+            return TILE_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=TILE_SCHEMA)
 
-    synthetic = (
-        meta.groupby("image_id")
-        .map_groups(plan, batch_format="pandas")
-        .map_batches(
-            lambda b: pa.Table.from_pandas(b, schema=TILE_SCHEMA,
-                                           preserve_index=False),
-            batch_format="pandas",
-        )
+    synthetic = meta.groupby("image_id").map_groups(
+        plan, batch_format="pyarrow"
     )
     return tiles_ds.union(synthetic)
 
@@ -341,7 +334,7 @@ def clip_stage(
     invert: bool = False,
     drop_empty: bool = True,
     all_touched: bool = False,
-    concurrency=4,
+    concurrency=(1, 4),
     **map_kwargs,
 ):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)

@@ -216,7 +216,7 @@ class PIPJoinActor:
 
 
 def pip_join_broadcast(
-    tiles_ds, geom_rows, cell_res: int = CELL_RES, concurrency=4, **map_kwargs
+    tiles_ds, geom_rows, cell_res: int = CELL_RES, concurrency=(1, 4), **map_kwargs
 ):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
@@ -544,7 +544,7 @@ class KNNJoinActor:
 
 
 def knn_join(
-    tiles_ds, point_rows, k: int = 3, cell_res: int = CELL_RES, concurrency=4,
+    tiles_ds, point_rows, k: int = 3, cell_res: int = CELL_RES, concurrency=(1, 4),
     **map_kwargs,
 ):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)

@@ -307,11 +307,17 @@ def reproject_stage(
     resampling: str = "nearest",
     resolution=None,
     nodata=None,
-    concurrency=4,
+    concurrency=(1, 4),
     batch_size: int | None = 16,
     **map_kwargs,
 ):
-    """Per-row reproject on an actor pool."""
+    """Per-row reproject on an actor pool.
+
+    Default ``concurrency`` is an autoscaling ``(min, max)`` tuple, not a
+    fixed pool: a fixed pool sized >= the CPU count pins every slot and
+    starves its own upstream read tasks (observed deadlock at num_cpus=4).
+    Callers that size pools to the machine (bench) still pass ints.
+    """
     return ds.map_batches(
         WarpActor,
         fn_constructor_kwargs=dict(
@@ -500,7 +506,7 @@ def reproject_match_tiled(
     grid_spec: GridSpec,
     resampling: str = "nearest",
     nodata=None,
-    concurrency=4,
+    concurrency=(1, 4),
     batch_size: int | None = None,
     **map_kwargs,
 ):
@@ -524,7 +530,7 @@ def reproject_match_stage(
     grid_spec: GridSpec,
     resampling: str = "nearest",
     nodata=None,
-    concurrency=4,
+    concurrency=(1, 4),
     batch_size: int | None = 16,
     **map_kwargs,
 ):

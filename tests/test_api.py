@@ -232,3 +232,39 @@ def test_write_coordinate_system_and_update_encoding(ray_session, tmp_path):
     enc = out.set_encoding({"dtype": "int16"}).update_encoding({"zlib": True})
     assert enc.encoding == {"dtype": "int16", "zlib": True}
     assert enc.set_encoding({"a": 1}).encoding == {"a": 1}
+
+
+def test_open_corpus_vrt_params_warp_at_open(ray_session):
+    """WarpedVRT-ingestion analogue (_io.py:1096-1122): warp params captured
+    at open time; every downstream read sees warped rows, identical to an
+    explicit open->reproject chain."""
+    import numpy as np
+    import pytest
+
+    import rioxarray_ray.api as api
+
+    vrt = api.open_corpus(6, vrt_params={"crs": "EPSG:3857"})
+    explicit = api.open_corpus(6).reproject("EPSG:3857")
+    a = sorted(vrt.take_all(), key=lambda r: r["image_id"])
+    b = sorted(explicit.take_all(), key=lambda r: r["image_id"])
+    assert [r["crs"] for r in a] == ["EPSG:3857"] * 6
+    for ra, rb in zip(a, b):
+        assert ra["transform"] == rb["transform"]
+        assert ra["pixels"] == rb["pixels"]
+
+    # explicit destination grid (transform+width+height all required)
+    row = api.open_corpus(1).reproject("EPSG:3857").take(1)[0]
+    grid_vrt = api.open_corpus(3, vrt_params={
+        "crs": "EPSG:3857", "transform": list(row["transform"]),
+        "width": row["w"], "height": row["h"], "resampling": "bilinear",
+    })
+    out = grid_vrt.take_all()
+    assert all(r["h"] == row["h"] and r["w"] == row["w"] for r in out)
+    assert all(tuple(r["transform"]) == tuple(row["transform"]) for r in out)
+
+    with pytest.raises(ValueError, match="transform AND width AND height"):
+        api.open_corpus(2, vrt_params={"crs": "EPSG:3857", "width": 10})
+    with pytest.raises(ValueError, match="unsupported vrt_params"):
+        api.open_corpus(2, vrt_params={"crs": "EPSG:3857", "tolerance": 0.1})
+    with pytest.raises(ValueError, match="destination 'crs'"):
+        api.open_corpus(2, vrt_params={"resampling": "nearest"})
