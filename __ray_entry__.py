@@ -771,6 +771,56 @@ def q_multimodal_png(sf_dir: str):
     )
 
 
+def q_multimodal_wav(sf_dir: str):
+    """REAL RIFF/WAVE bytes through the audio decoder, oracle-gated.
+    Samples are a closed-form function of doc_id
+    (((doc_id*37 + i*i) % 2001) - 1000 over 1024 samples), encoded to WAV
+    with a rotating sample encoding (16/24/32-bit PCM, float32 — every
+    supported depth exercised across the corpus) and channel count
+    (1 + doc_id % 2), decoded back via multimodal.DECODERS['audio']
+    (kernels/wav.py), and summarized FROM THE DECODED ARRAY.  The oracle
+    recomputes the sums from the formula, so a codec defect (sign
+    extension, interleave order, float layout, chunk walking) breaks the
+    value hash.  The decoder is additionally pinned by hand-built spec
+    goldens in tests/test_wav.py."""
+    import numpy as np
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import wav
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    _DTYPES = (np.int16, np.int32, np.int32, np.float32)  # idx 1 packs 24-bit
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(1024, dtype=np.int64)
+        vals = (ids[:, None] * 37 + i[None, :] * i[None, :]) % 2001 - 1000
+        cols = {k: [] for k in
+                ("n_samples", "channels", "sample_sum", "sample_min",
+                 "sample_max", "energy")}
+        for k, d in enumerate(ids):
+            depth = int(d) % 4
+            channels = 1 + int(d) % 2
+            arr = vals[k].astype(_DTYPES[depth]).reshape(channels, -1)
+            payload = wav.encode_wav(
+                arr, 16000, bits=24 if depth == 1 else None
+            )
+            back = multimodal.DECODERS["audio"](payload).astype(np.int64)
+            cols["n_samples"].append(int(back.size))
+            cols["channels"].append(back.shape[0])
+            cols["sample_sum"].append(int(back.sum()))
+            cols["sample_min"].append(int(back.min()))
+            cols["sample_max"].append(int(back.max()))
+            cols["energy"].append(int((back * back).sum()))
+        out = {"doc_id": batch["doc_id"]}
+        out.update({k: pa.array(v, pa.int64()) for k, v in cols.items()})
+        return pa.Table.from_pydict(out)
+
+    return ds.map_batches(
+        roundtrip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     from rioxarray_ray.functions import dedup
 
@@ -1142,6 +1192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_interpolate_na": q_geo_interpolate_na,
         "multimodal_features": q_multimodal_features,
         "multimodal_png": q_multimodal_png,
+        "multimodal_wav": q_multimodal_wav,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -1977,6 +2028,20 @@ FROM documents d, LATERAL (
          CAST(MIN((d.doc_id * 31 + i * i) % 251) AS BIGINT) AS pixel_min,
          CAST(MAX((d.doc_id * 31 + i * i) % 251) AS BIGINT) AS pixel_max
   FROM generate_series(0, 767) t(i)
+) s
+""",
+        "multimodal_wav": """
+SELECT d.doc_id,
+       CAST(1024 AS BIGINT) AS n_samples,
+       CAST(1 + d.doc_id % 2 AS BIGINT) AS channels,
+       s.sample_sum, s.sample_min, s.sample_max, s.energy
+FROM documents d, LATERAL (
+  SELECT CAST(SUM(v) AS BIGINT) AS sample_sum,
+         CAST(MIN(v) AS BIGINT) AS sample_min,
+         CAST(MAX(v) AS BIGINT) AS sample_max,
+         CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM (SELECT (d.doc_id * 37 + i * i) % 2001 - 1000 AS v
+        FROM generate_series(0, 1023) t(i))
 ) s
 """,
         "text_tokens": r"""

@@ -4,8 +4,10 @@ metadata).
 The image decode path is REAL for the engine's own payload formats
 (raw16/rawu8/pngz/lq8, self-describing magic — kernels/codecs.py) AND for
 real PNG bytes (from-scratch W3C-spec decoder, kernels/png.py — filters,
-bit depths 1-16, palette, Adam7).  Remaining foreign formats (JPEG via
-PIL, audio/video via ffmpeg — libraries absent in this container) fall
+bit depths 1-16, palette, Adam7).  The audio decode path is REAL for
+RIFF/WAVE bytes (from-scratch kernels/wav.py — PCM 8/16/24/32-bit, IEEE
+float, WAVE_FORMAT_EXTENSIBLE).  Remaining foreign formats (JPEG via
+PIL, mp3/ogg/video via ffmpeg — libraries absent in this container) fall
 back to a clearly marked deterministic fake / NotImplementedError behind
 ``DECODERS`` — the registry swap point — while the Ray-side plumbing
 (schema, actor signature, batch sizing, output layout) is real and tested.
@@ -64,9 +66,22 @@ def _unavailable(kind: str):
     return fn
 
 
+def _audio_decode(payload: bytes) -> np.ndarray:
+    """REAL decode for RIFF/WAVE bytes (from-scratch kernels/wav.py —
+    PCM 8/16/24/32, IEEE float, extensible); non-WAV audio (mp3/ogg/...)
+    raises NotImplementedError (decoder libs absent), same contract as
+    foreign image formats."""
+    from ..kernels import wav
+
+    if not wav.is_wav(payload):
+        _unavailable("non-WAV audio")(payload)
+    samples, _rate = wav.decode_wav(payload)
+    return samples
+
+
 DECODERS = {
     "image": _image_decode,  # native formats real; foreign -> fake (PIL absent)
-    "audio": _unavailable("audio"),
+    "audio": _audio_decode,  # WAV real (kernels/wav.py); others raise
     "video": _unavailable("video"),
 }
 
