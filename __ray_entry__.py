@@ -821,6 +821,64 @@ def q_multimodal_wav(sf_dir: str):
     )
 
 
+def q_multimodal_avi(sf_dir: str):
+    """REAL uncompressed-DIB AVI bytes through the video path, oracle-gated.
+    Each doc gets a 5-frame 3x8x8 video with closed-form pixels
+    ((doc_id*13 + f*257 + i*i) % 256), encoded to AVI (BGR bottom-up
+    scanlines, stride padding), decoded + frame-sampled (every 2nd frame)
+    by frame_sample_stage, whose per-frame checksums come FROM THE DECODED
+    FRAMES.  The oracle recomputes the checksums from the formula, so a
+    codec defect (BGR swap, row flip, stride, frame order) breaks the
+    value hash.  Hand-built spec goldens in tests/test_avi.py pin the
+    decoder independently."""
+    import json
+
+    import numpy as np
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import avi
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = np.arange(5, dtype=np.int64)
+        i = np.arange(3 * 8 * 8, dtype=np.int64)
+        vals = (
+            ids[:, None, None] * 13 + f[None, :, None] * 257
+            + i[None, None, :] * i[None, None, :]
+        ) % 256
+        payloads = [
+            avi.encode_avi(vals[k].astype(np.uint8).reshape(5, 3, 8, 8),
+                           fps=10.0)
+            for k in range(len(ids))
+        ]
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array([str(d) for d in ids], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["video"] * len(ids), pa.string()),
+                "meta": pa.array([json.dumps({"n_frames": 5})] * len(ids)),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    sampled = multimodal.frame_sample_stage(media, every_nth=2)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch["media_id"], pa.int64()),
+                "frame_index": pc.cast(batch["frame_index"], pa.int64()),
+                "frame_sum": batch["frame_sum"],
+            }
+        )
+
+    return sampled.map_batches(finalize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def q_dedup_exact(sf_dir: str):
     from rioxarray_ray.functions import dedup
 
@@ -1193,6 +1251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
+        "multimodal_avi": q_multimodal_avi,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2042,6 +2101,16 @@ FROM documents d, LATERAL (
          CAST(SUM(v * v) AS BIGINT) AS energy
   FROM (SELECT (d.doc_id * 37 + i * i) % 2001 - 1000 AS v
         FROM generate_series(0, 1023) t(i))
+) s
+""",
+        "multimodal_avi": """
+SELECT d.doc_id, f.f AS frame_index, s.frame_sum
+FROM documents d
+CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) f,
+LATERAL (
+  SELECT CAST(SUM((d.doc_id * 13 + f.f * 257 + i * i) % 256) AS BIGINT)
+         AS frame_sum
+  FROM generate_series(0, 191) t(i)
 ) s
 """,
         "text_tokens": r"""

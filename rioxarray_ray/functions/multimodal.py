@@ -79,10 +79,24 @@ def _audio_decode(payload: bytes) -> np.ndarray:
     return samples
 
 
+def _video_decode(payload: bytes) -> np.ndarray:
+    """REAL decode for uncompressed-DIB AVI bytes (from-scratch
+    kernels/avi.py); returns the representative FIRST frame (bands, h, w)
+    so the generic feature extractor applies — frame-level access goes
+    through frame_sample_stage / kernels.avi.decode_avi directly.
+    Non-AVI video (mp4/webm/...) raises NotImplementedError."""
+    from ..kernels import avi
+
+    if not avi.is_avi(payload):
+        _unavailable("non-AVI video")(payload)
+    frames, _fps = avi.decode_avi(payload)
+    return frames[0]
+
+
 DECODERS = {
     "image": _image_decode,  # native formats real; foreign -> fake (PIL absent)
     "audio": _audio_decode,  # WAV real (kernels/wav.py); others raise
-    "video": _unavailable("video"),
+    "video": _video_decode,  # uncompressed AVI real (kernels/avi.py)
 }
 
 
@@ -187,26 +201,39 @@ def resize_stage(ds, out_h: int = 16, out_w: int = 16, concurrency=(1, 2),
 
 
 def frame_sample_stage(ds, every_nth: int = 10, concurrency=(1, 2)):
-    """Video frame sampling plumbing: one output row per sampled frame
-    (flat-map shape).  The video decode boundary is stubbed — the emitted
-    rows carry (media_id, frame_index) so the downstream contract (schema,
-    fan-out factor, ordering) is real and tested."""
+    """Video frame sampling: one output row per sampled frame (flat-map
+    shape).  AVI payloads decode for REAL (kernels/avi.py) and each
+    sampled row carries the frame's pixel checksum; foreign video formats
+    fall back to the metadata-declared frame count with a null checksum
+    (the fan-out contract stays testable either way)."""
+    import json
+
+    from ..kernels import avi
 
     def sample(batch: pa.Table) -> pa.Table:
-        ids, frames = [], []
-        for media_id, meta in zip(
-            batch["media_id"].to_pylist(), batch["meta"].to_pylist()
+        ids, fidx, sums = [], [], []
+        for media_id, payload, meta in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["meta"].to_pylist(),
         ):
-            import json
-
-            n_frames = int(json.loads(meta or "{}").get("n_frames", 0))
-            for f in range(0, n_frames, every_nth):
-                ids.append(media_id)
-                frames.append(f)
+            if payload and avi.is_avi(payload):
+                frames, _fps = avi.decode_avi(payload)
+                for f in range(0, len(frames), every_nth):
+                    ids.append(media_id)
+                    fidx.append(f)
+                    sums.append(int(frames[f].astype(np.int64).sum()))
+            else:
+                n_frames = int(json.loads(meta or "{}").get("n_frames", 0))
+                for f in range(0, n_frames, every_nth):
+                    ids.append(media_id)
+                    fidx.append(f)
+                    sums.append(None)
         return pa.Table.from_pydict(
             {
                 "media_id": pa.array(ids, pa.string()),
-                "frame_index": pa.array(frames, pa.int32()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "frame_sum": pa.array(sums, pa.int64()),
             }
         )
 
