@@ -101,10 +101,11 @@ def flagship(
     ds = read_corpus(
         n_images,
         override_num_blocks=min(
-            # ~16 even blocks per actor bounds the straggler tail to a
-            # few percent; floor of 64 images per block keeps per-task
-            # overhead amortized (row groups are 64 images)
-            max(concurrency * 16, 16), max(n_images // 64, 16)
+            # ~8 blocks per actor: enough slack for pipelining without
+            # per-task overhead (A/B at 32 cpus: 192 blocks 18.5 s vs
+            # 384 blocks 24.5-32.4 s); 64-image row groups in the cache
+            # keep those blocks evenly sized at any count
+            max(concurrency * 8, 16), max(n_images // 64, 16)
         ),
     )
     decoded = decode_stage_mod.decode_stage(ds)
@@ -329,6 +330,7 @@ def flagship_fused(
     resampling: str = "nearest",
     concurrency: int = 4,
     deep: bool = True,
+    override_num_blocks: int | None = None,
 ):
     """Single-pass flagship: (decode -> tile -> PIP join -> warp) in ONE
     actor pool over one read pass -> one union-schema stream.  Identical
@@ -342,11 +344,9 @@ def flagship_fused(
     share the tile lineage)."""
     ds = read_corpus(
         n_images,
-        override_num_blocks=min(
-            # ~16 even blocks per actor bounds the straggler tail to a
-            # few percent; floor of 64 images per block keeps per-task
-            # overhead amortized (row groups are 64 images)
-            max(concurrency * 16, 16), max(n_images // 64, 16)
+        override_num_blocks=override_num_blocks or min(
+            # ~8 blocks per actor (see flagship above; A/B'd at 32 cpus)
+            max(concurrency * 8, 16), max(n_images // 64, 16)
         ),
     )
     geoms = [
