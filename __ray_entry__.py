@@ -675,6 +675,56 @@ def q_geo_interpolate_na(sf_dir: str):
     return tiles.map_batches(interp, batch_format="pyarrow")
 
 
+def q_geo_interpolate_na_plane(sf_dir: str):
+    """interpolate_na('linear'), oracle-gated via exact plane reproduction.
+    Each doc gets a 24x24 raster whose pixels lie on the plane
+    v = a*r + b*c + d (integer a,b,d from doc_id) with deterministic
+    INTERIOR holes (2 <= r,c <= 21, (r*24 + c + doc_id) % 13 == 0 — inside
+    the convex hull of the valid set, so barycentric linear interpolation
+    over the Delaunay triangulation reproduces the plane exactly; pytest
+    ::test_interpolate_na_linear_plane proves the kernel property).  The
+    summed-and-rounded checksum therefore equals the closed-form plane sum
+    DuckDB computes — any Delaunay/interpolation defect breaks the hash.
+    Reference semantics: raster_array.py interpolate_na (scipy griddata
+    'linear')."""
+    import numpy as np
+
+    from rioxarray_ray.kernels.raster import Raster
+    from rioxarray_ray.kernels import crs as crs_mod
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    N = 24
+    wgs = crs_mod.from_user_input("EPSG:4326")
+
+    def interp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.arange(N)[:, None]
+        c = np.arange(N)[None, :]
+        interior = (r >= 2) & (r <= N - 3) & (c >= 2) & (c <= N - 3)
+        sums, holes = [], []
+        for d in ids:
+            a, b, dd = 1 + int(d) % 5, 2 + int(d) % 7, int(d) % 100
+            plane = (a * r + b * c + dd).astype(np.float64)
+            hole = interior & ((r * N + c + int(d)) % 13 == 0)
+            px = np.where(hole, -9999.0, plane)
+            rast = Raster(px[None], transform=(0.01, 0.0, 0.0, 0.0, -0.01, 1.0),
+                          crs=wgs, nodata=-9999.0)
+            filled = rast.interpolate_na("linear")
+            assert filled.valid_mask().all()
+            sums.append(int(np.rint(filled.pixels).astype(np.int64).sum()))
+            holes.append(int(hole.sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "n_holes_filled": pa.array(holes, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(interp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # training-data queries over documents / embeddings / events / lineitem
 # --------------------------------------------------------------------------
@@ -1248,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_clip_geometry": q_geo_clip_geometry,
         "geo_merge": q_geo_merge,
         "geo_interpolate_na": q_geo_interpolate_na,
+        "geo_interpolate_na_plane": q_geo_interpolate_na_plane,
         "multimodal_features": q_multimodal_features,
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
@@ -2112,6 +2163,20 @@ LATERAL (
          AS frame_sum
   FROM generate_series(0, 191) t(i)
 ) s
+""",
+        "geo_interpolate_na_plane": """
+SELECT d.doc_id, s.pixel_sum, h.n_holes_filled
+FROM documents d,
+LATERAL (
+  SELECT CAST(SUM((1 + d.doc_id % 5) * r + (2 + d.doc_id % 7) * c
+                  + d.doc_id % 100) AS BIGINT) AS pixel_sum
+  FROM generate_series(0, 23) tr(r) CROSS JOIN generate_series(0, 23) tc(c)
+) s,
+LATERAL (
+  SELECT COUNT(*) AS n_holes_filled
+  FROM generate_series(2, 21) tr(r) CROSS JOIN generate_series(2, 21) tc(c)
+  WHERE (r * 24 + c + d.doc_id) % 13 = 0
+) h
 """,
         "text_tokens": r"""
 SELECT doc_id,
