@@ -26,10 +26,43 @@ def strip_schema_metadata(batch: pa.Table) -> pa.Table:
     return batch
 
 
+def _stripped_file_schema(path, columns):
+    """The file's schema minus metadata (and projected to ``columns``),
+    or None when the path isn't a plain parquet file we can probe."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        names = sorted(
+            n for n in os.listdir(path) if n.endswith(".parquet")
+        )
+        if not names:
+            return None
+        probe = os.path.join(path, names[0])
+    try:
+        schema = pq.read_schema(probe).remove_metadata()
+    except Exception:
+        return None
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
+
+
 def read_parquet_clean(path, **read_kwargs):
-    """``ray.data.read_parquet`` + schema-metadata strip fused into the read."""
+    """``ray.data.read_parquet`` with the metadata strip applied at BOTH
+    layers: an explicit stripped ``schema=`` so the Read operator's own
+    blocks hash cleanly (the operator derives block schemas from the file
+    schema BEFORE any fused map runs — a split read of a pandas-written
+    file logs the warning from inside ReadParquet otherwise), plus the
+    per-block strip for anything the schema argument doesn't reach."""
     import ray.data as rd
 
+    if "schema" not in read_kwargs and isinstance(path, str):
+        schema = _stripped_file_schema(path, read_kwargs.get("columns"))
+        if schema is not None:
+            read_kwargs["schema"] = schema
     return rd.read_parquet(path, **read_kwargs).map_batches(
         strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
