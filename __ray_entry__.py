@@ -1069,6 +1069,25 @@ def q_dedup_minhash_md5(sf_dir: str):
     )
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Connected-components dedup clustering, oracle-gated end-to-end.
+    Edges = the md5 MinHash-LSH candidate pairs (the same pipeline the
+    dedup_minhash_md5 oracle replicates bit-exactly); the distributed
+    min-label propagation (functions/dedup.py connected_components — one
+    hash join + one groupby-min per round, no driver hop) must converge
+    to the same (doc_id, cluster_id, keep) relation DuckDB derives with a
+    recursive reachability CTE over the identical edge SQL."""
+    from rioxarray_ray.functions import dedup
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = dedup.minhash_candidates(
+        docs, num_perm=64, bands=16, gram_hash="md5"
+    )
+    return dedup.connected_components(pairs, docs)
+
+
 def q_dedup_simhash_md5(sf_dir: str):
     """Oracle-gated twin of ``dedup_simhash``: md5 gram hashes make the
     64-bit Charikar signature SQL-replicable (per-bit vote = signed sum
@@ -1308,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_md5": q_dedup_minhash_md5,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_simhash_pairs_md5": q_dedup_simhash_pairs_md5,
         "embedding_near_dup": q_embedding_near_dup,
@@ -2346,4 +2366,23 @@ FROM lineitem GROUP BY 1, 2
     # exhaustive probe (nprobe == n_centroids) is exact -> same oracle
     sql["ann_topk_ivf_exhaustive"] = sql["ann_topk"]
     sql["events_sessionize_scalable"] = sql["events_sessionize"]
+    # connected-components clustering over the SAME md5-LSH edge SQL the
+    # dedup_minhash_md5 oracle replicates: recursive reachability CTE,
+    # cluster id = min reachable doc id
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({sql["dedup_minhash_md5"]}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+conn(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, c.m FROM edges e JOIN conn c ON c.n = e.a
+)
+SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id,
+       MIN(m) = n AS keep
+FROM conn GROUP BY n
+"""
     return sql

@@ -721,3 +721,114 @@ def embedding_near_dup(
         .groupby(["vec_a", "vec_b"])
         .aggregate(Max("cosine", alias_name="cosine"))
     )
+
+
+def connected_components(pairs_ds, nodes_ds, id_col: str = "doc_id",
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         num_partitions: int = 16, max_iters: int = 50):
+    """Distributed connected components over candidate-duplicate pairs —
+    the clustering step that turns pair lists (minhash/simhash/embedding
+    near-dup output) into dedup groups: every doc gets the MIN doc id
+    reachable through dup edges as its ``cluster_id``, and ``keep`` marks
+    the one representative per cluster.
+
+    Plan (min-label propagation, the scale-out classic): labels start as
+    each node's own id; each round ships every node's label across its
+    edges (one hash JOIN of the symmetric edge list against the label
+    table) and folds incoming labels with a groupby-min.  Both steps are
+    native vectorized shuffles keyed on the node id — no driver hop, no
+    Python per-group work — and the label table (two int64 columns) is
+    the only state carried between rounds.  Rounds needed = component
+    diameter; near-dup components are short chains in practice, and the
+    loop stops at the first fixed point (monotone non-increasing label
+    sum, checked with one cheap aggregate per round).  At trillion-row
+    scale the same loop applies with large-star/small-star edge rewriting
+    to cut the diameter; the partitioning assumption is only that the
+    (node -> label) relation hash-partitions evenly.
+    """
+    labels = nodes_ds.select_columns([id_col]).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b[id_col], pa.int64()),
+             pc.cast(b[id_col], pa.int64())],
+            names=["node", "label"],
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def symmetric(batch: pa.Table) -> pa.Table:
+        a = pc.cast(batch[a_col], pa.int64()).combine_chunks()
+        b = pc.cast(batch[b_col], pa.int64()).combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([a, b]), pa.concat_arrays([b, a])],
+            names=["src", "node"],
+        )
+
+    edges = pairs_ds.select_columns([a_col, b_col]).map_batches(
+        symmetric, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    from ray.data.aggregate import Min
+
+    src_schema = pa.schema([("src", pa.int64()), ("label", pa.int64())])
+
+    def as_src(b: pa.Table) -> pa.Table:
+        # Ray's hash aggregate emits empty partitions as ZERO-COLUMN
+        # blocks; project by name and give those the join-key schema or
+        # the join raises "No match for key field src"
+        if b.num_columns == 0:
+            return src_schema.empty_table()
+        return pa.Table.from_arrays(
+            [b.column("node"), b.column("label")], schema=src_schema
+        )
+
+    labels = labels.materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels.map_batches(
+                as_src, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "inner",
+            num_partitions=num_partitions,
+            on=("src",),
+        ).select_columns(["node", "label"])
+        new_labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            # the hash aggregate emits empty partitions as ZERO-COLUMN
+            # blocks, and map_batches passes empty blocks through WITHOUT
+            # calling the UDF, so they cannot be repaired downstream — a
+            # schema-less block on either join side raises ArrowInvalid
+            # ("No match for key field").  repartition merges them away
+            # (and evens the slim label table for the next join).
+            .repartition(num_partitions)
+            .materialize()
+        )
+        cur_sum = new_labels.sum("label")
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+
+    out_schema = pa.schema(
+        [(id_col, pa.int64()), ("cluster_id", pa.int64()),
+         ("keep", pa.bool_())]
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # empty aggregate partition (see as_src)
+            return out_schema.empty_table()
+        return pa.Table.from_arrays(
+            [
+                batch["node"].combine_chunks(),
+                batch["label"].combine_chunks(),
+                pc.equal(batch["node"], batch["label"]).combine_chunks(),
+            ],
+            schema=out_schema,
+        )
+
+    return labels.map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -404,3 +404,28 @@ def test_minhash_md5_mode_same_pipeline_recall(ray_session):
         ).take_all()
     }
     assert (0, 42) in pairs and (0, 41) in pairs
+
+
+def test_connected_components_chain_cycle_singleton(ray_session):
+    """Label propagation must handle a chain (diameter > 1), a cycle, and
+    isolated nodes; cluster id = min doc id in the component."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import dedup
+
+    # components: {1,2,3,4} chain, {10,11,12} cycle, {20} and {21} singletons
+    pairs = rd.from_items([
+        {"doc_a": 3, "doc_b": 4}, {"doc_a": 2, "doc_b": 3},
+        {"doc_a": 1, "doc_b": 2},
+        {"doc_a": 10, "doc_b": 11}, {"doc_a": 11, "doc_b": 12},
+        {"doc_a": 10, "doc_b": 12},
+    ])
+    nodes = rd.from_items(
+        [{"doc_id": i} for i in (1, 2, 3, 4, 10, 11, 12, 20, 21)]
+    )
+    out = {r["doc_id"]: (r["cluster_id"], r["keep"])
+           for r in dedup.connected_components(pairs, nodes).take_all()}
+    assert {k: v[0] for k, v in out.items()} == {
+        1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21
+    }
+    assert sorted(k for k, v in out.items() if v[1]) == [1, 10, 20, 21]
