@@ -1238,6 +1238,17 @@ def q_events_window(sf_dir: str):
     return events.tumbling_window(ds, unit="hour")
 
 
+def q_events_window_hopping(sf_dir: str):
+    """Hopping windows (3h size, 1h hop): every event counted in 3
+    overlapping windows; oracle = the same 3-offset fan-out in SQL."""
+    from rioxarray_ray.functions import events
+
+    ds = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return events.hopping_window(ds, size_hours=3, hop_hours=1)
+
+
 def q_events_sessionize(sf_dir: str):
     from rioxarray_ray.functions import events
 
@@ -1342,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "events_window": q_events_window,
+        "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_scalable": q_events_sessionize_scalable,
         "agg_pricing": q_agg_pricing,
@@ -2333,6 +2345,14 @@ SELECT user_id, date_trunc('hour', ts) AS win,
        count(*) AS n,
        min(event_id) AS min_event, max(event_id) AS max_event
 FROM events GROUP BY 1, 2
+""",
+        "events_window_hopping": """
+SELECT user_id,
+       (CAST(floor(epoch(ts) / 3600) AS BIGINT) - i) * 3600 AS win_start,
+       count(*) AS n,
+       min(event_id) AS min_event, max(event_id) AS max_event
+FROM events CROSS JOIN generate_series(0, 2) t(i)
+GROUP BY 1, 2
 """,
         "events_sessionize": """
 WITH e AS (

@@ -35,6 +35,47 @@ def tumbling_window(ds, unit: str = "hour"):
     )
 
 
+def hopping_window(ds, size_hours: int = 3, hop_hours: int = 1):
+    """Overlapping (hopping/sliding) event-time windows: every event lands
+    in ``size/hop`` windows (size must be a multiple of hop).  The window
+    assignment is a vectorized k-fold fan-out inside ``map_batches`` (one
+    shifted copy of the batch per hop offset — flat-map shape, no Python
+    per-row work), then one (user, window-start) groupby.  ``win_start``
+    is epoch seconds so the oracle compares integers exactly.
+    """
+    if size_hours % hop_hours:
+        raise ValueError("size_hours must be a multiple of hop_hours")
+    k = size_hours // hop_hours
+    hop_s = hop_hours * 3600
+    from ray.data.aggregate import Count, Max, Min
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ts_s = _ts_ns(batch["ts"]) // 1_000_000_000
+        bucket = (ts_s // hop_s) * hop_s
+        eid = batch["event_id"].combine_chunks()
+        uid = batch["user_id"].combine_chunks()
+        tables = []
+        for i in range(k):
+            tables.append(
+                pa.Table.from_arrays(
+                    [uid, eid, pa.array(bucket - i * hop_s, pa.int64())],
+                    names=["user_id", "event_id", "win_start"],
+                )
+            )
+        return pa.concat_tables(tables)
+
+    return (
+        ds.select_columns(["event_id", "ts", "user_id"])
+        .map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "win_start"])
+        .aggregate(
+            Count(alias_name="n"),
+            Min("event_id", alias_name="min_event"),
+            Max("event_id", alias_name="max_event"),
+        )
+    )
+
+
 def _ts_ns(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Timestamp column -> int64 nanoseconds (unit-safe)."""
     return (
