@@ -929,6 +929,74 @@ def q_multimodal_avi(sf_dir: str):
                                zero_copy_batch=True)
 
 
+def q_geo_open_geotiff(sf_dir: str):
+    """REAL GeoTIFF bytes through the open_rasterio analogue, oracle-gated.
+    Each doc becomes a georeferenced int16 GeoTIFF (closed-form pixels
+    ((doc_id*19 + i*i) % 4001 - 2000 over 2x12x12; deflate-compressed for
+    even doc ids), opened via api.open_geotiffs (kernels/tiff.py decodes
+    from scratch), and summarized FROM THE OPENED ENGINE ROWS — pixel sum,
+    dims, dtype, recovered EPSG code and transform cells.  The oracle
+    recomputes everything from the formula, so a TIFF defect (IFD walk,
+    strip decode, deflate, sample format, GeoKey/tiepoint parse) breaks
+    the value hash."""
+    import numpy as np
+
+    import rioxarray_ray.api as api
+    from rioxarray_ray.kernels import tiff
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_tiffs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(2 * 12 * 12, dtype=np.int64)
+        vals = (ids[:, None] * 19 + i[None, :] * i[None, :]) % 4001 - 2000
+        payloads = []
+        for k, d in enumerate(ids):
+            arr = vals[k].astype(np.int16).reshape(2, 12, 12)
+            t = (0.5, 0.0, float(d % 100), 0.0, -0.25, float(d % 50))
+            payloads.append(
+                tiff.encode_geotiff(
+                    arr, transform=t, crs="EPSG:32621",
+                    compression="deflate" if int(d) % 2 == 0 else "none",
+                )
+            )
+        return pa.Table.from_pydict(
+            {
+                "image_id": pa.array([str(d) for d in ids]),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    tiffs = ds.map_batches(to_tiffs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    opened = api.open_geotiffs(tiffs)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.stages.schema import pixel_views
+
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        rows = []
+        for r, px in zip(meta, pixel_views(batch)):
+            t = r["transform"]
+            rows.append(
+                {
+                    "doc_id": int(r["image_id"]),
+                    "pixel_sum": int(px.astype(np.int64).sum()),
+                    "bands": r["band_count"],
+                    "h": r["h"],
+                    "w": r["w"],
+                    "dtype_ok": r["dtype"] == "int16",
+                    "epsg": int(r["crs"].split(":")[1]),
+                    "origin_x": float(t[2]),
+                    "origin_y": float(t[5]),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return opened.ds.map_batches(summarize, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
 def q_dedup_exact(sf_dir: str):
     from rioxarray_ray.functions import dedup
 
@@ -1333,6 +1401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_avi": q_multimodal_avi,
+        "geo_open_geotiff": q_geo_open_geotiff,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2209,6 +2278,21 @@ LATERAL (
   FROM generate_series(2, 21) tr(r) CROSS JOIN generate_series(2, 21) tc(c)
   WHERE (r * 24 + c + d.doc_id) % 13 = 0
 ) h
+""",
+        "geo_open_geotiff": """
+SELECT d.doc_id,
+       s.pixel_sum,
+       CAST(2 AS BIGINT) AS bands, CAST(12 AS BIGINT) AS h,
+       CAST(12 AS BIGINT) AS w,
+       TRUE AS dtype_ok,
+       CAST(32621 AS BIGINT) AS epsg,
+       CAST(d.doc_id % 100 AS DOUBLE) AS origin_x,
+       CAST(d.doc_id % 50 AS DOUBLE) AS origin_y
+FROM documents d, LATERAL (
+  SELECT CAST(SUM((d.doc_id * 19 + i * i) % 4001 - 2000) AS BIGINT)
+         AS pixel_sum
+  FROM generate_series(0, 287) t(i)
+) s
 """,
         "text_tokens": r"""
 SELECT doc_id,

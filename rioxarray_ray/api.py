@@ -81,6 +81,57 @@ def open_corpus(n_images: int, vrt_params: dict | None = None,
     return rds.reproject(dst_crs, resampling=resampling, nodata=nodata)
 
 
+def open_geotiffs(ds, id_col: str = "image_id", payload_col: str = "payload",
+                  nodata: float = float("nan")) -> "RasterDataset":
+    """open_rasterio on REAL GeoTIFF bytes (the reference's primary input
+    format — rioxarray/_io.py:1000-1120 reads it through rasterio/GDAL;
+    here kernels/tiff.py decodes from scratch): a Dataset with a binary
+    TIFF column becomes engine raster rows (pixels, dims, dtype,
+    transform, crs) ready for every downstream stage.  Rows missing the
+    georeferencing tags raise — a silent identity transform would corrupt
+    every spatial op downstream (the reference's NotGeoreferencedWarning
+    is a hard error here)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .kernels import tiff as tiff_mod
+    from .stages.schema import RASTER_SCHEMA, pixels_to_bytes
+
+    nod = float(nodata)
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rid, payload in zip(
+            batch[id_col].to_pylist(), batch[payload_col].to_pylist()
+        ):
+            px, transform, crs = tiff_mod.decode_geotiff(payload)
+            if transform is None or crs is None:
+                raise ValueError(
+                    f"GeoTIFF {rid!r} has no georeferencing tags"
+                )
+            rows.append(
+                {
+                    "image_id": str(rid),
+                    "band_count": px.shape[0],
+                    "h": px.shape[1],
+                    "w": px.shape[2],
+                    "dtype": str(px.dtype),
+                    "nodata": nod,
+                    "crs": crs,
+                    "transform": [float(v) for v in transform],
+                    "pixels": pixels_to_bytes(px),
+                    "caption": None,
+                    "phash": None,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=RASTER_SCHEMA)
+
+    return RasterDataset(
+        ds.map_batches(decode_batch, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+
+
 def wrap(ds) -> "RasterDataset":
     return RasterDataset(ds)
 

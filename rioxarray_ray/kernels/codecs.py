@@ -39,9 +39,12 @@ def sniff(data: bytes) -> str | None:
     Besides the four corpus formats this recognizes real PNG bytes
     (kernels/png.py, from-scratch decoder)."""
     from . import png as _png
+    from . import tiff as _tiff
 
     if bytes(data[:8]) == _png.SIGNATURE:
         return "png"
+    if _tiff.is_tiff(bytes(data[:8])):
+        return "tiff"
     return {v: k for k, v in _MAGIC.items()}.get(data[:1])
 
 
@@ -99,7 +102,9 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
     value the encoder was given), so nodata pixels round-trip losslessly.
 
     Real PNG payloads (W3C signature) route to the from-scratch PNG
-    decoder (kernels/png.py) and return uint8/uint16.
+    decoder (kernels/png.py) and return uint8/uint16; real (Geo)TIFF
+    payloads route to kernels/tiff.py (pixels only — callers needing the
+    georeferencing call tiff.decode_geotiff directly).
     """
     if bytes(data[:8]) == b"\x89PNG\r\n\x1a\n":
         if fmt is not None and fmt != "png":
@@ -107,6 +112,12 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         from . import png as _png
 
         return _png.decode_png(data)
+    from . import tiff as _tiff
+
+    if _tiff.is_tiff(bytes(data[:8])):
+        if fmt is not None and fmt != "tiff":
+            raise ValueError(f"fmt column says {fmt} but payload is tiff")
+        return _tiff.decode_geotiff(data)[0]
     magic, bands, h, w = _HDR.unpack_from(data, 0)
     try:
         tag = {v: k for k, v in _MAGIC.items()}[magic]

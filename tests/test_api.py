@@ -268,3 +268,36 @@ def test_open_corpus_vrt_params_warp_at_open(ray_session):
         api.open_corpus(2, vrt_params={"crs": "EPSG:3857", "tolerance": 0.1})
     with pytest.raises(ValueError, match="destination 'crs'"):
         api.open_corpus(2, vrt_params={"resampling": "nearest"})
+
+
+def test_open_geotiffs_rows_flow_through_engine(ray_session):
+    """Real .tif bytes -> engine raster rows -> reproject + clip_box work
+    unchanged (the open_rasterio-on-GeoTIFF parity path)."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from rioxarray_ray.kernels import tiff
+
+    arr = (np.arange(2 * 20 * 20, dtype=np.int64) % 97).astype(np.int16)
+    arr = arr.reshape(2, 20, 20)
+    t = (0.01, 0.0, -58.0, 0.0, -0.01, 39.0)
+    rows = [
+        {"image_id": f"t{i}",
+         "payload": tiff.encode_geotiff(
+             arr + i, transform=t, crs="EPSG:4326",
+             compression="deflate" if i % 2 else "none")}
+        for i in range(4)
+    ]
+    rds = api.open_geotiffs(rd.from_items(rows))
+    out = rds.reproject("EPSG:3857").take_all()
+    assert len(out) == 4 and all(r["crs"] == "EPSG:3857" for r in out)
+    clipped = rds.clip_box(-58.0, 38.9, -57.95, 39.0).take_all()
+    assert len(clipped) == 4
+    assert all(r["h"] == 10 and r["w"] == 5 for r in clipped)
+
+    bad = rd.from_items(
+        [{"image_id": "x", "payload": tiff.encode_geotiff(arr)}]
+    )
+    with pytest.raises(Exception, match="georeferencing"):
+        api.open_geotiffs(bad).take_all()
