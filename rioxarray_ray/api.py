@@ -544,6 +544,51 @@ class RasterDataset:
                 json.dump({"attrs": self.attrs, "encoding": self.encoding}, f)
         return out
 
+    def to_geotiffs(self, out_dir: str, compression: str = "deflate"):
+        """to_raster writing REAL GeoTIFF: one ``<image_id>.tif`` per row
+        (each row is an independent raster here — the reference's one-file
+        windowed writer, raster_writer.py:245-264, maps to per-row files
+        the way write_parquet maps its chunk protocol to per-block files).
+        Rows write in parallel from the map tasks; a ``_MANIFEST.json``
+        records the written ids so a resumed run can skip completed rows.
+        Returns the manifest path."""
+        import json
+        import os
+
+        from .kernels import tiff as tiff_mod
+        from .stages.schema import pixel_views
+
+        os.makedirs(out_dir, exist_ok=True)
+        comp = compression
+
+        def write_batch(batch: pa.Table) -> pa.Table:
+            meta = batch.drop_columns(["pixels"]).to_pylist()
+            written = []
+            for r, px in zip(meta, pixel_views(batch)):
+                name = str(r["image_id"]).replace("/", "_")
+                path = os.path.join(out_dir, f"{name}.tif")
+                payload = tiff_mod.encode_geotiff(
+                    px, transform=tuple(r["transform"]),
+                    crs=r["crs"], compression=comp,
+                )
+                tmp = path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, path)  # atomic: readers never see partials
+                written.append(r["image_id"])
+            return pa.Table.from_pydict({"image_id": pa.array(written)})
+
+        ids = [
+            r["image_id"]
+            for r in self.ds.map_batches(
+                write_batch, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        ]
+        manifest = os.path.join(out_dir, "_MANIFEST.json")
+        with open(manifest, "w") as f:
+            json.dump({"written": sorted(ids)}, f)
+        return manifest
+
     def count(self) -> int:
         return self.ds.count()
 

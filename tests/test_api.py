@@ -301,3 +301,31 @@ def test_open_geotiffs_rows_flow_through_engine(ray_session):
     )
     with pytest.raises(Exception, match="georeferencing"):
         api.open_geotiffs(bad).take_all()
+
+
+def test_to_geotiffs_roundtrip(ray_session, tmp_path):
+    """Write real .tif files, read them back via open_geotiffs: pixels,
+    transform and CRS survive (the to_raster-on-GeoTIFF parity path)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    rds = api.open_corpus(4)
+    manifest = rds.to_geotiffs(str(tmp_path), compression="deflate")
+    written = json.load(open(manifest))["written"]
+    assert len(written) == 4
+    files = sorted(f for f in os.listdir(tmp_path) if f.endswith(".tif"))
+    assert len(files) == 4
+
+    rows = [{"image_id": f[:-4], "payload": open(tmp_path / f, "rb").read()}
+            for f in files]
+    back = api.open_geotiffs(rd.from_items(rows), nodata=-9999.0)
+    orig = {r["image_id"]: r for r in rds.take_all()}
+    for r in back.take_all():
+        o = orig[r["image_id"]]
+        assert r["pixels"] == o["pixels"]
+        assert r["crs"] == o["crs"]
+        assert tuple(r["transform"]) == tuple(o["transform"])
+        assert (r["band_count"], r["h"], r["w"]) == (
+            o["band_count"], o["h"], o["w"])
