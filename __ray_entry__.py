@@ -929,6 +929,48 @@ def q_multimodal_avi(sf_dir: str):
                                zero_copy_batch=True)
 
 
+def q_multimodal_jpeg(sf_dir: str):
+    """REAL baseline JPEG bytes through the image registry, oracle-gated.
+    Each doc gets a 16x24 grayscale image that is FLAT per 8x8 block
+    (block value = (doc_id*23 + b*b) % 256 over 6 blocks): flat blocks at
+    quality 100 are DC-only with Q0 = 1, the one case T.81 makes exact,
+    so the full Huffman + DCT chain must return the input bit-for-bit and
+    DuckDB can recompute the sums from the formula.  Lossy-path quality
+    is bounded separately in tests/test_jpeg.py (PSNR), and the decoder
+    is pinned by a hand-built Annex-K entropy-stream golden there."""
+    import numpy as np
+
+    from rioxarray_ray.kernels import codecs, jpeg
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = np.arange(6, dtype=np.int64)
+        vals = (ids[:, None] * 23 + b[None, :] * b[None, :]) % 256
+        sums, mins, maxs = [], [], []
+        for k, d in enumerate(ids):
+            blocks = vals[k].reshape(2, 3)
+            img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+            img = img.astype(np.uint8)[None]
+            payload = jpeg.encode_jpeg(img, quality=100)
+            back = codecs.decode(payload)  # sniff routes to the JPEG decoder
+            sums.append(int(back.astype(np.int64).sum()))
+            mins.append(int(back.min()))
+            maxs.append(int(back.max()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "pixel_min": pa.array(mins, pa.int64()),
+                "pixel_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_geo_open_geotiff(sf_dir: str):
     """REAL GeoTIFF bytes through the open_rasterio analogue, oracle-gated.
     Each doc becomes a georeferenced int16 GeoTIFF (closed-form pixels
@@ -1402,6 +1444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_wav": q_multimodal_wav,
         "multimodal_avi": q_multimodal_avi,
         "geo_open_geotiff": q_geo_open_geotiff,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2292,6 +2335,17 @@ FROM documents d, LATERAL (
   SELECT CAST(SUM((d.doc_id * 19 + i * i) % 4001 - 2000) AS BIGINT)
          AS pixel_sum
   FROM generate_series(0, 287) t(i)
+) s
+""",
+        "multimodal_jpeg": """
+SELECT d.doc_id,
+       s.pixel_sum * 64 AS pixel_sum,
+       s.pixel_min AS pixel_min, s.pixel_max AS pixel_max
+FROM documents d, LATERAL (
+  SELECT CAST(SUM((d.doc_id * 23 + b * b) % 256) AS BIGINT) AS pixel_sum,
+         CAST(MIN((d.doc_id * 23 + b * b) % 256) AS BIGINT) AS pixel_min,
+         CAST(MAX((d.doc_id * 23 + b * b) % 256) AS BIGINT) AS pixel_max
+  FROM generate_series(0, 5) t(b)
 ) s
 """,
         "text_tokens": r"""

@@ -3,11 +3,14 @@ metadata).
 
 The image decode path is REAL for the engine's own payload formats
 (raw16/rawu8/pngz/lq8, self-describing magic — kernels/codecs.py) AND for
-real PNG bytes (from-scratch W3C-spec decoder, kernels/png.py — filters,
-bit depths 1-16, palette, Adam7).  The audio decode path is REAL for
-RIFF/WAVE bytes (from-scratch kernels/wav.py — PCM 8/16/24/32-bit, IEEE
-float, WAVE_FORMAT_EXTENSIBLE).  Remaining foreign formats (JPEG via
-PIL, mp3/ogg/video via ffmpeg — libraries absent in this container) fall
+real PNG, (Geo)TIFF and baseline JPEG bytes (from-scratch decoders:
+kernels/png.py — filters, bit depths 1-16, palette, Adam7;
+kernels/tiff.py — strips, deflate/LZW, predictor; kernels/jpeg.py —
+Annex-K Huffman, IDCT, 4:2:0).  The audio decode path is REAL for
+RIFF/WAVE bytes (kernels/wav.py — PCM 8/16/24/32-bit, IEEE float,
+WAVE_FORMAT_EXTENSIBLE) and video for uncompressed-DIB AVI
+(kernels/avi.py).  Remaining foreign formats (webp/mp3/ogg/mp4 —
+libraries absent in this container) fall
 back to a clearly marked deterministic fake / NotImplementedError behind
 ``DECODERS`` — the registry swap point — while the Ray-side plumbing
 (schema, actor signature, batch sizing, output layout) is real and tested.

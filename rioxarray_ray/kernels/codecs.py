@@ -45,6 +45,8 @@ def sniff(data: bytes) -> str | None:
         return "png"
     if _tiff.is_tiff(bytes(data[:8])):
         return "tiff"
+    if bytes(data[:3]) == b"\xff\xd8\xff":
+        return "jpeg"
     return {v: k for k, v in _MAGIC.items()}.get(data[:1])
 
 
@@ -118,6 +120,12 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         if fmt is not None and fmt != "tiff":
             raise ValueError(f"fmt column says {fmt} but payload is tiff")
         return _tiff.decode_geotiff(data)[0]
+    if bytes(data[:3]) == b"\xff\xd8\xff":
+        if fmt is not None and fmt != "jpeg":
+            raise ValueError(f"fmt column says {fmt} but payload is jpeg")
+        from . import jpeg as _jpeg
+
+        return _jpeg.decode_jpeg(data)
     magic, bands, h, w = _HDR.unpack_from(data, 0)
     try:
         tag = {v: k for k, v in _MAGIC.items()}[magic]
