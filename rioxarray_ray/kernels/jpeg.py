@@ -184,6 +184,13 @@ def _extend(v, t):
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> (bands, h, w) uint8 (RGB, or 1-band gray)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, struct.error):
+        raise ValueError("jpeg: truncated stream") from None
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not is_jpeg(data):
         raise ValueError("jpeg: missing SOI marker")
     pos = 2

@@ -156,3 +156,10 @@ def test_multimodal_image_decoder_routes_jpeg():
     assert codecs.sniff(payload) == "jpeg"
     np.testing.assert_array_equal(codecs.decode(payload), img)
     np.testing.assert_array_equal(multimodal.DECODERS["image"](payload), img)
+
+
+def test_malformed_jpeg_raises_not_fake():
+    from rioxarray_ray.functions import multimodal
+
+    with pytest.raises(ValueError, match="malformed"):
+        multimodal.DECODERS["image"](b"\xff\xd8\xff\xe0 not a real jpeg")

@@ -1240,7 +1240,10 @@ def test_multimodal_native_codec_decode_is_real(ray_session):
     rows = [
         {"media_id": "native", "payload": payload,
          "media_type": "image", "meta": "{}"},
-        {"media_id": "foreign", "payload": b"\xff\xd8\xff\xe0 not-a-codec",
+        # WEBP is RIFF but not one of the engine's real codecs -> the
+        # deterministic fake fallback (JPEG magic no longer qualifies:
+        # kernels/jpeg.py decodes it for real, and malformed JPEG raises)
+        {"media_id": "foreign", "payload": b"RIFF\x10\x00\x00\x00WEBPVP8 ",
          "media_type": "image", "meta": "{}"},
     ]
     out = multimodal.resize_stage(
