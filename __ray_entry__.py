@@ -971,6 +971,55 @@ def q_multimodal_jpeg(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_multimodal_bmp(sf_dir: str):
+    """REAL Windows BMP bytes through the image registry, oracle-gated.
+    Each doc gets a 3x10x14 image with closed-form pixels
+    ((doc_id*41 + i*i) % 256); width 14 makes the 24-bit scanline 42
+    bytes -> stride 44, so the 4-byte row padding, the BGR sample swap
+    and the bottom-up row flip are all on the exact path.  Encoded with
+    kernels/bmp.encode_bmp, decoded back via the registry's magic sniff
+    (kernels/bmp.py reuses the shared DIB reader), summarized FROM THE
+    DECODED ARRAY; the oracle recomputes the sums from the formula.
+    Hand-built spec goldens in tests/test_bmp.py pin the decoder
+    independently of the encoder."""
+    import numpy as np
+
+    from rioxarray_ray.kernels import bmp, codecs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(3 * 10 * 14, dtype=np.int64)
+        vals = (ids[:, None] * 41 + i[None, :] * i[None, :]) % 256
+        sums, mins, maxs, bands, hs, ws = [], [], [], [], [], []
+        for k in range(len(ids)):
+            arr = vals[k].astype(np.uint8).reshape(3, 10, 14)
+            payload = bmp.encode_bmp(arr)
+            back = codecs.decode(payload)  # sniff routes to the BMP decoder
+            sums.append(int(back.astype(np.int64).sum()))
+            mins.append(int(back.min()))
+            maxs.append(int(back.max()))
+            b, h, w = back.shape
+            bands.append(b)
+            hs.append(h)
+            ws.append(w)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "pixel_min": pa.array(mins, pa.int64()),
+                "pixel_max": pa.array(maxs, pa.int64()),
+                "bands": pa.array(bands, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_geo_open_geotiff(sf_dir: str):
     """REAL GeoTIFF bytes through the open_rasterio analogue, oracle-gated.
     Each doc becomes a georeferenced int16 GeoTIFF (closed-form pixels
@@ -1445,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_avi": q_multimodal_avi,
         "geo_open_geotiff": q_geo_open_geotiff,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "multimodal_bmp": q_multimodal_bmp,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2282,6 +2332,19 @@ FROM documents d, LATERAL (
          CAST(MIN((d.doc_id * 31 + i * i) % 251) AS BIGINT) AS pixel_min,
          CAST(MAX((d.doc_id * 31 + i * i) % 251) AS BIGINT) AS pixel_max
   FROM generate_series(0, 767) t(i)
+) s
+""",
+        "multimodal_bmp": """
+SELECT d.doc_id,
+       s.pixel_sum, s.pixel_min, s.pixel_max,
+       CAST(3 AS BIGINT) AS bands,
+       CAST(10 AS BIGINT) AS h,
+       CAST(14 AS BIGINT) AS w
+FROM documents d, LATERAL (
+  SELECT CAST(SUM((d.doc_id * 41 + i * i) % 256) AS BIGINT) AS pixel_sum,
+         CAST(MIN((d.doc_id * 41 + i * i) % 256) AS BIGINT) AS pixel_min,
+         CAST(MAX((d.doc_id * 41 + i * i) % 256) AS BIGINT) AS pixel_max
+  FROM generate_series(0, 419) t(i)
 ) s
 """,
         "multimodal_wav": """

@@ -36,8 +36,10 @@ def sniff(data: bytes) -> str | None:
     The cheap membership test callers use to separate "not one of ours"
     (foreign format — fall back / route elsewhere) from "ours but
     malformed" (corruption — decode() must raise, never be masked).
-    Besides the four corpus formats this recognizes real PNG bytes
-    (kernels/png.py, from-scratch decoder)."""
+    Besides the four corpus formats this recognizes real PNG, (Geo)TIFF,
+    baseline JPEG and Windows BMP bytes (kernels/{png,tiff,jpeg,bmp}.py,
+    from-scratch decoders)."""
+    from . import bmp as _bmp
     from . import png as _png
     from . import tiff as _tiff
 
@@ -47,6 +49,8 @@ def sniff(data: bytes) -> str | None:
         return "tiff"
     if bytes(data[:3]) == b"\xff\xd8\xff":
         return "jpeg"
+    if _bmp.is_bmp(bytes(data[:54])):
+        return "bmp"
     return {v: k for k, v in _MAGIC.items()}.get(data[:1])
 
 
@@ -126,6 +130,12 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         from . import jpeg as _jpeg
 
         return _jpeg.decode_jpeg(data)
+    from . import bmp as _bmp
+
+    if _bmp.is_bmp(bytes(data[:54])):
+        if fmt is not None and fmt != "bmp":
+            raise ValueError(f"fmt column says {fmt} but payload is bmp")
+        return _bmp.decode_bmp(data)
     magic, bands, h, w = _HDR.unpack_from(data, 0)
     try:
         tag = {v: k for k, v in _MAGIC.items()}[magic]
