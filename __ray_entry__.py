@@ -1020,6 +1020,56 @@ def q_multimodal_bmp(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_multimodal_gif(sf_dir: str):
+    """REAL GIF89a bytes through the image registry, oracle-gated.  Each
+    doc gets a 20x17 grayscale image with closed-form pixels
+    ((doc_id*43 + i*i) % 256 over h*w, replicated to 3 bands — <=256
+    distinct colors so the exact-palette encoder applies), encoded with
+    kernels/gif.encode_gif (real growing-dictionary LZW), decoded back
+    via the registry's signature sniff (kernels/gif.py: LSB-first
+    variable-width codes, giflib width schedule), and summarized FROM THE
+    DECODED ARRAY.  The oracle recomputes 3x the gray sum from the
+    formula, so an LZW defect (width bump timing, KwKwK, packing order,
+    palette mapping) breaks the value hash.  Hand-packed bit-stream
+    goldens in tests/test_gif.py pin the decoder independently."""
+    import numpy as np
+
+    from rioxarray_ray.kernels import codecs, gif
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(20 * 17, dtype=np.int64)
+        vals = (ids[:, None] * 43 + i[None, :] * i[None, :]) % 256
+        sums, mins, maxs, bands, hs, ws = [], [], [], [], [], []
+        for k in range(len(ids)):
+            gray = vals[k].astype(np.uint8).reshape(20, 17)
+            payload = gif.encode_gif(np.repeat(gray[None], 3, axis=0))
+            back = codecs.decode(payload)  # sniff routes to the GIF decoder
+            sums.append(int(back.astype(np.int64).sum()))
+            mins.append(int(back.min()))
+            maxs.append(int(back.max()))
+            b, h, w = back.shape
+            bands.append(b)
+            hs.append(h)
+            ws.append(w)
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "pixel_min": pa.array(mins, pa.int64()),
+                "pixel_max": pa.array(maxs, pa.int64()),
+                "bands": pa.array(bands, pa.int64()),
+                "h": pa.array(hs, pa.int64()),
+                "w": pa.array(ws, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_geo_open_geotiff(sf_dir: str):
     """REAL GeoTIFF bytes through the open_rasterio analogue, oracle-gated.
     Each doc becomes a georeferenced int16 GeoTIFF (closed-form pixels
@@ -1495,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_open_geotiff": q_geo_open_geotiff,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_bmp": q_multimodal_bmp,
+        "multimodal_gif": q_multimodal_gif,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2345,6 +2396,19 @@ FROM documents d, LATERAL (
          CAST(MIN((d.doc_id * 41 + i * i) % 256) AS BIGINT) AS pixel_min,
          CAST(MAX((d.doc_id * 41 + i * i) % 256) AS BIGINT) AS pixel_max
   FROM generate_series(0, 419) t(i)
+) s
+""",
+        "multimodal_gif": """
+SELECT d.doc_id,
+       s.pixel_sum, s.pixel_min, s.pixel_max,
+       CAST(3 AS BIGINT) AS bands,
+       CAST(20 AS BIGINT) AS h,
+       CAST(17 AS BIGINT) AS w
+FROM documents d, LATERAL (
+  SELECT CAST(3 * SUM((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_sum,
+         CAST(MIN((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_min,
+         CAST(MAX((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_max
+  FROM generate_series(0, 339) t(i)
 ) s
 """,
         "multimodal_wav": """

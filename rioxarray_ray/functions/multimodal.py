@@ -3,10 +3,11 @@ metadata).
 
 The image decode path is REAL for the engine's own payload formats
 (raw16/rawu8/pngz/lq8, self-describing magic — kernels/codecs.py) AND for
-real PNG, (Geo)TIFF, baseline JPEG and Windows BMP bytes (from-scratch
-decoders: kernels/png.py — filters, bit depths 1-16, palette, Adam7;
-kernels/tiff.py — strips, deflate/LZW, predictor; kernels/jpeg.py —
-Annex-K Huffman, IDCT, 4:2:0; kernels/bmp.py — BI_RGB 8/24/32-bit DIB).  The audio decode path is REAL for
+real PNG, (Geo)TIFF, baseline JPEG, Windows BMP and GIF bytes
+(from-scratch decoders: kernels/png.py — filters, bit depths 1-16,
+palette, Adam7; kernels/tiff.py — strips, deflate/LZW, predictor;
+kernels/jpeg.py — Annex-K Huffman, IDCT, 4:2:0; kernels/bmp.py —
+BI_RGB 8/24/32-bit DIB; kernels/gif.py — LSB-first LZW, interlace).  The audio decode path is REAL for
 RIFF/WAVE bytes (kernels/wav.py — PCM 8/16/24/32-bit, IEEE float,
 WAVE_FORMAT_EXTENSIBLE) and video for uncompressed-DIB AVI
 (kernels/avi.py).  Remaining foreign formats (webp/mp3/ogg/mp4 —

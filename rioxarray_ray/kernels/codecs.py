@@ -51,6 +51,8 @@ def sniff(data: bytes) -> str | None:
         return "jpeg"
     if _bmp.is_bmp(bytes(data[:54])):
         return "bmp"
+    if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return {v: k for k, v in _MAGIC.items()}.get(data[:1])
 
 
@@ -136,6 +138,12 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         if fmt is not None and fmt != "bmp":
             raise ValueError(f"fmt column says {fmt} but payload is bmp")
         return _bmp.decode_bmp(data)
+    if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
+        if fmt is not None and fmt != "gif":
+            raise ValueError(f"fmt column says {fmt} but payload is gif")
+        from . import gif as _gif
+
+        return _gif.decode_gif(data)
     magic, bands, h, w = _HDR.unpack_from(data, 0)
     try:
         tag = {v: k for k, v in _MAGIC.items()}[magic]
