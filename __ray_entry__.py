@@ -1074,12 +1074,14 @@ def q_geo_open_geotiff(sf_dir: str):
     """REAL GeoTIFF bytes through the open_rasterio analogue, oracle-gated.
     Each doc becomes a georeferenced int16 GeoTIFF (closed-form pixels
     ((doc_id*19 + i*i) % 4001 - 2000 over 2x12x12; deflate-compressed for
-    even doc ids), opened via api.open_geotiffs (kernels/tiff.py decodes
-    from scratch), and summarized FROM THE OPENED ENGINE ROWS — pixel sum,
-    dims, dtype, recovered EPSG code and transform cells.  The oracle
-    recomputes everything from the formula, so a TIFF defect (IFD walk,
-    strip decode, deflate, sample format, GeoKey/tiepoint parse) breaks
-    the value hash."""
+    even doc ids; TILED 8x8 layout — the cloud-optimized-GeoTIFF shape —
+    for doc_id % 3 == 0, strips otherwise), opened via api.open_geotiffs
+    (kernels/tiff.py decodes from scratch), and summarized FROM THE
+    OPENED ENGINE ROWS — pixel sum, dims, dtype, recovered EPSG code and
+    transform cells.  The oracle recomputes everything from the formula,
+    so a TIFF defect (IFD walk, strip/tile decode, edge-tile cropping,
+    deflate, sample format, GeoKey/tiepoint parse) breaks the value
+    hash."""
     import numpy as np
 
     import rioxarray_ray.api as api
@@ -1099,6 +1101,7 @@ def q_geo_open_geotiff(sf_dir: str):
                 tiff.encode_geotiff(
                     arr, transform=t, crs="EPSG:32621",
                     compression="deflate" if int(d) % 2 == 0 else "none",
+                    tile=(8, 8) if int(d) % 3 == 0 else None,
                 )
             )
         return pa.Table.from_pydict(

@@ -9,6 +9,9 @@ unimplemented features are never silently masked):
 
 - byte order II / MM; single IFD (first image)
 - strip organization (RowsPerStrip / StripOffsets / StripByteCounts)
+- tile organization (TileWidth/TileLength/TileOffsets/TileByteCounts,
+  edge-padded tiles cropped, chunky and planar) — the layout real
+  cloud-optimized GeoTIFFs use
 - Compression 1 (none), 8 / 32946 (zlib DEFLATE), 5 (LZW, the spec's
   8-bit-code variant with horizontal differencing predictor 2)
 - BitsPerSample 8/16/32/64, SampleFormat uint/int/ieeefp
@@ -42,6 +45,9 @@ _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
 _TAG_PIXEL_SCALE = 33550
 _TAG_TIEPOINT = 33922
@@ -148,14 +154,61 @@ def _dtype(bits: int, fmt: int, bo: str) -> np.dtype:
     return np.dtype(f"{'<' if bo == '<' else '>'}{kind}{bits // 8}")
 
 
+def _decode_tiled(tags, w, h, samples, dt, planar, predictor, decompress):
+    """Tiled layout (TIFF 6.0 §15): fixed-size tiles left-to-right,
+    top-to-bottom, edge tiles padded to full size (cropped here); planar
+    files repeat the whole tile grid per sample plane.  The horizontal
+    predictor restarts on every tile row."""
+    tw = int(tags[_TAG_TILE_WIDTH][0])
+    tl = int(tags[_TAG_TILE_LENGTH][0])
+    if tw <= 0 or tl <= 0:
+        raise ValueError("tiff: non-positive tile dimensions")
+    offsets = tags[_TAG_TILE_OFFSETS]
+    counts = tags[_TAG_TILE_COUNTS]
+    across = -(-w // tw)
+    down = -(-h // tl)
+    planes = samples if planar == 2 else 1
+    spp = 1 if planar == 2 else samples
+    n_tiles = across * down * planes
+    if len(offsets) < n_tiles or len(counts) < n_tiles:
+        raise ValueError(
+            f"tiff: {len(offsets)} tile offsets for a {n_tiles}-tile grid"
+        )
+    native = dt.newbyteorder("=")
+    out = np.empty((samples, h, w), dtype=native)
+    n_t = tl * tw * spp
+    idx = 0
+    for p in range(planes):
+        for ty in range(down):
+            for tx in range(across):
+                raw = decompress(offsets[idx], counts[idx], "tile")
+                idx += 1
+                flat = np.frombuffer(raw, dtype=dt, count=-1)
+                if flat.size < n_t:
+                    raise ValueError(
+                        "tiff: tile data shorter than the tile grid"
+                    )
+                tile = flat[:n_t].reshape(tl, tw, spp)
+                if predictor == 2:
+                    tile = np.cumsum(
+                        tile.astype(np.int64), axis=1, dtype=np.int64
+                    ).astype(native)
+                ys, xs = ty * tl, tx * tw
+                ye, xe = min(ys + tl, h), min(xs + tw, w)
+                part = tile[: ye - ys, : xe - xs].astype(native)
+                if planar == 1:
+                    out[:, ys:ye, xs:xe] = part.transpose(2, 0, 1)
+                else:
+                    out[p, ys:ye, xs:xe] = part[:, :, 0]
+    return np.ascontiguousarray(out)
+
+
 def decode_geotiff(data: bytes):
     """TIFF bytes -> ((bands, h, w) native-dtype array, transform, crs)."""
     if not is_tiff(data):
         raise ValueError("tiff: missing TIFF signature")
     bo = "<" if data[:2] == b"II" else ">"
     tags = _read_ifd(data, bo)
-    if _TAG_TILE_WIDTH in tags:
-        raise ValueError("tiff: tiled layout not supported (strips only)")
     w = int(tags[_TAG_WIDTH][0])
     h = int(tags[_TAG_LENGTH][0])
     samples = int(tags.get(_TAG_SAMPLES, [1])[0])
@@ -170,51 +223,58 @@ def decode_geotiff(data: bytes):
     compression = int(tags.get(_TAG_COMPRESSION, [1])[0])
     planar = int(tags.get(_TAG_PLANAR, [1])[0])
     predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
-    offsets = tags[_TAG_STRIP_OFFSETS]
-    counts = tags[_TAG_STRIP_COUNTS]
-    rows_per_strip = int(tags.get(_TAG_ROWS_PER_STRIP, [h])[0])
+    if predictor not in (1, 2):
+        raise ValueError(f"tiff: unsupported Predictor {predictor}")
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("tiff: predictor 2 on float samples")
 
-    raw = bytearray()
-    for off, cnt in zip(offsets, counts):
+    def _decompress(off, cnt, what):
         chunk = bytes(data[int(off) : int(off) + int(cnt)])
         if len(chunk) < int(cnt):
-            raise ValueError("tiff: truncated strip")
+            raise ValueError(f"tiff: truncated {what}")
         if compression == 1:
-            raw += chunk
-        elif compression in (8, 32946):
-            raw += zlib.decompress(chunk)
-        elif compression == 5:
-            raw += _lzw_decode(chunk)
-        else:
-            raise ValueError(f"tiff: unsupported Compression {compression}")
+            return chunk
+        if compression in (8, 32946):
+            return zlib.decompress(chunk)
+        if compression == 5:
+            return _lzw_decode(chunk)
+        raise ValueError(f"tiff: unsupported Compression {compression}")
 
-    npx = h * w * samples
-    flat = np.frombuffer(bytes(raw), dtype=dt, count=npx)
-    if flat.size < npx:
-        raise ValueError("tiff: strip data shorter than the pixel grid")
-    if predictor == 2:
-        if dt.kind == "f":
-            raise ValueError("tiff: predictor 2 on float samples")
-        if planar == 1:
-            rows = flat.reshape(h, w, samples)
-            flat = np.cumsum(
-                rows.astype(np.int64), axis=1, dtype=np.int64
-            ).astype(dt.newbyteorder("="))
-            flat = flat.reshape(-1)
-        else:
-            rows = flat.reshape(samples, h, w)
-            flat = np.cumsum(
-                rows.astype(np.int64), axis=2, dtype=np.int64
-            ).astype(dt.newbyteorder("=")).reshape(-1)
-    elif predictor != 1:
-        raise ValueError(f"tiff: unsupported Predictor {predictor}")
-    if planar == 1:
-        px = flat.reshape(h, w, samples).transpose(2, 0, 1)
-    elif planar == 2:
-        px = flat.reshape(samples, h, w)
-    else:
+    if planar not in (1, 2):
         raise ValueError(f"tiff: unsupported PlanarConfiguration {planar}")
-    pixels = np.ascontiguousarray(px.astype(dt.newbyteorder("=")))
+
+    if _TAG_TILE_WIDTH in tags:
+        pixels = _decode_tiled(tags, w, h, samples, dt, planar, predictor,
+                               _decompress)
+    else:
+        offsets = tags[_TAG_STRIP_OFFSETS]
+        counts = tags[_TAG_STRIP_COUNTS]
+
+        raw = bytearray()
+        for off, cnt in zip(offsets, counts):
+            raw += _decompress(off, cnt, "strip")
+
+        npx = h * w * samples
+        flat = np.frombuffer(bytes(raw), dtype=dt, count=npx)
+        if flat.size < npx:
+            raise ValueError("tiff: strip data shorter than the pixel grid")
+        if predictor == 2:
+            if planar == 1:
+                rows = flat.reshape(h, w, samples)
+                flat = np.cumsum(
+                    rows.astype(np.int64), axis=1, dtype=np.int64
+                ).astype(dt.newbyteorder("="))
+                flat = flat.reshape(-1)
+            else:
+                rows = flat.reshape(samples, h, w)
+                flat = np.cumsum(
+                    rows.astype(np.int64), axis=2, dtype=np.int64
+                ).astype(dt.newbyteorder("=")).reshape(-1)
+        if planar == 1:
+            px = flat.reshape(h, w, samples).transpose(2, 0, 1)
+        else:
+            px = flat.reshape(samples, h, w)
+        pixels = np.ascontiguousarray(px.astype(dt.newbyteorder("=")))
 
     transform = None
     if _TAG_TRANSFORM in tags:
@@ -244,9 +304,11 @@ def decode_geotiff(data: bytes):
 
 
 def encode_geotiff(pixels: np.ndarray, transform=None, crs: str | None = None,
-                   compression: str = "none") -> bytes:
-    """(bands, h, w) -> canonical GeoTIFF (little-endian, chunky, one
-    strip; ``compression`` in none|deflate)."""
+                   compression: str = "none",
+                   tile: tuple[int, int] | None = None) -> bytes:
+    """(bands, h, w) -> canonical GeoTIFF (little-endian, chunky; one
+    strip, or a tiled layout when ``tile=(tile_w, tile_h)`` is given;
+    ``compression`` in none|deflate)."""
     if pixels.ndim == 2:
         pixels = pixels[None]
     bands, h, w = pixels.shape
@@ -254,15 +316,35 @@ def encode_geotiff(pixels: np.ndarray, transform=None, crs: str | None = None,
     fmt = {"u": 1, "i": 2, "f": 3}.get(dt.kind)
     if fmt is None:
         raise ValueError(f"tiff: unsupported dtype {dt}")
-    body = np.ascontiguousarray(
-        pixels.transpose(1, 2, 0), dtype=dt.newbyteorder("<")
-    ).tobytes()
     if compression == "deflate":
-        comp_code, payload = 8, zlib.compress(body, 6)
+        comp_code = 8
+
+        def _compress(b):
+            return zlib.compress(b, 6)
     elif compression == "none":
-        comp_code, payload = 1, body
+        comp_code = 1
+
+        def _compress(b):
+            return b
     else:
         raise ValueError(f"tiff: unsupported compression {compression}")
+
+    chunky = np.ascontiguousarray(
+        pixels.transpose(1, 2, 0), dtype=dt.newbyteorder("<")
+    )
+    if tile is None:
+        payloads = [_compress(chunky.tobytes())]
+    else:
+        twd, tht = int(tile[0]), int(tile[1])
+        if twd <= 0 or tht <= 0:
+            raise ValueError("tiff: non-positive tile dimensions")
+        payloads = []
+        for ys in range(0, h, tht):
+            for xs in range(0, w, twd):
+                block = np.zeros((tht, twd, bands), chunky.dtype)
+                part = chunky[ys : ys + tht, xs : xs + twd]
+                block[: part.shape[0], : part.shape[1]] = part
+                payloads.append(_compress(block.tobytes()))
 
     entries = []  # (tag, type, count, value-bytes or int)
     extra = bytearray()
@@ -276,10 +358,16 @@ def encode_geotiff(pixels: np.ndarray, transform=None, crs: str | None = None,
     add(_TAG_BITS, 3, [dt.itemsize * 8] * bands)
     add(_TAG_COMPRESSION, 3, [comp_code])
     add(_TAG_PHOTOMETRIC, 3, [1])
-    add(_TAG_STRIP_OFFSETS, 4, [0])  # patched below
+    if tile is None:
+        add(_TAG_STRIP_OFFSETS, 4, [0])  # patched below
+        add(_TAG_ROWS_PER_STRIP, 4, [h])
+        add(_TAG_STRIP_COUNTS, 4, [len(payloads[0])])
+    else:
+        add(_TAG_TILE_WIDTH, 4, [twd])
+        add(_TAG_TILE_LENGTH, 4, [tht])
+        add(_TAG_TILE_OFFSETS, 4, [0] * len(payloads))  # patched below
+        add(_TAG_TILE_COUNTS, 4, [len(p) for p in payloads])
     add(_TAG_SAMPLES, 3, [bands])
-    add(_TAG_ROWS_PER_STRIP, 4, [h])
-    add(_TAG_STRIP_COUNTS, 4, [len(payload)])
     add(_TAG_PLANAR, 3, [1])
     add(_TAG_SAMPLE_FORMAT, 3, [fmt] * bands)
     if transform is not None:
@@ -313,13 +401,21 @@ def encode_geotiff(pixels: np.ndarray, transform=None, crs: str | None = None,
             extra += struct.pack("<" + _TYPE_FMT[typ] * len(values), *values)
             if len(extra) & 1:
                 extra += b"\x00"
-    strip_off = data_off + len(extra)
+    pixel_off = data_off + len(extra)
+    # pixel payloads are concatenated in tile/strip order from pixel_off
+    sizes = [len(p) for p in payloads]
+    offs = [pixel_off + int(s) for s in np.cumsum([0] + sizes[:-1])]
+    if _TAG_TILE_OFFSETS in blobs:
+        # rewrite the placeholder offsets blob in place
+        pos = blobs[_TAG_TILE_OFFSETS] - data_off
+        packed = struct.pack("<" + "I" * len(offs), *offs)
+        extra[pos : pos + len(packed)] = packed
 
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
     out += struct.pack("<H", len(entries))
     for tag, typ, values in entries:
-        if tag == _TAG_STRIP_OFFSETS:
-            values = [strip_off]
+        if tag in (_TAG_STRIP_OFFSETS, _TAG_TILE_OFFSETS) and len(values) == 1:
+            values = [offs[0]]
         size = _TYPE_SIZE[typ] * len(values)
         if size > 4:
             out += struct.pack("<HHII", tag, typ, len(values), blobs[tag])
@@ -329,5 +425,6 @@ def encode_geotiff(pixels: np.ndarray, transform=None, crs: str | None = None,
             out += packed + b"\x00" * (4 - len(packed))
     out += struct.pack("<I", 0)  # no next IFD
     out += extra
-    out += payload
+    for p in payloads:
+        out += p
     return bytes(out)

@@ -214,3 +214,68 @@ def test_multimodal_image_decoder_routes_tiff():
     assert codecs.sniff(payload) == "tiff"
     np.testing.assert_array_equal(codecs.decode(payload), arr)
     np.testing.assert_array_equal(multimodal.DECODERS["image"](payload), arr)
+
+
+def _tiled_tags(w, h, tw, tl, offs, counts, samples=1, extra=()):
+    t = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8] * samples),
+        (259, 3, [1]), (262, 3, [1]), (277, 3, [samples]), (284, 3, [1]),
+        (322, 4, [tw]), (323, 4, [tl]), (324, 4, offs), (325, 4, counts),
+    ]
+    t.extend(extra)
+    return t
+
+
+def test_hand_built_tiled_edge_padding():
+    # 3x3 image in 2x2 tiles: edge tiles are padded to full size in the
+    # file and must be cropped on decode (TIFF 6.0 §15)
+    px = np.arange(1, 10, dtype=np.uint8).reshape(3, 3)
+    tiles = [
+        bytes([1, 2, 4, 5]), bytes([3, 0, 6, 0]),
+        bytes([7, 8, 0, 0]), bytes([9, 0, 0, 0]),
+    ]
+    tags = _tiled_tags(3, 3, 2, 2, [0, 0, 0, 0], [4, 4, 4, 4])
+    hdr_end = 8 + 2 + 12 * len(tags) + 4
+    base = hdr_end + 16 + 16  # offsets + counts blobs precede the tiles
+    offs = [base, base + 4, base + 8, base + 12]
+    tags = _tiled_tags(3, 3, 2, 2, offs, [4, 4, 4, 4])
+    data = build_tiff("<", tags, b"".join(tiles))
+    out, transform, crs = tiff.decode_geotiff(data)
+    assert out.shape == (1, 3, 3)
+    np.testing.assert_array_equal(out[0], px)
+
+
+def test_hand_built_tiled_predictor():
+    # horizontal differencing restarts on every TILE row, not image row
+    tiles = [bytes([10, 2, 30, 1]), bytes([20, 3, 40, 4])]
+    tags = _tiled_tags(4, 2, 2, 2, [0, 0], [4, 4], extra=[(317, 3, [2])])
+    hdr_end = 8 + 2 + 12 * len(tags) + 4
+    base = hdr_end + 8 + 8  # 2-entry offset/count arrays are 8-byte blobs
+    tags = _tiled_tags(4, 2, 2, 2, [base, base + 4], [4, 4],
+                       extra=[(317, 3, [2])])
+    data = build_tiff("<", tags, b"".join(tiles))
+    out, _, _ = tiff.decode_geotiff(data)
+    np.testing.assert_array_equal(
+        out[0], [[10, 12, 20, 23], [30, 31, 40, 44]]
+    )
+
+
+def test_encode_decode_tiled_roundtrip():
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 60000, size=(3, 10, 13), dtype=np.uint16)
+    for comp in ("none", "deflate"):
+        payload = tiff.encode_geotiff(
+            src, transform=(0.5, 0.0, 7.0, 0.0, -0.25, 3.0),
+            crs="EPSG:32633", compression=comp, tile=(8, 4),
+        )
+        out, transform, crs = tiff.decode_geotiff(payload)
+        np.testing.assert_array_equal(out, src)
+        assert crs == "EPSG:32633"
+        assert transform == (0.5, 0.0, 7.0, 0.0, -0.25, 3.0)
+
+
+def test_tiled_error_contracts():
+    tags = _tiled_tags(4, 4, 2, 2, [0], [4])  # 4-tile grid, 1 offset
+    data = build_tiff("<", tags, b"\x00" * 4)
+    with pytest.raises(ValueError, match="tile offsets"):
+        tiff.decode_geotiff(data)
