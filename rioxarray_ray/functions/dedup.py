@@ -17,6 +17,16 @@ import pyarrow.compute as pc
 
 
 # ---------------------------------------------------------------- exact
+def _md5_hex_column(chunked) -> list[str]:
+    """md5 hex of each utf8 value, null -> md5(b'') — hashed straight off
+    zero-copy buffer slices (see functions/_arrowbytes.py)."""
+    from ._arrowbytes import utf8_views
+
+    return [
+        hashlib.md5(v).hexdigest() for v in utf8_views(pc.fill_null(chunked, ""))
+    ]
+
+
 def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """Keep the min-id row per exact content hash.
 
@@ -26,12 +36,8 @@ def exact_dedup(ds, col: str = "text", id_col: str = "doc_id"):
     """
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5((t or "").encode()).hexdigest()
-            for t in batch[col].to_pylist()
-        ]
         return pa.Table.from_pydict(
-            {"content_hash": hashes, id_col: batch[id_col]}
+            {"content_hash": _md5_hex_column(batch[col]), id_col: batch[id_col]}
         )
 
     from ray.data.aggregate import Min

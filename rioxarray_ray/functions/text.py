@@ -171,15 +171,25 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
 
     The value is the first 8 bytes of md5(normalized) read little-endian,
     which is exactly DuckDB's ``md5_number_upper`` — so the driver gate can
-    mirror it with plain SQL (round-2 verdict item #4).  md5 per document
-    is C-speed and bounded per row; the only Python loop here iterates
-    documents, not characters.
+    mirror it with plain SQL (round-2 verdict item #4).  Normalization runs
+    as a vectorized Arrow RE2 kernel (the SAME regex engine DuckDB's
+    regexp_replace uses, so ``\\s`` semantics match byte for byte); the
+    only per-row work left is the mandatory md5 C call, fed zero-copy
+    buffer slices (functions/_arrowbytes.py) instead of re-encoded
+    Python strings.
     """
     import hashlib
 
-    texts = batch[col].to_pylist()
-    fps = []
-    for t in texts:
-        digest = hashlib.md5(normalize_ws(t).encode()).digest()
-        fps.append(int.from_bytes(digest[:8], "little"))
+    from ._arrowbytes import utf8_views
+
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(
+            pc.fill_null(batch[col], ""), r"\s+", " "
+        ),
+        " ",
+    )
+    fps = [
+        int.from_bytes(hashlib.md5(v).digest()[:8], "little")
+        for v in utf8_views(norm)
+    ]
     return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))

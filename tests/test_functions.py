@@ -429,3 +429,21 @@ def test_connected_components_chain_cycle_singleton(ray_session):
         1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21
     }
     assert sorted(k for k, v in out.items() if v[1]) == [1, 10, 20, 21]
+
+
+def test_md5_hex_column_zero_copy_equals_hashlib():
+    """The buffer-sliced md5 path must equal per-row str-encode hashing on
+    nulls, empties, non-ASCII, chunk boundaries, slices and large_string."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from rioxarray_ray.functions.dedup import _md5_hex_column
+
+    vals = ["hello", None, "", "héllo wörld", "x" * 10000, "a", None]
+    expect = [hashlib.md5((v or "").encode()).hexdigest() for v in vals]
+    chunked = pa.chunked_array([vals[:3], vals[3:]])
+    assert _md5_hex_column(chunked) == expect
+    sliced = pa.array(vals).slice(1, 4)  # non-zero offset, includes a null
+    assert _md5_hex_column(sliced) == expect[1:5]
+    assert _md5_hex_column(pa.array(vals, pa.large_string())) == expect
