@@ -207,6 +207,63 @@ def q_geo_pip_shuffle(sf_dir: str):
     )
 
 
+def q_geo_zonal_stats(sf_dir: str):
+    """Per-geometry zonal statistics (count/sum/min/max of valid pixels
+    inside each rect geometry), oracle-gated EXACTLY: DuckDB regenerates
+    the frozen pixel spec (the geo_pixel_checksum chain, all 4 codecs) and
+    aggregates pixel values over the rect's global-pixel index range —
+    the same equivalence the geo_pip_rect oracle established for counts,
+    extended to values.  Engine side is stages/join.zonal_stats: PIP
+    partials -> ONE groupby(geom_id) reduce; pixels never shuffle.
+    Restricted to doc_id < 64 to keep the DuckDB pixel regeneration
+    tractable at gate scale."""
+    from rioxarray_ray.stages import join as jstage
+
+    tiles = _tiles_4326(sf_dir)
+
+    def keep64(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx < 64))
+
+    small = tiles.map_batches(keep64, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    stats = jstage.zonal_stats(
+        small, _geoms("rect"), cell_res=_CELL_RES, concurrency=4
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mn = batch["min_inside"].to_numpy(zero_copy_only=False)
+        mx = batch["max_inside"].to_numpy(zero_copy_only=False)
+        nulls = np.isnan(mn.astype(np.float64))
+        return pa.Table.from_pydict(
+            {
+                "geom_id": batch["geom_id"],
+                "n_pixels": pc.cast(batch["n_pixels"], pa.int64()),
+                "n_inside": pc.cast(batch["n_inside"], pa.int64()),
+                "sum_inside": pa.array(
+                    np.rint(
+                        batch["sum_inside"].to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                ),
+                # -999999 sentinel for the no-valid-pixel case on BOTH
+                # sides (hash canonicalization treats NaN/null unreliably)
+                "min_inside": pa.array(
+                    np.where(nulls, -999999, mn).astype(np.int64)
+                ),
+                "max_inside": pa.array(
+                    np.where(nulls, -999999, mx).astype(np.int64)
+                ),
+            }
+        )
+
+    return stats.map_batches(finalize, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 def q_geo_knn(sf_dir: str):
     from rioxarray_ray.stages import join as jstage
 
@@ -1529,6 +1586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_clip_box": q_geo_clip_box,
         "geo_pip_rect": q_geo_pip_rect,
         "geo_pip_shuffle": q_geo_pip_shuffle,
+        "geo_zonal_stats": q_geo_zonal_stats,
         "geo_knn": q_geo_knn,
         "geo_reproject_grid": q_geo_reproject_grid,
         "geo_downsample_avg": q_geo_downsample_avg,
@@ -1997,6 +2055,43 @@ WHERE LEAST(cw, tw - ci) >= 1 AND LEAST(rh, th - ri) >= 1
 """,
         "geo_pip_rect": _PIP_RECT_SQL,
         "geo_pip_shuffle": _PIP_RECT_SQL,
+        "geo_zonal_stats": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT *, (idx % 64) * w AS gx0, ((idx // 64) % 64) * h AS gy0 FROM img
+),
+{_GEOMS_CTE.strip().lstrip()},
+counts AS (
+  SELECT r.geom_id,
+         SUM(GREATEST(0, LEAST(r.gx + r.wpx, i.gx0 + i.w) - GREATEST(r.gx, i.gx0))
+           * GREATEST(0, LEAST(r.gy + r.hpx, i.gy0 + i.h) - GREATEST(r.gy, i.gy0))
+         ) AS n_pixels
+  FROM imj i CROSS JOIN rects r
+  GROUP BY r.geom_id
+  HAVING SUM(GREATEST(0, LEAST(r.gx + r.wpx, i.gx0 + i.w) - GREATEST(r.gx, i.gx0))
+           * GREATEST(0, LEAST(r.gy + r.hpx, i.gy0 + i.h) - GREATEST(r.gy, i.gy0))) > 0
+),
+vals AS (
+  SELECT r.geom_id,
+         COUNT(*) AS n_inside,
+         SUM(p.px) AS sum_inside,
+         MIN(p.px) AS min_inside,
+         MAX(p.px) AS max_inside
+  FROM allpx p
+  JOIN imj i ON p.idx = i.idx
+  JOIN rects r
+    ON i.gx0 + p.c >= r.gx AND i.gx0 + p.c < r.gx + r.wpx
+   AND i.gy0 + p.r >= r.gy AND i.gy0 + p.r < r.gy + r.hpx
+  GROUP BY r.geom_id
+)
+SELECT c.geom_id,
+       CAST(c.n_pixels AS BIGINT) AS n_pixels,
+       CAST(COALESCE(v.n_inside, 0) AS BIGINT) AS n_inside,
+       CAST(COALESCE(v.sum_inside, 0) AS BIGINT) AS sum_inside,
+       CAST(COALESCE(v.min_inside, -999999) AS BIGINT) AS min_inside,
+       CAST(COALESCE(v.max_inside, -999999) AS BIGINT) AS max_inside
+FROM counts c LEFT JOIN vals v USING (geom_id)
+""",
         "geo_clip_geometry": _CLIP_GEOM_SQL,
         "geo_knn": f"""
 WITH {_TILES_CTE},

@@ -42,6 +42,8 @@ PIP_SCHEMA = pa.schema(
         ("n_pixels", pa.int64()),
         ("n_inside", pa.int64()),
         ("sum_inside", pa.float64()),
+        ("min_inside", pa.float64()),
+        ("max_inside", pa.float64()),
         ("centroid_inside", pa.bool_()),
     ]
 )
@@ -137,6 +139,7 @@ def _refine_tile(row: dict, cand_ids, cand_geoms, pixels=None) -> list[dict]:
         clon, clat = (float(v) for v in c.inverse(cx, cy))
     else:
         clon, clat = float(cx), float(cy)
+    pxf = pixels.astype(np.float64)  # one cast per tile, not per geometry
     for gid, geom in zip(cand_ids, cand_geoms):
         rings = geom_mod.geometry_rings(geom)
         inside = geom_mod.points_in_rings(lon, lat, rings)
@@ -144,8 +147,9 @@ def _refine_tile(row: dict, cand_ids, cand_geoms, pixels=None) -> list[dict]:
         if n_pixels == 0:
             continue
         inside_valid = inside[None] & vm
-        n = int(inside_valid.sum())
-        s = float(pixels.astype(np.float64)[inside_valid].sum())
+        sel = pxf[inside_valid]
+        n = int(sel.size)
+        s = float(sel.sum())
         cin = bool(
             geom_mod.points_in_rings(np.array([clon]), np.array([clat]), rings)[0]
         )
@@ -159,6 +163,8 @@ def _refine_tile(row: dict, cand_ids, cand_geoms, pixels=None) -> list[dict]:
                 "n_pixels": n_pixels,
                 "n_inside": n,
                 "sum_inside": s,
+                "min_inside": float(sel.min()) if n else None,
+                "max_inside": float(sel.max()) if n else None,
                 "centroid_inside": cin,
             }
         )
@@ -555,3 +561,60 @@ def knn_join(
         concurrency=concurrency,
         **kwargs,
     )
+
+
+def zonal_stats(
+    tiles_ds,
+    geom_rows,
+    cell_res: int = CELL_RES,
+    plan: str = "broadcast",
+    salt: int = 4,
+    **join_kwargs,
+):
+    """Per-geometry pixel statistics over the tile stream — the
+    zonal-statistics composition users build from the reference's
+    clip-by-geometry + reduce (rioxarray docs' "zonal stats" recipe over
+    `rio.clip`, /root/reference/rioxarray/raster_array.py:763-861).
+
+    100-TB shape: the PIP join emits tiny per-(tile, geometry) partial
+    rows (counts/sums/extrema — never pixels), and each pair meets in
+    exactly one task under BOTH join plans, so ONE small
+    ``groupby(geom_id)`` of partials finishes the reduction exactly:
+    sums add, mins/maxes fold, mean = sum/count derived at the end.
+    Pixels never shuffle.
+
+    Returns one row per geometry that intersects any tile:
+    (geom_id, n_pixels, n_inside, sum_inside, min_inside, max_inside,
+    mean_inside) — min/max/mean are null when no VALID pixel falls
+    inside.
+    """
+    if plan == "broadcast":
+        joined = pip_join_broadcast(
+            tiles_ds, geom_rows, cell_res=cell_res, **join_kwargs
+        )
+    elif plan == "shuffle":
+        joined = pip_join_shuffle(
+            tiles_ds, geom_rows, cell_res=cell_res, salt=salt, **join_kwargs
+        )
+    else:
+        raise ValueError(f"plan must be 'broadcast' or 'shuffle', got {plan!r}")
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = joined.groupby("geom_id").aggregate(
+        Sum("n_pixels", alias_name="n_pixels"),
+        Sum("n_inside", alias_name="n_inside"),
+        Sum("sum_inside", alias_name="sum_inside"),
+        Min("min_inside", alias_name="min_inside"),
+        Max("max_inside", alias_name="max_inside"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_inside"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch["sum_inside"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = np.divide(s, n, out=np.zeros_like(s), where=n > 0)
+        return batch.append_column(
+            "mean_inside", pa.array(mean, pa.float64(), mask=(n == 0))
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1343,3 +1343,57 @@ def test_pad_box_stage_halo_tiles_keep_pixel_phase(ray_session):
         assert np.allclose(r["transform"], expect_t), (
             r["tile_row"], r["tile_col"]
         )
+
+
+def test_zonal_stats_plans_agree_and_fold_partials(rds):
+    """zonal_stats under broadcast and shuffle plans returns identical
+    per-geometry rows, and the folded stats equal a direct recomputation
+    from the raw PIP partials (sums add, extrema fold, mean = sum/n)."""
+    from collections import defaultdict
+
+    from rioxarray_ray.stages import join
+
+    geoms = [g for g in corpus.geometry_table(N_GEOMS) if g["kind"] != "point"]
+
+    def stats_rows(plan):
+        rows = join.zonal_stats(
+            rds["tiles"], geoms, plan=plan, concurrency=2
+        ).take_all()
+        return sorted(
+            (
+                r["geom_id"], r["n_pixels"], r["n_inside"],
+                round(r["sum_inside"], 6),
+                None if r["min_inside"] is None else round(r["min_inside"], 6),
+                None if r["max_inside"] is None else round(r["max_inside"], 6),
+                None if r["mean_inside"] is None else round(r["mean_inside"], 6),
+            )
+            for r in rows
+        )
+
+    b = stats_rows("broadcast")
+    s = stats_rows("shuffle")
+    assert len(b) > 0
+    assert b == s
+
+    # fold the raw partials independently
+    parts = join.pip_join_broadcast(rds["tiles"], geoms, concurrency=2).take_all()
+    acc = defaultdict(lambda: [0, 0, 0.0, None, None])
+    for r in parts:
+        a = acc[r["geom_id"]]
+        a[0] += r["n_pixels"]
+        a[1] += r["n_inside"]
+        a[2] += r["sum_inside"]
+        for i, (v, op) in enumerate(((r["min_inside"], min),
+                                     (r["max_inside"], max)), start=3):
+            if v is not None:
+                a[i] = v if a[i] is None else op(a[i], v)
+    expect = sorted(
+        (
+            gid, a[0], a[1], round(a[2], 6),
+            None if a[3] is None else round(a[3], 6),
+            None if a[4] is None else round(a[4], 6),
+            None if a[1] == 0 else round(a[2] / a[1], 6),
+        )
+        for gid, a in acc.items()
+    )
+    assert b == expect
