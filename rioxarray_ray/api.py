@@ -132,6 +132,79 @@ def open_geotiffs(ds, id_col: str = "image_id", payload_col: str = "payload",
     )
 
 
+def open_images(ds, id_col: str = "image_id", payload_col: str = "payload",
+                nodata: float = float("nan"), transform=None,
+                crs: str | None = None) -> "RasterDataset":
+    """open_rasterio on ANY payload the codec registry recognizes — the
+    open-any-GDAL-readable-format front door of the reference
+    (/root/reference/rioxarray/_io.py:1000-1328; GDAL ships PNG/JPEG/BMP/
+    GIF drivers alongside GeoTIFF).  From-scratch decoders: GeoTIFF
+    (kernels/tiff.py), PNG, baseline JPEG, BMP, GIF, plus the 4 corpus
+    codecs — routed by magic sniff.
+
+    Georeferencing: GeoTIFF rows use their embedded tags (an explicit
+    ``transform``/``crs`` argument overrides); other formats carry none,
+    so they get the identity transform and ``crs=None`` unless provided —
+    mirroring GDAL's ungeoreferenced-open behavior (the reference's
+    NotGeoreferencedWarning case).  Spatial stages raise on crs=None, so
+    a missing CRS can never silently corrupt a spatial op; non-spatial
+    pipelines (features, dedup, resize) run fine without one.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .kernels import codecs as codecs_mod
+    from .kernels import tiff as tiff_mod
+    from .stages.schema import RASTER_SCHEMA, pixels_to_bytes
+
+    nod = float(nodata)
+    user_t = None if transform is None else [float(v) for v in transform]
+
+    def decode_batch(batch: pa.Table) -> pa.Table:
+        rows = []
+        for rid, payload in zip(
+            batch[id_col].to_pylist(), batch[payload_col].to_pylist()
+        ):
+            fmt = codecs_mod.sniff(payload)
+            if fmt is None:
+                raise ValueError(
+                    f"image {rid!r}: unrecognized payload format (supported:"
+                    " geotiff/png/jpeg/bmp/gif + corpus codecs)"
+                )
+            if fmt == "tiff":
+                px, t, c = tiff_mod.decode_geotiff(payload)
+                t = user_t if user_t is not None else (
+                    None if t is None else [float(v) for v in t]
+                )
+                c = crs if crs is not None else c
+            else:
+                px = codecs_mod.decode(payload)
+                t, c = user_t, crs
+            if t is None:
+                t = [1.0, 0.0, 0.0, 0.0, 1.0, 0.0]  # identity (ungeoref'd)
+            rows.append(
+                {
+                    "image_id": str(rid),
+                    "band_count": px.shape[0],
+                    "h": px.shape[1],
+                    "w": px.shape[2],
+                    "dtype": str(px.dtype),
+                    "nodata": nod,
+                    "crs": c,
+                    "transform": t,
+                    "pixels": pixels_to_bytes(px),
+                    "caption": None,
+                    "phash": None,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=RASTER_SCHEMA)
+
+    return RasterDataset(
+        ds.map_batches(decode_batch, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+
+
 def wrap(ds) -> "RasterDataset":
     return RasterDataset(ds)
 

@@ -329,3 +329,49 @@ def test_to_geotiffs_roundtrip(ray_session, tmp_path):
         assert tuple(r["transform"]) == tuple(o["transform"])
         assert (r["band_count"], r["h"], r["w"]) == (
             o["band_count"], o["h"], o["w"])
+
+
+def test_open_images_mixed_wild_formats(ray_session):
+    """The generic open-any-recognized-format front door: PNG/JPEG-free
+    mix (png, bmp, gif, geotiff, corpus raw16) decodes through ONE stage;
+    GeoTIFF keeps its embedded georeferencing, ungeoreferenced formats
+    get the identity transform and crs=None."""
+    import ray.data as rd
+
+    import rioxarray_ray.api as api
+    from rioxarray_ray.kernels import bmp, codecs, gif, png, tiff
+
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    rgb = np.repeat(gray[None], 3, axis=0)
+    i16 = (np.arange(64, dtype=np.int16) * 7 - 100).reshape(1, 8, 8)
+    t = (0.5, 0.0, 10.0, 0.0, -0.25, 20.0)
+    payloads = {
+        "png": png.encode_png(rgb),
+        "bmp": bmp.encode_bmp(rgb),
+        "gif": gif.encode_gif(rgb),
+        "tif": tiff.encode_geotiff(i16, transform=t, crs="EPSG:32633"),
+        "raw": codecs.encode(i16, "raw16"),
+    }
+    ds = rd.from_items(
+        [{"image_id": k, "payload": v} for k, v in payloads.items()]
+    )
+    rows = {r["image_id"]: r for r in api.open_images(ds).ds.take_all()}
+    assert len(rows) == 5
+    for k in ("png", "bmp", "gif"):
+        r = rows[k]
+        assert (r["band_count"], r["h"], r["w"]) == (3, 8, 8)
+        assert r["crs"] is None
+        assert list(r["transform"]) == [1.0, 0.0, 0.0, 0.0, 1.0, 0.0]
+        px = np.frombuffer(r["pixels"], np.uint8).reshape(3, 8, 8)
+        np.testing.assert_array_equal(px, rgb)
+    for k in ("tif", "raw"):
+        px = np.frombuffer(rows[k]["pixels"], np.int16).reshape(1, 8, 8)
+        np.testing.assert_array_equal(px, i16)
+    assert rows["tif"]["crs"] == "EPSG:32633"
+    assert list(rows["tif"]["transform"]) == list(t)
+    assert rows["raw"]["crs"] is None
+
+    # unrecognized payloads raise, never silently decode
+    bad = rd.from_items([{"image_id": "x", "payload": b"\x99garbage"}])
+    with pytest.raises(Exception, match="unrecognized payload format"):
+        api.open_images(bad).ds.take_all()
