@@ -1127,6 +1127,50 @@ def q_multimodal_gif(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_multimodal_pnm(sf_dir: str):
+    """REAL Netpbm (P6 binary PPM) bytes through the image registry,
+    oracle-gated.  Each doc gets a 3x9x11 RGB image with closed-form
+    band-major pixels ((doc_id*47 + i*i) % 256), encoded with
+    kernels/pnm.encode_pnm (interleaved RGB samples), decoded back via
+    the registry's magic sniff, and summarized FROM THE DECODED ARRAY
+    with a POSITION-WEIGHTED checksum (sum of px[i]*(i+1) in band-major
+    order) — unlike a plain sum, any interleave/transpose/row-order
+    defect permutes values and breaks the hash.  Hand-written goldens in
+    tests/test_pnm.py pin the header grammar and 16-bit BE layout."""
+    import numpy as np
+
+    from rioxarray_ray.kernels import codecs, pnm
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def roundtrip(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(3 * 9 * 11, dtype=np.int64)
+        vals = (ids[:, None] * 47 + i[None, :] * i[None, :]) % 256
+        wts = i + 1
+        sums, wsums, mins, maxs = [], [], [], []
+        for k in range(len(ids)):
+            arr = vals[k].astype(np.uint8).reshape(3, 9, 11)
+            back = codecs.decode(pnm.encode_pnm(arr))
+            flat = back.reshape(-1).astype(np.int64)
+            sums.append(int(flat.sum()))
+            wsums.append(int((flat * wts).sum()))
+            mins.append(int(flat.min()))
+            maxs.append(int(flat.max()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "weighted_sum": pa.array(wsums, pa.int64()),
+                "pixel_min": pa.array(mins, pa.int64()),
+                "pixel_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def q_geo_open_geotiff(sf_dir: str):
     """REAL GeoTIFF bytes through the open_rasterio analogue, oracle-gated.
     Each doc becomes a georeferenced int16 GeoTIFF (closed-form pixels
@@ -1607,6 +1651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_bmp": q_multimodal_bmp,
         "multimodal_gif": q_multimodal_gif,
+        "multimodal_pnm": q_multimodal_pnm,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2507,6 +2552,17 @@ FROM documents d, LATERAL (
          CAST(MIN((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_min,
          CAST(MAX((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_max
   FROM generate_series(0, 339) t(i)
+) s
+""",
+        "multimodal_pnm": """
+SELECT d.doc_id, s.pixel_sum, s.weighted_sum, s.pixel_min, s.pixel_max
+FROM documents d, LATERAL (
+  SELECT CAST(SUM((d.doc_id * 47 + i * i) % 256) AS BIGINT) AS pixel_sum,
+         CAST(SUM(((d.doc_id * 47 + i * i) % 256) * (i + 1)) AS BIGINT)
+           AS weighted_sum,
+         CAST(MIN((d.doc_id * 47 + i * i) % 256) AS BIGINT) AS pixel_min,
+         CAST(MAX((d.doc_id * 47 + i * i) % 256) AS BIGINT) AS pixel_max
+  FROM generate_series(0, 296) t(i)
 ) s
 """,
         "multimodal_wav": """

@@ -138,6 +138,7 @@ def run_bench() -> dict:
         "geo_clip_box",
         "geo_pip_rect",
         "geo_pip_shuffle",
+        "geo_zonal_stats",
         "geo_knn",
         "geo_downsample_avg",
         "geo_merge",

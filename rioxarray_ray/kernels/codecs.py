@@ -53,6 +53,10 @@ def sniff(data: bytes) -> str | None:
         return "bmp"
     if bytes(data[:6]) in (b"GIF87a", b"GIF89a"):
         return "gif"
+    from . import pnm as _pnm
+
+    if _pnm.is_pnm(bytes(data[:4])):
+        return "pnm"
     return {v: k for k, v in _MAGIC.items()}.get(data[:1])
 
 
@@ -144,6 +148,12 @@ def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
         from . import gif as _gif
 
         return _gif.decode_gif(data)
+    from . import pnm as _pnm
+
+    if _pnm.is_pnm(bytes(data[:4])):
+        if fmt is not None and fmt != "pnm":
+            raise ValueError(f"fmt column says {fmt} but payload is pnm")
+        return _pnm.decode_pnm(data)
     magic, bands, h, w = _HDR.unpack_from(data, 0)
     try:
         tag = {v: k for k, v in _MAGIC.items()}[magic]
