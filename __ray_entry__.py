@@ -1036,9 +1036,11 @@ def q_multimodal_bmp(sf_dir: str):
     and the bottom-up row flip are all on the exact path.  Encoded with
     kernels/bmp.encode_bmp, decoded back via the registry's magic sniff
     (kernels/bmp.py reuses the shared DIB reader), summarized FROM THE
-    DECODED ARRAY; the oracle recomputes the sums from the formula.
-    Hand-built spec goldens in tests/test_bmp.py pin the decoder
-    independently of the encoder."""
+    DECODED ARRAY with a POSITION-WEIGHTED checksum (band-major
+    px[i]*(i+1)): a BGR swap / row flip / stride defect permutes values
+    and breaks the hash even where a plain sum would not.  Hand-built
+    spec goldens in tests/test_bmp.py pin the decoder independently of
+    the encoder."""
     import numpy as np
 
     from rioxarray_ray.kernels import bmp, codecs
@@ -1049,14 +1051,17 @@ def q_multimodal_bmp(sf_dir: str):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         i = np.arange(3 * 10 * 14, dtype=np.int64)
         vals = (ids[:, None] * 41 + i[None, :] * i[None, :]) % 256
-        sums, mins, maxs, bands, hs, ws = [], [], [], [], [], []
+        wts = i + 1
+        sums, wsums, mins, maxs, bands, hs, ws = [], [], [], [], [], [], []
         for k in range(len(ids)):
             arr = vals[k].astype(np.uint8).reshape(3, 10, 14)
             payload = bmp.encode_bmp(arr)
             back = codecs.decode(payload)  # sniff routes to the BMP decoder
-            sums.append(int(back.astype(np.int64).sum()))
-            mins.append(int(back.min()))
-            maxs.append(int(back.max()))
+            flat = back.reshape(-1).astype(np.int64)
+            sums.append(int(flat.sum()))
+            wsums.append(int((flat * wts).sum()))
+            mins.append(int(flat.min()))
+            maxs.append(int(flat.max()))
             b, h, w = back.shape
             bands.append(b)
             hs.append(h)
@@ -1065,6 +1070,7 @@ def q_multimodal_bmp(sf_dir: str):
             {
                 "doc_id": batch["doc_id"],
                 "pixel_sum": pa.array(sums, pa.int64()),
+                "weighted_sum": pa.array(wsums, pa.int64()),
                 "pixel_min": pa.array(mins, pa.int64()),
                 "pixel_max": pa.array(maxs, pa.int64()),
                 "bands": pa.array(bands, pa.int64()),
@@ -1087,8 +1093,11 @@ def q_multimodal_gif(sf_dir: str):
     variable-width codes, giflib width schedule), and summarized FROM THE
     DECODED ARRAY.  The oracle recomputes 3x the gray sum from the
     formula, so an LZW defect (width bump timing, KwKwK, packing order,
-    palette mapping) breaks the value hash.  Hand-packed bit-stream
-    goldens in tests/test_gif.py pin the decoder independently."""
+    palette mapping) breaks the value hash; the POSITION-WEIGHTED
+    checksum additionally breaks on any within-band permutation (row
+    reorder, interlace misread) a plain sum would miss.  Hand-packed
+    bit-stream goldens in tests/test_gif.py pin the decoder
+    independently."""
     import numpy as np
 
     from rioxarray_ray.kernels import codecs, gif
@@ -1099,14 +1108,17 @@ def q_multimodal_gif(sf_dir: str):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         i = np.arange(20 * 17, dtype=np.int64)
         vals = (ids[:, None] * 43 + i[None, :] * i[None, :]) % 256
-        sums, mins, maxs, bands, hs, ws = [], [], [], [], [], []
+        wts = np.arange(3 * 20 * 17, dtype=np.int64) + 1
+        sums, wsums, mins, maxs, bands, hs, ws = [], [], [], [], [], [], []
         for k in range(len(ids)):
             gray = vals[k].astype(np.uint8).reshape(20, 17)
             payload = gif.encode_gif(np.repeat(gray[None], 3, axis=0))
             back = codecs.decode(payload)  # sniff routes to the GIF decoder
-            sums.append(int(back.astype(np.int64).sum()))
-            mins.append(int(back.min()))
-            maxs.append(int(back.max()))
+            flat = back.reshape(-1).astype(np.int64)
+            sums.append(int(flat.sum()))
+            wsums.append(int((flat * wts).sum()))
+            mins.append(int(flat.min()))
+            maxs.append(int(flat.max()))
             b, h, w = back.shape
             bands.append(b)
             hs.append(h)
@@ -1115,6 +1127,7 @@ def q_multimodal_gif(sf_dir: str):
             {
                 "doc_id": batch["doc_id"],
                 "pixel_sum": pa.array(sums, pa.int64()),
+                "weighted_sum": pa.array(wsums, pa.int64()),
                 "pixel_min": pa.array(mins, pa.int64()),
                 "pixel_max": pa.array(maxs, pa.int64()),
                 "bands": pa.array(bands, pa.int64()),
@@ -2530,12 +2543,14 @@ FROM documents d, LATERAL (
 """,
         "multimodal_bmp": """
 SELECT d.doc_id,
-       s.pixel_sum, s.pixel_min, s.pixel_max,
+       s.pixel_sum, s.weighted_sum, s.pixel_min, s.pixel_max,
        CAST(3 AS BIGINT) AS bands,
        CAST(10 AS BIGINT) AS h,
        CAST(14 AS BIGINT) AS w
 FROM documents d, LATERAL (
   SELECT CAST(SUM((d.doc_id * 41 + i * i) % 256) AS BIGINT) AS pixel_sum,
+         CAST(SUM(((d.doc_id * 41 + i * i) % 256) * (i + 1)) AS BIGINT)
+           AS weighted_sum,
          CAST(MIN((d.doc_id * 41 + i * i) % 256) AS BIGINT) AS pixel_min,
          CAST(MAX((d.doc_id * 41 + i * i) % 256) AS BIGINT) AS pixel_max
   FROM generate_series(0, 419) t(i)
@@ -2543,12 +2558,17 @@ FROM documents d, LATERAL (
 """,
         "multimodal_gif": """
 SELECT d.doc_id,
-       s.pixel_sum, s.pixel_min, s.pixel_max,
+       s.pixel_sum, s.weighted_sum, s.pixel_min, s.pixel_max,
        CAST(3 AS BIGINT) AS bands,
        CAST(20 AS BIGINT) AS h,
        CAST(17 AS BIGINT) AS w
 FROM documents d, LATERAL (
   SELECT CAST(3 * SUM((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_sum,
+         -- band-major weights fold across the 3 identical gray bands:
+         -- sum_b sum_i v_i*(b*340+i+1) = 3*sum(v*(i+1)) + 1020*sum(v)
+         CAST(3 * SUM(((d.doc_id * 43 + i * i) % 256) * (i + 1))
+              + 1020 * SUM((d.doc_id * 43 + i * i) % 256) AS BIGINT)
+           AS weighted_sum,
          CAST(MIN((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_min,
          CAST(MAX((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_max
   FROM generate_series(0, 339) t(i)
