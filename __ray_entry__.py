@@ -1328,6 +1328,32 @@ def q_text_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def q_text_sample(sf_dir: str):
+    """Deterministic hash sampling (functions/sample.hash_sample):
+    membership = md5_number_upper(f"{seed}:{doc_id}") % 1000 < rate —
+    content-stable (partitioning/cluster-size independent), mirrored
+    exactly in DuckDB.  Output carries the per-doc token count so the
+    sampled rows also exercise the tokenizer downstream."""
+    from rioxarray_ray.functions import sample, text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    kept = sample.hash_sample(ds, rate_permille=200, key_col="doc_id", seed=7)
+    return kept.map_batches(
+        text.token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["doc_id", "n_tokens"])
+
+
+def q_text_token_topk(sf_dir: str):
+    """Global top-50 token frequencies (functions/text.token_topk): the
+    vocabulary heavy-hitter pipeline — per-batch value_counts partials,
+    ONE Sum groupby over (token, count) rows, deterministic
+    (cnt desc, token asc) tie-break at the k boundary."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["text"])
+    return text.token_topk(ds, k=50)
+
+
 def q_text_ngram_jaccard(sf_dir: str):
     """Exact word-trigram Jaccard for consecutive-id doc pairs — gives the
     n-gram-Jaccard kernel its own exact SQL oracle (the LSH candidate path
@@ -1684,6 +1710,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_sample": q_text_sample,
+        "text_token_topk": q_text_token_topk,
         "events_window": q_events_window,
         "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
@@ -2648,6 +2676,26 @@ FROM documents d, LATERAL (
          CAST(MAX((d.doc_id * 23 + b * b) % 256) AS BIGINT) AS pixel_max
   FROM generate_series(0, 5) t(b)
 ) s
+""",
+        "text_sample": r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents
+WHERE md5_number_upper('7:' || CAST(doc_id AS VARCHAR)) % 1000 < 200
+""",
+        "text_token_topk": """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+'))
+           AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks
+GROUP BY token
+ORDER BY cnt DESC, token ASC
+LIMIT 50
 """,
         "text_tokens": r"""
 SELECT doc_id,

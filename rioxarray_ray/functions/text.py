@@ -193,3 +193,40 @@ def fingerprint_batch(batch: pa.Table, col: str = "text") -> pa.Table:
         for v in utf8_views(norm)
     ]
     return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+def token_topk(ds, k: int = 50, col: str = "text"):
+    """Global top-k token frequencies — the vocabulary / heavy-hitter
+    step of a pre-training corpus pipeline (BPE prep, stopword mining).
+
+    100-TB shape: each batch pre-aggregates to (token, partial_count)
+    via one Arrow ``value_counts`` — the groupby shuffle moves counts,
+    never one row per occurrence — then a Sum groupby and a k-row
+    sort/limit finish it.  Ties at the k boundary break deterministically
+    by token ascending, so output is partitioning-independent.
+    Tokenization is the shared ``[a-z']+`` rule (_TOKEN_SPLIT), mirrored
+    exactly by DuckDB ``regexp_extract_all(lower(text), '[a-z'']+')``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        filled = pc.fill_null(batch[col], "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(filled),
+                                      pattern=_TOKEN_SPLIT)
+        flat = pc.list_flatten(
+            toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        )
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vc = flat.value_counts()
+        return pa.Table.from_pydict(
+            {"token": vc.field("values"), "cnt": pc.cast(vc.field("counts"),
+                                                         pa.int64())}
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)

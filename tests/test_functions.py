@@ -447,3 +447,44 @@ def test_md5_hex_column_zero_copy_equals_hashlib():
     sliced = pa.array(vals).slice(1, 4)  # non-zero offset, includes a null
     assert _md5_hex_column(sliced) == expect[1:5]
     assert _md5_hex_column(pa.array(vals, pa.large_string())) == expect
+
+
+def test_hash_sample_deterministic_across_partitioning(ray_session):
+    """Sample membership depends only on (seed, key): identical kept sets
+    across block counts, disjoint-ish across seeds, rate ~ requested."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions.sample import hash_sample
+
+    rows = [{"doc_id": i, "text": f"doc {i}"} for i in range(1000)]
+
+    def kept(nblocks, seed=3):
+        ds = rd.from_items(rows).repartition(nblocks)
+        return sorted(
+            r["doc_id"] for r in hash_sample(
+                ds, rate_permille=300, seed=seed).take_all()
+        )
+
+    a, b = kept(1), kept(13)
+    assert a == b
+    assert 230 <= len(a) <= 370  # ~300 of 1000, loose binomial bounds
+    other = kept(1, seed=4)
+    assert other != a  # different seed -> different membership
+
+
+def test_token_topk_counts_and_tiebreak(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.functions.text import token_topk
+
+    ds = rd.from_items(
+        [
+            {"text": "apple banana apple Cherry"},
+            {"text": "banana! cherry; apple"},
+            {"text": "date"},
+        ]
+    ).repartition(3)
+    rows = token_topk(ds, k=3).take_all()
+    got = [(r["token"], r["cnt"]) for r in rows]
+    # apple x3; banana/cherry x2 tie -> banana first (token asc)
+    assert got == [("apple", 3), ("banana", 2), ("cherry", 2)]
