@@ -1328,6 +1328,49 @@ def q_text_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def q_events_asof_orders(sf_dir: str):
+    """Distributed ASOF join (functions/asof.asof_join): each event joins
+    the user's latest order with o_orderdate <= event ts (ties broken by
+    max o_orderkey — deterministic, partitioning-independent).  ONE
+    groupby(key) co-shuffle + vectorized searchsorted per group.  The
+    oracle ranks candidates with a window function implementing the same
+    rule.  Timestamps compare as epoch microseconds (BIGINT) on both
+    sides."""
+    from rioxarray_ray.functions.asof import asof_join
+
+    events = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    joined = asof_join(
+        events,
+        orders,
+        key=("user_id", "o_custkey"),
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+        right_tie="o_orderkey",
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(pc.cast(batch["ts"], pa.int64()), pa.int64()),
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_text_sample(sf_dir: str):
     """Deterministic hash sampling (functions/sample.hash_sample):
     membership = md5_number_upper(f"{seed}:{doc_id}") % 1000 < rate —
@@ -1712,6 +1755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_fingerprint": q_text_fingerprint,
         "text_sample": q_text_sample,
         "text_token_topk": q_text_token_topk,
+        "events_asof_orders": q_events_asof_orders,
         "events_window": q_events_window,
         "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
@@ -2676,6 +2720,21 @@ FROM documents d, LATERAL (
          CAST(MAX((d.doc_id * 23 + b * b) % 256) AS BIGINT) AS pixel_max
   FROM generate_series(0, 5) t(b)
 ) s
+""",
+        "events_asof_orders": """
+WITH cand AS (
+  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+         o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice
+FROM cand WHERE rn = 1
 """,
         "text_sample": r"""
 SELECT doc_id,

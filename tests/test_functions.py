@@ -488,3 +488,42 @@ def test_token_topk_counts_and_tiebreak(ray_session):
     got = [(r["token"], r["cnt"]) for r in rows]
     # apple x3; banana/cherry x2 tie -> banana first (token asc)
     assert got == [("apple", 3), ("banana", 2), ("cherry", 2)]
+
+
+def test_asof_join_semantics_and_partition_invariance(ray_session):
+    """Latest right row <= left ts per key; equal-ts ties -> max tie col;
+    left rows with no prior right row drop; output is identical across
+    block counts (the determinism contract)."""
+    import numpy as np
+    import ray.data as rd
+
+    from rioxarray_ray.functions.asof import asof_join
+
+    ev = [
+        {"event_id": 1, "user_id": 10, "ts": np.datetime64("2024-01-05", "us")},
+        {"event_id": 2, "user_id": 10, "ts": np.datetime64("2024-01-02", "us")},
+        {"event_id": 3, "user_id": 20, "ts": np.datetime64("2024-01-01", "us")},
+        {"event_id": 4, "user_id": 30, "ts": np.datetime64("2024-01-09", "us")},
+        {"event_id": 5, "user_id": 10, "ts": np.datetime64("2024-01-04", "us")},
+    ]
+    od = [
+        {"okey": 100, "custkey": 10, "odate": np.datetime64("2024-01-01", "us")},
+        {"okey": 101, "custkey": 10, "odate": np.datetime64("2024-01-04", "us")},
+        {"okey": 102, "custkey": 10, "odate": np.datetime64("2024-01-04", "us")},
+        {"okey": 103, "custkey": 20, "odate": np.datetime64("2024-02-01", "us")},
+    ]
+
+    def run(nblocks):
+        out = asof_join(
+            rd.from_items(ev).repartition(nblocks),
+            rd.from_items(od).repartition(nblocks),
+            key=("user_id", "custkey"), left_ts="ts", right_ts="odate",
+            left_cols=["event_id"], right_cols=["okey"], right_tie="okey",
+        ).take_all()
+        return sorted((r["event_id"], r["okey"]) for r in out)
+
+    got = run(1)
+    # ev1 Jan5 -> tie at Jan4 broken by max okey=102; ev2 Jan2 -> 100;
+    # ev5 exactly ON Jan4 -> inclusive match, 102; ev3/ev4 drop
+    assert got == [(1, 102), (2, 100), (5, 102)]
+    assert run(5) == got
