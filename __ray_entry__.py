@@ -1328,6 +1328,24 @@ def q_text_fingerprint(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def q_text_length_quantiles(sf_dir: str):
+    """Exact discrete quantiles of per-doc token counts
+    (functions/sample.quantiles_disc): ONE groupby(value).count()
+    histogram shuffle, driver-side cumulative walk over the SMALL
+    distinct-value table.  Quantile points are dyadic fractions so
+    q*n is float-exact and the ceil(q*n) position rule (verified =
+    DuckDB quantile_disc) is unambiguous on both sides."""
+    from rioxarray_ray.functions import sample, text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    with_counts = ds.map_batches(
+        text.token_count_batch, batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["n_tokens"])
+    return sample.quantiles_disc(
+        with_counts, "n_tokens", qs=(0.0, 0.25, 0.5, 0.75, 0.875, 1.0)
+    )
+
+
 def q_events_asof_orders(sf_dir: str):
     """Distributed ASOF join (functions/asof.asof_join): each event joins
     the user's latest order with o_orderdate <= event ts (ties broken by
@@ -1756,6 +1774,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_sample": q_text_sample,
         "text_token_topk": q_text_token_topk,
         "events_asof_orders": q_events_asof_orders,
+        "text_length_quantiles": q_text_length_quantiles,
         "events_window": q_events_window,
         "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
@@ -2720,6 +2739,21 @@ FROM documents d, LATERAL (
          CAST(MAX((d.doc_id * 23 + b * b) % 256) AS BIGINT) AS pixel_max
   FROM generate_series(0, 5) t(b)
 ) s
+""",
+        "text_length_quantiles": r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         END AS n_tokens
+  FROM documents
+),
+ql AS (
+  SELECT quantile_disc(n_tokens, [0.0, 0.25, 0.5, 0.75, 0.875, 1.0]) AS vs
+  FROM t
+)
+SELECT unnest([0.0, 0.25, 0.5, 0.75, 0.875, 1.0]) AS q,
+       unnest(vs) AS value
+FROM ql
 """,
         "events_asof_orders": """
 WITH cand AS (

@@ -48,3 +48,40 @@ def hash_sample(ds, rate_permille: int, key_col: str = "doc_id",
         )
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quantiles_disc(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99)):
+    """Exact discrete quantiles (percentile_disc semantics: the value at
+    1-indexed position max(1, ceil(q*n)) in sorted order) of a
+    bounded-cardinality column, computed as a distributed value-histogram
+    fold: ONE ``groupby(value).count()`` shuffle moves (value, count)
+    rows, then the cumulative walk runs driver-side over the SMALL
+    distinct-value table.
+
+    Partitioning assumption (documented per the brief): the number of
+    DISTINCT values is small (counters, token lengths, scores binned to
+    ints) — the histogram, not the data, must fit on the driver.  For
+    continuous columns, bin first.
+    """
+    import math
+
+    rows = ds.groupby(col).count().take_all()  # small by assumption
+    rows.sort(key=lambda r: r[col])
+    total = sum(r["count()"] for r in rows)
+    if total == 0:
+        raise ValueError("quantiles_disc: empty input")
+    out_q, out_v = [], []
+    cum = 0
+    it = iter(rows)
+    cur = next(it)
+    for q in sorted(qs):
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"quantile {q} outside [0, 1]")
+        target = max(1, math.ceil(q * total))
+        while cum + cur["count()"] < target:
+            cum += cur["count()"]
+            cur = next(it)
+        out_q.append(float(q))
+        out_v.append(cur[col])
+    return pa.table({"q": pa.array(out_q, pa.float64()),
+                     "value": pa.array(out_v)})

@@ -527,3 +527,19 @@ def test_asof_join_semantics_and_partition_invariance(ray_session):
     # ev5 exactly ON Jan4 -> inclusive match, 102; ev3/ev4 drop
     assert got == [(1, 102), (2, 100), (5, 102)]
     assert run(5) == got
+
+
+def test_quantiles_disc_matches_sorted_positions(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from rioxarray_ray.functions.sample import quantiles_disc
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5]  # n=11, with duplicates
+    ds = rd.from_items([{"v": v} for v in vals]).repartition(4)
+    out = quantiles_disc(ds, "v", qs=(0.0, 0.5, 0.9, 1.0)).to_pylist()
+    svals = sorted(vals)
+    for r in out:
+        pos = max(1, math.ceil(r["q"] * len(vals)))
+        assert r["value"] == svals[pos - 1], r
