@@ -1184,6 +1184,68 @@ def q_multimodal_pnm(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_multimodal_resize(sf_dir: str):
+    """The multimodal Resizer stage, oracle-gated.  Each doc gets a
+    3x12x10 native-codec image with closed-form pixels
+    ((doc_id*53 + i*i) % 256), runs through resize_stage (nearest
+    index-gather to 5x4: src index r*12//5, c*10//4), and the output
+    payload is summarized with a position-weighted checksum.  The oracle
+    regenerates the SAME gather in SQL — resized(b,r,c) =
+    v(b, r*12//5, c*10//4) — so a stride/rounding/band-order defect in
+    the resize math breaks the hash."""
+    import numpy as np
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import codecs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(3 * 12 * 10, dtype=np.int64)
+        vals = (ids[:, None] * 53 + i[None, :] * i[None, :]) % 256
+        payloads = [
+            codecs.encode(vals[k].astype(np.uint8).reshape(3, 12, 10), "rawu8")
+            for k in range(len(ids))
+        ]
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array([str(d) for d in ids], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+                "meta": pa.array(["{}"] * len(ids), pa.string()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    resized = multimodal.resize_stage(media, out_h=5, out_w=4)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        wts = np.arange(3 * 5 * 4, dtype=np.int64) + 1
+        ids, sums, wsums = [], [], []
+        for rid, payload, shape in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["shape"].to_pylist(),
+        ):
+            assert list(shape) == [3, 5, 4]
+            flat = np.frombuffer(payload, np.uint8).astype(np.int64)
+            ids.append(int(rid))
+            sums.append(int(flat.sum()))
+            wsums.append(int((flat * wts).sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "weighted_sum": pa.array(wsums, pa.int64()),
+            }
+        )
+
+    return resized.map_batches(summarize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
 def q_geo_open_geotiff(sf_dir: str):
     """REAL GeoTIFF bytes through the open_rasterio analogue, oracle-gated.
     Each doc becomes a georeferenced int16 GeoTIFF (closed-form pixels
@@ -1752,6 +1814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_bmp": q_multimodal_bmp,
         "multimodal_gif": q_multimodal_gif,
         "multimodal_pnm": q_multimodal_pnm,
+        "multimodal_resize": q_multimodal_resize,
         "dedup_exact": q_dedup_exact,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -2663,6 +2726,21 @@ FROM documents d, LATERAL (
          CAST(MIN((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_min,
          CAST(MAX((d.doc_id * 43 + i * i) % 256) AS BIGINT) AS pixel_max
   FROM generate_series(0, 339) t(i)
+) s
+""",
+        "multimodal_resize": """
+SELECT d.doc_id, s.pixel_sum, s.weighted_sum
+FROM documents d, LATERAL (
+  SELECT CAST(SUM(v) AS BIGINT) AS pixel_sum,
+         CAST(SUM(v * (b.b * 20 + r.r * 4 + c.c + 1)) AS BIGINT)
+           AS weighted_sum
+  FROM generate_series(0, 2) b(b)
+  CROSS JOIN generate_series(0, 4) r(r)
+  CROSS JOIN generate_series(0, 3) c(c),
+  LATERAL (
+    SELECT b.b * 120 + ((r.r * 12) // 5) * 10 + ((c.c * 10) // 4) AS i
+  ) si,
+  LATERAL (SELECT (d.doc_id * 53 + si.i * si.i) % 256 AS v) sv
 ) s
 """,
         "multimodal_pnm": """
