@@ -31,6 +31,25 @@ import pyarrow.parquet as pq
 _FSL_KEY = b"rioxarray_ray:fixed_size_list"
 
 
+def _fsl_chunk_to_list(chunk: pa.Array) -> pa.Array:
+    """fixed_size_list chunk -> list chunk with CANONICAL zero-length null
+    slots.  A plain ``.cast`` keeps list_size-long offsets under null
+    entries whenever a chunk mixes valid and null slots (Ray's groupby
+    take does exactly that), and parquet rejects "lists with non-zero
+    length null components"."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    valid = pc.is_valid(chunk).to_numpy(zero_copy_only=False)
+    size = chunk.type.list_size
+    offsets = np.zeros(len(chunk) + 1, dtype=np.int32)
+    np.cumsum(np.where(valid, size, 0).astype(np.int32), out=offsets[1:])
+    values = pc.list_flatten(chunk)  # valid slots' values only
+    return pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()), values, mask=pa.array(~valid)
+    )
+
+
 def _fsl_to_list(table: pa.Table) -> pa.Table:
     for i, f in enumerate(table.schema):
         if pa.types.is_fixed_size_list(f.type):
@@ -38,9 +57,16 @@ def _fsl_to_list(table: pa.Table) -> pa.Table:
                 f.name, pa.list_(f.type.value_type),
                 metadata={_FSL_KEY: str(f.type.list_size).encode()},
             )
-            table = table.set_column(
-                i, new_f, table[f.name].cast(new_f.type)
+            col = table[f.name]
+            chunks = (
+                col.chunks if isinstance(col, pa.ChunkedArray) else [col]
             )
+            new_col = pa.chunked_array(
+                [_fsl_chunk_to_list(c) for c in chunks]
+                or [pa.array([], new_f.type)],
+                new_f.type,
+            )
+            table = table.set_column(i, new_f, new_col)
     return table
 
 

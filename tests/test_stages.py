@@ -1397,3 +1397,44 @@ def test_zonal_stats_plans_agree_and_fold_partials(rds):
         for gid, a in acc.items()
     )
     assert b == expect
+
+
+def test_job_entry_run_job_resumes(ray_session, tmp_path):
+    """scripts/job_entry.py::run_job — the ``ray job submit`` payload —
+    completes, appends per-run metrics, and resumes from the manifest
+    (north rule: lineage + metrics, restart without recompute)."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "job_entry",
+        os.path.join(
+            os.path.dirname(__file__), "..", "scripts", "job_entry.py"
+        ),
+    )
+    job_entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job_entry)
+
+    out = str(tmp_path / "job")
+    m1 = job_entry.run_job(300, out, concurrency=2, n_geoms=20)
+    assert m1["complete"]
+    assert sorted(m1["written"]) == ["0", "1", "2"]
+
+    m2 = job_entry.run_job(300, out, concurrency=2, n_geoms=20)
+    assert m2["complete"]
+    assert m2["written"] == []
+    assert sorted(m2["skipped"]) == ["0", "1", "2"]
+
+    with open(os.path.join(out, "_metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert len(recs) == 2
+    assert recs[0]["partitions_written_this_run"] == 3
+    assert recs[1]["partitions_skipped_resume"] == 3
+    assert all(r["complete"] for r in recs)
+
+    from rioxarray_ray.state.manifest import PartitionManifest
+
+    lineage = PartitionManifest(out).lineage()
+    assert {r["partition_key"] for r in lineage} == {"0", "1", "2"}
+    assert all(r["rows"] > 0 and r["wall_ms"] >= 0 for r in lineage)
