@@ -264,6 +264,52 @@ def q_geo_zonal_stats(sf_dir: str):
                              zero_copy_batch=True)
 
 
+def q_geo_point_sample(sf_dir: str):
+    """Raster value extraction at vector point locations (the reference's
+    ``rds.sel(x, y, method="nearest")`` recipe), oracle-gated EXACTLY:
+    the corpus points sit on pixel centers, so DuckDB maps each point to
+    its global pixel index, joins the regenerated pixel spec, and must
+    reproduce the engine's sampled value bit-for-bit (-999999 sentinel
+    when the point lands in the nodata disc).  Engine side is
+    stages/join.point_sample: broadcast point index, tiles stream,
+    only (point, band, value) rows leave the actors.  Restricted to
+    doc_id < 448 (wider than geo_zonal_stats: this oracle only probes
+    single pixels, so DuckDB's regeneration stays cheap)."""
+    from rioxarray_ray.stages import join as jstage
+
+    tiles = _tiles_4326(sf_dir)
+
+    def keep448(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx < 448))
+
+    small = tiles.map_batches(keep448, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    samp = jstage.point_sample(
+        small, _geoms("point"), cell_res=_CELL_RES, concurrency=4
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        valid = batch["valid"].to_numpy(zero_copy_only=False)
+        pxv = np.where(valid, np.rint(vals), -999999).astype(np.int64)
+        return pa.Table.from_pydict(
+            {
+                "geom_id": batch["geom_id"],
+                "image_id": batch["image_id"],
+                "band": batch["band"],
+                "px_val": pa.array(pxv),
+            }
+        )
+
+    return samp.map_batches(finalize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_geo_knn(sf_dir: str):
     from rioxarray_ray.stages import join as jstage
 
@@ -1793,6 +1839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_rect": q_geo_pip_rect,
         "geo_pip_shuffle": q_geo_pip_shuffle,
         "geo_zonal_stats": q_geo_zonal_stats,
+        "geo_point_sample": q_geo_point_sample,
         "geo_knn": q_geo_knn,
         "geo_reproject_grid": q_geo_reproject_grid,
         "geo_downsample_avg": q_geo_downsample_avg,
@@ -2303,6 +2350,32 @@ SELECT c.geom_id,
        CAST(COALESCE(v.min_inside, -999999) AS BIGINT) AS min_inside,
        CAST(COALESCE(v.max_inside, -999999) AS BIGINT) AS max_inside
 FROM counts c LEFT JOIN vals v USING (geom_id)
+""",
+        "geo_point_sample": f"""
+WITH {_allpx_cte("doc_id < 448 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT *, (idx % 64) * w AS gx0, ((idx // 64) % 64) * h AS gy0 FROM img
+),
+{_GEOMS_CTE.strip().lstrip()},
+pts AS (
+  SELECT geom_id,
+         CAST(floor((px + 6e1) / 5e-3) AS BIGINT) AS gpx,
+         CAST(floor((4e1 - py) / 5e-3) AS BIGINT) AS gpy
+  FROM points
+),
+hits AS (
+  SELECT p.geom_id, i.image_id, i.idx, i.band_count,
+         p.gpx - i.gx0 AS c, p.gpy - i.gy0 AS r
+  FROM pts p JOIN imj i
+    ON p.gpx >= i.gx0 AND p.gpx < i.gx0 + i.w
+   AND p.gpy >= i.gy0 AND p.gpy < i.gy0 + i.h
+)
+SELECT h.geom_id, h.image_id, CAST(b.b AS INT) AS band,
+       CAST(COALESCE(a.px, -999999) AS BIGINT) AS px_val
+FROM hits h
+CROSS JOIN LATERAL (SELECT unnest(range(0, h.band_count)) AS b) b
+LEFT JOIN allpx a
+  ON a.idx = h.idx AND a.b = b.b AND a.r = h.r AND a.c = h.c
 """,
         "geo_clip_geometry": _CLIP_GEOM_SQL,
         "geo_knn": f"""

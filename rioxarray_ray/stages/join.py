@@ -618,3 +618,127 @@ def zonal_stats(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+POINT_SAMPLE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("geom_id", pa.string()),
+        ("band", pa.int32()),
+        ("value", pa.float64()),
+        ("valid", pa.bool_()),
+    ]
+)
+
+
+class PointSampleActor:
+    """Broadcast point-sample worker: raster value extraction at vector
+    point locations — the reference recipe ``rds.sel(x=..., y=...,
+    method="nearest")`` over a ``rio``-georeferenced array (xarray nearest
+    indexing on the x/y coords rioxarray attaches in
+    /root/reference/rioxarray/_io.py:399-440), a.k.a. rasterio's
+    ``DatasetReader.sample``.
+
+    Same two-phase plan as PIPJoinActor: the small point side is indexed by
+    coarse cell ONCE per actor (cell of the point + 1 ring, so a tile whose
+    CENTROID cell neighbors the point's cell still finds it); tiles stream
+    through, and only (point, band, value) rows leave — never pixels.  For
+    an unbounded point side, co-shuffle on cell exactly as
+    ``pip_join_shuffle`` does; broadcast is the right plan while points fit
+    an actor's heap (the north rule's small-side rule).
+    """
+
+    def __init__(self, point_rows, cell_res: int = CELL_RES):
+        self.cell_res = cell_res
+        self.by_cell: dict[int, list[int]] = {}
+        self.ids: list[str] = []
+        lons: list[float] = []
+        lats: list[float] = []
+        for g in point_rows:
+            geom = geom_mod.parse_geometry(g["geometry"])
+            if geom["type"] != "Point":
+                continue
+            i = len(self.ids)
+            self.ids.append(g["geom_id"])
+            lon, lat = geom["coordinates"]
+            lons.append(float(lon))
+            lats.append(float(lat))
+            for cell_ in geometry_cells(geom, cell_res):
+                self.by_cell.setdefault(cell_, []).append(i)
+        self.lon = np.asarray(lons, dtype=np.float64)
+        self.lat = np.asarray(lats, dtype=np.float64)
+        self._cell_set = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..kernels.nodata import valid_mask
+        from .schema import pixel_views
+
+        if self._cell_set is None:
+            self._cell_set = pa.array(sorted(self.by_cell), type=pa.int64())
+        batch = batch.filter(pc.is_in(batch["cell"], value_set=self._cell_set))
+        if batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=POINT_SAMPLE_SCHEMA)
+        out = []
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            cand = self.by_cell.get(int(row["cell"]), ())
+            if not cand:
+                continue
+            idx = np.asarray(cand, dtype=np.int64)
+            c = crs_mod.from_user_input(row["crs"]) if row["crs"] else None
+            if c is not None and c.is_projected:
+                xs, ys = c.forward(self.lon[idx], self.lat[idx])
+            else:
+                xs, ys = self.lon[idx], self.lat[idx]
+            cols, rows_ = aff.apply_inverse(tuple(row["transform"]), xs, ys)
+            ci = np.floor(cols).astype(np.int64)
+            ri = np.floor(rows_).astype(np.int64)
+            inb = (ci >= 0) & (ci < row["w"]) & (ri >= 0) & (ri < row["h"])
+            if not inb.any():
+                continue
+            nod = row["nodata"]
+            if nod != nod:  # NaN sentinel (see _refine_tile)
+                nod = (
+                    None
+                    if np.dtype(row["dtype"]).kind in "iu"
+                    else float("nan")
+                )
+            vm = valid_mask(pixels, nod)
+            for k in np.nonzero(inb)[0]:
+                r_, c_ = int(ri[k]), int(ci[k])
+                for b in range(pixels.shape[0]):
+                    out.append(
+                        {
+                            "image_id": row["image_id"],
+                            "tile_row": row["tile_row"],
+                            "tile_col": row["tile_col"],
+                            "geom_id": self.ids[int(idx[k])],
+                            "band": b,
+                            "value": float(pixels[b, r_, c_]),
+                            "valid": bool(vm[b, r_, c_]),
+                        }
+                    )
+        return pa.Table.from_pylist(out, schema=POINT_SAMPLE_SCHEMA)
+
+
+def point_sample(
+    tiles_ds,
+    point_rows,
+    cell_res: int = CELL_RES,
+    concurrency=(1, 4),
+    **map_kwargs,
+):
+    """Sample raster values at point locations (one row per point x
+    covering tile x band).  See :class:`PointSampleActor`."""
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(
+        PointSampleActor,
+        fn_constructor_kwargs=dict(point_rows=point_rows, cell_res=cell_res),
+        concurrency=concurrency,
+        **kwargs,
+    )

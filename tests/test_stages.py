@@ -1438,3 +1438,44 @@ def test_job_entry_run_job_resumes(ray_session, tmp_path):
     lineage = PartitionManifest(out).lineage()
     assert {r["partition_key"] for r in lineage} == {"0", "1", "2"}
     assert all(r["rows"] > 0 and r["wall_ms"] >= 0 for r in lineage)
+
+
+def test_point_sample_matches_bruteforce(rds):
+    """point_sample == direct whole-image pixel lookup for every
+    (point, image, band) — including projected-CRS images (the actor
+    forward-projects the lon/lat point) and nodata-disc hits."""
+    from rioxarray_ray.kernels import affine as aff
+    from rioxarray_ray.kernels import crs as crs_mod
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import join
+
+    points = [g for g in corpus.geometry_table(N_GEOMS) if g["kind"] == "point"]
+    got = {}
+    for r in join.point_sample(rds["tiles"], points, concurrency=2).take_all():
+        key = (r["geom_id"], r["image_id"], r["band"])
+        assert key not in got  # exactly one covering tile per image
+        got[key] = (r["value"], r["valid"])
+
+    expected = {}
+    for idx in range(N_IMAGES):
+        ras = corpus.raster_for(idx)
+        c = crs_mod.from_user_input(ras.crs) if ras.crs else None
+        vm = valid_mask(ras.pixels, ras.nodata)
+        for g in points:
+            lon, lat = g["geometry"]["coordinates"]
+            if c is not None and c.is_projected:
+                x, y = (float(v) for v in c.forward(np.array([lon]), np.array([lat])))
+            else:
+                x, y = lon, lat
+            col, row_ = aff.apply_inverse(tuple(np.ravel(ras.transform)) if not isinstance(ras.transform, tuple) else ras.transform, x, y)
+            ci, ri = int(np.floor(col)), int(np.floor(row_))
+            if not (0 <= ci < ras.width and 0 <= ri < ras.height):
+                continue
+            for b in range(ras.count):
+                expected[(g["geom_id"], corpus.image_id(idx), b)] = (
+                    float(ras.pixels[b, ri, ci]),
+                    bool(vm[b, ri, ci]),
+                )
+
+    assert len(expected) > 0
+    assert got == expected
