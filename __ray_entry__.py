@@ -264,6 +264,55 @@ def q_geo_zonal_stats(sf_dir: str):
                              zero_copy_batch=True)
 
 
+def q_geo_composite_median(sf_dir: str):
+    """Per-pixel median composite across overlapping scenes
+    (stages/merge.composite_median — the xarray concat+median(dim="time")
+    recipe), oracle-gated EXACTLY: DuckDB recomputes the per-global-pixel
+    median over the regenerated pixel spec and folds the same per-
+    composite-tile checksum (2x the median sum is integral, so the BIGINT
+    cast is exact on both sides).  Restricted to doc_id < 64 (the oracle
+    scans every pixel, like geo_zonal_stats)."""
+    from rioxarray_ray.stages import merge as mstage
+
+    tiles = _tiles_4326(sf_dir)
+
+    def keep64(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx < 64))
+
+    small = tiles.map_batches(keep64, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    comp = mstage.composite_median(
+        small, origin=(-60.0, 40.0), res=5e-3, comp_px=64
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        flat = batch["pixels"].combine_chunks()
+        n_pixels, sum2 = [], []
+        for i in range(batch.num_rows):
+            px = np.asarray(flat[i].values, dtype=np.float64)
+            ok = ~np.isnan(px)
+            n_pixels.append(int(ok.sum()))
+            sum2.append(int(np.rint((2.0 * px[ok]).sum())))
+        return pa.Table.from_pydict(
+            {
+                "ctx": batch["ctx"],
+                "cty": batch["cty"],
+                "band": batch["band"],
+                "n_pixels": pa.array(n_pixels, pa.int64()),
+                "sum2_median": pa.array(sum2, pa.int64()),
+                "n_values": batch["n_values"],
+            }
+        )
+
+    return comp.map_batches(summarize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_geo_point_sample(sf_dir: str):
     """Raster value extraction at vector point locations (the reference's
     ``rds.sel(x, y, method="nearest")`` recipe), oracle-gated EXACTLY:
@@ -1840,6 +1889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_shuffle": q_geo_pip_shuffle,
         "geo_zonal_stats": q_geo_zonal_stats,
         "geo_point_sample": q_geo_point_sample,
+        "geo_composite_median": q_geo_composite_median,
         "geo_knn": q_geo_knn,
         "geo_reproject_grid": q_geo_reproject_grid,
         "geo_downsample_avg": q_geo_downsample_avg,
@@ -2350,6 +2400,26 @@ SELECT c.geom_id,
        CAST(COALESCE(v.min_inside, -999999) AS BIGINT) AS min_inside,
        CAST(COALESCE(v.max_inside, -999999) AS BIGINT) AS max_inside
 FROM counts c LEFT JOIN vals v USING (geom_id)
+""",
+        "geo_composite_median": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT *, (idx % 64) * w AS gx0, ((idx // 64) % 64) * h AS gy0 FROM img
+),
+gpx AS (
+  SELECT i.gx0 + p.c AS gx, i.gy0 + p.r AS gy, p.b, p.px
+  FROM allpx p JOIN imj i ON p.idx = i.idx
+),
+med AS (
+  SELECT gx, gy, b, median(px) AS m, COUNT(*) AS nv
+  FROM gpx GROUP BY gx, gy, b
+)
+SELECT CAST(gx // 64 AS BIGINT) AS ctx, CAST(gy // 64 AS BIGINT) AS cty,
+       CAST(b AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pixels,
+       CAST(round(SUM(2 * m)) AS BIGINT) AS sum2_median,
+       CAST(SUM(nv) AS BIGINT) AS n_values
+FROM med GROUP BY 1, 2, 3
 """,
         "geo_point_sample": f"""
 WITH {_allpx_cte("doc_id < 448 AND doc_id % 7 <> 6")},

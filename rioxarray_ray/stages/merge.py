@@ -280,3 +280,148 @@ def merge_stage(
         placed.groupby("dst_tile").map_groups(reduce_tile, batch_format="pyarrow"),
         (transform, width, height),
     )
+
+
+def composite_median(
+    tiles_ds,
+    origin: tuple[float, float],
+    res: float,
+    comp_px: int = 64,
+    **map_kwargs,
+):
+    """Per-pixel MEDIAN composite across overlapping rasters on a shared
+    grid — the reference recipe ``xarray.concat([...], dim="time")
+    .median(dim="time")`` over rioxarray-opened scenes (the classic
+    cloud-free-composite; merge's method table stops at first/last/min/
+    max/sum/count because rasterio's fold is pairwise — median is NOT
+    foldable, so it needs this gather-per-pixel plan instead).
+
+    Partitioning assumption (documented per SURVEY.md §2 custom-operator
+    rule): every input tile sits on ONE global grid — axis-aligned
+    ``res``-sized pixels anchored at ``origin=(x0, y0_top)``; offsets are
+    validated to be integral and misaligned tiles raise.
+
+    100-TB shape: each input tile is SPLIT (map_batches, stateless tasks)
+    into composite-grid-aligned sub-blocks keyed by composite tile, then
+    ONE ``groupby(ctx, cty, band)`` gathers co-located sub-blocks and
+    takes the per-pixel nanmedian.  Shuffle volume = the input moved
+    exactly once; reducer memory = overlap_factor x one composite tile
+    (the number of scenes covering a spot, small in practice), NOT the
+    dataset; skew is bounded by the same factor.  Pixels ride the shuffle
+    as float64-with-NaN lists, so validity needs no side channel.
+
+    Returns one row per (composite tile, band) with any valid pixel:
+    ``(ctx, cty, band, w, h, pixels: list<double> row-major, NaN where no
+    input had a valid value, n_values: total contributing valid pixels)``.
+    """
+    import pyarrow.compute as pc
+
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    ox, oy = float(origin[0]), float(origin[1])
+    res = float(res)
+
+    def split(batch: pa.Table) -> pa.Table:
+        out = []
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            t = tuple(row["transform"])
+            if abs(t[1]) > 1e-12 or abs(t[3]) > 1e-12:
+                raise ValueError("composite_median requires axis-aligned tiles")
+            if abs(t[0] - res) > 1e-9 or abs(-t[4] - res) > 1e-9:
+                raise ValueError(
+                    f"tile resolution ({t[0]}, {t[4]}) is off the composite "
+                    f"grid res {res}"
+                )
+            gxf = (t[2] - ox) / res
+            gyf = (oy - t[5]) / res
+            gx, gy = round(gxf), round(gyf)
+            if abs(gxf - gx) > 1e-6 or abs(gyf - gy) > 1e-6:
+                raise ValueError(
+                    f"tile origin {t[2]},{t[5]} is not on the composite grid"
+                )
+            nod = row["nodata"]
+            if nod != nod:
+                nod = (
+                    None
+                    if np.dtype(row["dtype"]).kind in "iu"
+                    else float("nan")
+                )
+            vm = valid_mask(pixels, nod)
+            vals = np.where(vm, pixels.astype(np.float64), np.nan)
+            h, w = int(row["h"]), int(row["w"])
+            y_cuts = range(gy // comp_px, (gy + h - 1) // comp_px + 1)
+            x_cuts = range(gx // comp_px, (gx + w - 1) // comp_px + 1)
+            for cty in y_cuts:
+                ty0 = max(gy, cty * comp_px)
+                ty1 = min(gy + h, (cty + 1) * comp_px)
+                for ctx in x_cuts:
+                    tx0 = max(gx, ctx * comp_px)
+                    tx1 = min(gx + w, (ctx + 1) * comp_px)
+                    sub = vals[:, ty0 - gy : ty1 - gy, tx0 - gx : tx1 - gx]
+                    for b in range(sub.shape[0]):
+                        if np.isnan(sub[b]).all():
+                            continue
+                        out.append(
+                            {
+                                "ctx": int(ctx),
+                                "cty": int(cty),
+                                "band": int(b),
+                                "x0": int(tx0 - ctx * comp_px),
+                                "y0": int(ty0 - cty * comp_px),
+                                "bw": int(tx1 - tx0),
+                                "bh": int(ty1 - ty0),
+                                "vals": sub[b].ravel(),
+                            }
+                        )
+        return pa.Table.from_pydict(
+            {
+                "ctx": pa.array([r["ctx"] for r in out], pa.int64()),
+                "cty": pa.array([r["cty"] for r in out], pa.int64()),
+                "band": pa.array([r["band"] for r in out], pa.int32()),
+                "x0": pa.array([r["x0"] for r in out], pa.int32()),
+                "y0": pa.array([r["y0"] for r in out], pa.int32()),
+                "bw": pa.array([r["bw"] for r in out], pa.int32()),
+                "bh": pa.array([r["bh"] for r in out], pa.int32()),
+                "vals": pa.array(
+                    [r["vals"] for r in out], pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    def reduce(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        acc = np.full((n, comp_px, comp_px), np.nan, dtype=np.float64)
+        x0 = group["x0"].to_numpy(zero_copy_only=False)
+        y0 = group["y0"].to_numpy(zero_copy_only=False)
+        bw = group["bw"].to_numpy(zero_copy_only=False)
+        bh = group["bh"].to_numpy(zero_copy_only=False)
+        flat = group["vals"].combine_chunks()
+        for i in range(n):
+            block = np.asarray(flat[i].values).reshape(int(bh[i]), int(bw[i]))
+            acc[i, y0[i] : y0[i] + bh[i], x0[i] : x0[i] + bw[i]] = block
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN cols
+            med = np.nanmedian(acc, axis=0)
+        n_values = int(np.sum(~np.isnan(acc)))
+        return pa.Table.from_pydict(
+            {
+                "ctx": pa.array([int(group["ctx"][0].as_py())], pa.int64()),
+                "cty": pa.array([int(group["cty"][0].as_py())], pa.int64()),
+                "band": pa.array([int(group["band"][0].as_py())], pa.int32()),
+                "w": pa.array([comp_px], pa.int32()),
+                "h": pa.array([comp_px], pa.int32()),
+                "pixels": pa.array([med.ravel()], pa.list_(pa.float64())),
+                "n_values": pa.array([n_values], pa.int64()),
+            }
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    blocks = tiles_ds.map_batches(split, **kwargs)
+    return blocks.groupby(["ctx", "cty", "band"]).map_groups(
+        reduce, batch_format="pyarrow"
+    )

@@ -1479,3 +1479,93 @@ def test_point_sample_matches_bruteforce(rds):
 
     assert len(expected) > 0
     assert got == expected
+
+
+def test_composite_median_matches_bruteforce(rds):
+    """composite_median == direct nanmedian over a brute-force global
+    mosaic of the same scenes (overlapping corpus layout, both bands)."""
+    import pyarrow.compute as pc
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import merge as mstage
+
+    n_sub = 12  # brute-force dense stack is O(images x global grid)
+
+    def keep4326(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((idx % 7 != 6) & (idx < n_sub)))
+
+    tiles = rds["tiles"].map_batches(
+        keep4326, batch_format="pyarrow", zero_copy_batch=True
+    )
+    comp = mstage.composite_median(
+        tiles, origin=(-60.0, 40.0), res=5e-3, comp_px=64
+    ).take_all()
+    assert len(comp) > 0
+
+    # brute force: stack every scene's valid pixels onto the global grid
+    res = 5e-3
+    layers = {}  # (idx) -> (gx, gy, vals(bands,h,w) NaN-masked)
+    max_b = 0
+    gx1 = gy1 = 0
+    for idx in range(n_sub):
+        if idx % 7 == 6:
+            continue
+        ras = corpus.raster_for(idx)
+        gx = round((ras.transform[2] + 60.0) / res)
+        gy = round((40.0 - ras.transform[5]) / res)
+        vals = np.where(
+            valid_mask(ras.pixels, ras.nodata),
+            ras.pixels.astype(np.float64),
+            np.nan,
+        )
+        layers[idx] = (gx, gy, vals)
+        max_b = max(max_b, vals.shape[0])
+        gx1 = max(gx1, gx + vals.shape[2])
+        gy1 = max(gy1, gy + vals.shape[1])
+    import warnings
+
+    expected = {}
+    stack_count = np.zeros((max_b, gy1, gx1), dtype=np.int64)
+    # per-pixel gather: collect all values per global pixel via a dense
+    # (layers, ...) stack — fine at test scale
+    dense = np.full((len(layers), max_b, gy1, gx1), np.nan)
+    for li, (gx, gy, vals) in enumerate(layers.values()):
+        b, h, w = vals.shape
+        dense[li, :b, gy : gy + h, gx : gx + w] = vals
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        gmed = np.nanmedian(dense, axis=0)
+    gcount = np.sum(~np.isnan(dense), axis=0)
+
+    for r in comp:
+        ctx, cty, b = r["ctx"], r["cty"], r["band"]
+        px = np.asarray(r["pixels"], dtype=np.float64).reshape(64, 64)
+        win_med = np.full((64, 64), np.nan)
+        win_cnt = np.zeros((64, 64), dtype=np.int64)
+        y0, x0 = cty * 64, ctx * 64
+        y1, x1 = min(y0 + 64, gy1), min(x0 + 64, gx1)
+        if y0 < gy1 and x0 < gx1:
+            win_med[: y1 - y0, : x1 - x0] = gmed[b, y0:y1, x0:x1]
+            win_cnt[: y1 - y0, : x1 - x0] = gcount[b, y0:y1, x0:x1]
+        # engine NaNs where count==0; values equal elsewhere
+        assert np.array_equal(np.isnan(px), win_cnt == 0)
+        ok = win_cnt > 0
+        assert np.array_equal(px[ok], win_med[ok])
+        assert r["n_values"] == int(win_cnt.sum())
+
+
+def test_composite_median_rejects_misaligned(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.stages import decode, merge as mstage, tile
+
+    ds = rd.from_arrow(corpus.corpus_table(range(2)))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64)
+    with pytest.raises(Exception) as ei:
+        mstage.composite_median(
+            tiles, origin=(-60.0 + 1.3e-3, 40.0), res=5e-3
+        ).take_all()
+    assert "composite grid" in str(ei.value)
