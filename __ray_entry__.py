@@ -264,6 +264,92 @@ def q_geo_zonal_stats(sf_dir: str):
                              zero_copy_batch=True)
 
 
+def q_geo_focal_mean(sf_dir: str):
+    """Focal (3x3 moving-window) statistics via halo'd tiles
+    (stages/focal.focal_mean_stage — xarray's rolling(...).mean() recipe,
+    zero-shuffle), oracle-gated EXACTLY: DuckDB recomputes every valid
+    pixel's windowed sum/count with a 3x3 offset self-join over the
+    regenerated pixel spec and folds per-(image, band) integer checksums,
+    including a position-weighted sum so halo/crop misalignment breaks
+    the hash.  Restricted to doc_id < 16 (the oracle shifts every pixel
+    9x; a shift->groupby, not a self-join probe — the probe form made
+    DuckDB materialize a 44 GB intermediate)."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import focal as fstage
+    from rioxarray_ray.stages import tile as tstage
+
+    n = min(_ndocs(sf_dir), 16)
+    ds = fpipe.read_corpus(n, override_num_blocks=8)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    small = ds.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tiles = tstage.tile_stage(
+        dstage.decode_stage(small), tile_size=_TILE, cell_res=_CELL_RES,
+        halo=1,
+    )
+    rows = fstage.focal_mean_stage(tiles, radius=1)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        fs = batch["focal_sum"].combine_chunks()
+        fc = batch["focal_cnt"].combine_chunks()
+        mn = batch["mean"].combine_chunks()
+        ro = batch["win_row_off"].to_numpy(zero_copy_only=False)
+        co = batch["win_col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        out = {"image_id": [], "band": [], "n_valid": [], "sum_fsum": [],
+               "sum_fcnt": [], "wsum_fsum": []}
+        ids = batch["image_id"].to_pylist()
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            s = np.asarray(fs[i].values, dtype=np.float64).reshape(h, w)
+            c = np.asarray(fc[i].values, dtype=np.int64).reshape(h, w)
+            valid = ~np.isnan(
+                np.asarray(mn[i].values, dtype=np.float64).reshape(h, w)
+            )
+            gr = np.arange(h, dtype=np.int64)[:, None] + int(ro[i])
+            gc = np.arange(w, dtype=np.int64)[None, :] + int(co[i])
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            si = np.rint(s).astype(np.int64)
+            out["image_id"].append(ids[i])
+            out["band"].append(int(bands[i]))
+            out["n_valid"].append(int(valid.sum()))
+            out["sum_fsum"].append(int(si[valid].sum()))
+            out["sum_fcnt"].append(int(c[valid].sum()))
+            out["wsum_fsum"].append(int((si[valid] * wgt[valid]).sum()))
+        return pa.Table.from_pydict(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "band": pa.array(out["band"], pa.int32()),
+                "n_valid": pa.array(out["n_valid"], pa.int64()),
+                "sum_fsum": pa.array(out["sum_fsum"], pa.int64()),
+                "sum_fcnt": pa.array(out["sum_fcnt"], pa.int64()),
+                "wsum_fsum": pa.array(out["wsum_fsum"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partial = rows.map_batches(summarize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return partial.groupby(["image_id", "band"]).aggregate(
+        Sum("n_valid", alias_name="n_valid"),
+        Sum("sum_fsum", alias_name="sum_fsum"),
+        Sum("sum_fcnt", alias_name="sum_fcnt"),
+        Sum("wsum_fsum", alias_name="wsum_fsum"),
+    )
+
+
 def q_geo_composite_median(sf_dir: str):
     """Per-pixel median composite across overlapping scenes
     (stages/merge.composite_median — the xarray concat+median(dim="time")
@@ -1890,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_zonal_stats": q_geo_zonal_stats,
         "geo_point_sample": q_geo_point_sample,
         "geo_composite_median": q_geo_composite_median,
+        "geo_focal_mean": q_geo_focal_mean,
         "geo_knn": q_geo_knn,
         "geo_reproject_grid": q_geo_reproject_grid,
         "geo_downsample_avg": q_geo_downsample_avg,
@@ -2400,6 +2487,34 @@ SELECT c.geom_id,
        CAST(COALESCE(v.min_inside, -999999) AS BIGINT) AS min_inside,
        CAST(COALESCE(v.max_inside, -999999) AS BIGINT) AS max_inside
 FROM counts c LEFT JOIN vals v USING (geom_id)
+""",
+        "geo_focal_mean": f"""
+WITH {_allpx_cte("doc_id < 16 AND doc_id % 7 <> 6")},
+offs AS (
+  SELECT dr.dr, dc.dc
+  FROM (SELECT unnest(range(-1, 2)) AS dr) dr,
+       (SELECT unnest(range(-1, 2)) AS dc) dc
+),
+shifted AS (
+  SELECT idx, b, r + o.dr AS r, c + o.dc AS c, px
+  FROM allpx CROSS JOIN offs o
+),
+agg AS (
+  SELECT idx, b, r, c, SUM(px) AS fsum, COUNT(*) AS fcnt
+  FROM shifted GROUP BY 1, 2, 3, 4
+),
+nbr AS (
+  SELECT a.image_id, a.b, a.r, a.c, g.fsum, g.fcnt
+  FROM allpx a JOIN agg g
+    ON g.idx = a.idx AND g.b = a.b AND g.r = a.r AND g.c = a.c
+)
+SELECT image_id, CAST(b AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(fsum) AS BIGINT) AS sum_fsum,
+       CAST(SUM(fcnt) AS BIGINT) AS sum_fcnt,
+       CAST(SUM(fsum * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_fsum
+FROM nbr GROUP BY 1, 2
 """,
         "geo_composite_median": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},

@@ -1569,3 +1569,53 @@ def test_composite_median_rejects_misaligned(ray_session):
             tiles, origin=(-60.0 + 1.3e-3, 40.0), res=5e-3
         ).take_all()
     assert "composite grid" in str(ei.value)
+
+
+def test_focal_mean_tiled_equals_whole_image(ray_session):
+    """Halo'd tiled focal mean == whole-image focal pass, for every
+    pixel of mixed-size images incl. a 3-band one and nodata discs."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import decode, focal, tile
+
+    ids = [0, 2, 3, 8]  # idx 0 is 3-band
+    ds = rd.from_arrow(corpus.corpus_table(ids))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64, halo=2)
+    rows = focal.focal_mean_stage(tiles, radius=2, concurrency=2).take_all()
+    assert len(rows) > 0
+
+    for idx in ids:
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        s_ref, c_ref = focal.focal_sum_count(ras.pixels, vm, 2)
+        seen = np.zeros(ras.pixels.shape, dtype=bool)
+        for r in rows:
+            if r["image_id"] != corpus.image_id(idx):
+                continue
+            b = r["band"]
+            h, w, r0, c0 = r["h"], r["w"], r["win_row_off"], r["win_col_off"]
+            s = np.asarray(r["focal_sum"]).reshape(h, w)
+            c = np.asarray(r["focal_cnt"]).reshape(h, w)
+            m = np.asarray(r["mean"]).reshape(h, w)
+            assert np.array_equal(s, s_ref[b, r0 : r0 + h, c0 : c0 + w])
+            assert np.array_equal(c, c_ref[b, r0 : r0 + h, c0 : c0 + w])
+            core_vm = vm[b, r0 : r0 + h, c0 : c0 + w]
+            assert np.array_equal(np.isnan(m), ~core_vm)
+            assert np.array_equal(
+                m[core_vm], (s / np.maximum(c, 1))[core_vm]
+            )
+            seen[b, r0 : r0 + h, c0 : c0 + w] = True
+        assert seen.all()  # cores exactly partition the image
+
+
+def test_focal_mean_requires_halo(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.stages import decode, focal, tile
+
+    ds = rd.from_arrow(corpus.corpus_table([3]))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64, halo=1)
+    with pytest.raises(Exception) as ei:
+        focal.focal_mean_stage(tiles, radius=3).take_all()
+    assert "halo" in str(ei.value)
