@@ -350,6 +350,89 @@ def q_geo_focal_mean(sf_dir: str):
     )
 
 
+def q_geo_terrain(sf_dir: str):
+    """Slope/aspect/hillshade (stages/focal.terrain_stage, Horn's method
+    over halo'd tiles), oracle-gated on the EXACT INTEGER Horn gradient
+    numerators: DuckDB re-derives gx/gy per interior all-valid pixel via
+    the same shift->groupby the focal oracle uses (weights folded in at
+    shift time) and folds per-(image, band) integer checksums including a
+    position-weighted sum.  The trig outputs (slope/aspect/hillshade) are
+    pure per-pixel functions of these gated numerators — pytest pins them
+    against closed-form plane rasters."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import focal as fstage
+    from rioxarray_ray.stages import tile as tstage
+
+    n = min(_ndocs(sf_dir), 16)
+    ds = fpipe.read_corpus(n, override_num_blocks=8)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    small = ds.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tiles = tstage.tile_stage(
+        dstage.decode_stage(small), tile_size=_TILE, cell_res=_CELL_RES,
+        halo=1,
+    )
+    rows = fstage.terrain_stage(tiles)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        gxs = batch["gx_num"].combine_chunks()
+        gys = batch["gy_num"].combine_chunks()
+        ro = batch["win_row_off"].to_numpy(zero_copy_only=False)
+        co = batch["win_col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        ids = batch["image_id"].to_pylist()
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        out = {"image_id": [], "band": [], "n_interior": [],
+               "sum_gx": [], "sum_gy": [], "wsum_gx": []}
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            gx = np.asarray(gxs[i].values, dtype=np.float64).reshape(h, w)
+            gy = np.asarray(gys[i].values, dtype=np.float64).reshape(h, w)
+            ok = ~np.isnan(gx)
+            gr = np.arange(h, dtype=np.int64)[:, None] + int(ro[i])
+            gc = np.arange(w, dtype=np.int64)[None, :] + int(co[i])
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            gxi = np.rint(np.where(ok, gx, 0.0)).astype(np.int64)
+            gyi = np.rint(np.where(ok, gy, 0.0)).astype(np.int64)
+            out["image_id"].append(ids[i])
+            out["band"].append(int(bands[i]))
+            out["n_interior"].append(int(ok.sum()))
+            out["sum_gx"].append(int(gxi[ok].sum()))
+            out["sum_gy"].append(int(gyi[ok].sum()))
+            out["wsum_gx"].append(int((gxi[ok] * wgt[ok]).sum()))
+        return pa.Table.from_pydict(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "band": pa.array(out["band"], pa.int32()),
+                "n_interior": pa.array(out["n_interior"], pa.int64()),
+                "sum_gx": pa.array(out["sum_gx"], pa.int64()),
+                "sum_gy": pa.array(out["sum_gy"], pa.int64()),
+                "wsum_gx": pa.array(out["wsum_gx"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    partial = rows.map_batches(summarize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return partial.groupby(["image_id", "band"]).aggregate(
+        Sum("n_interior", alias_name="n_interior"),
+        Sum("sum_gx", alias_name="sum_gx"),
+        Sum("sum_gy", alias_name="sum_gy"),
+        Sum("wsum_gx", alias_name="wsum_gx"),
+    )
+
+
 def q_geo_composite_median(sf_dir: str):
     """Per-pixel median composite across overlapping scenes
     (stages/merge.composite_median — the xarray concat+median(dim="time")
@@ -1977,6 +2060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_point_sample": q_geo_point_sample,
         "geo_composite_median": q_geo_composite_median,
         "geo_focal_mean": q_geo_focal_mean,
+        "geo_terrain": q_geo_terrain,
         "geo_knn": q_geo_knn,
         "geo_reproject_grid": q_geo_reproject_grid,
         "geo_downsample_avg": q_geo_downsample_avg,
@@ -2487,6 +2571,39 @@ SELECT c.geom_id,
        CAST(COALESCE(v.min_inside, -999999) AS BIGINT) AS min_inside,
        CAST(COALESCE(v.max_inside, -999999) AS BIGINT) AS max_inside
 FROM counts c LEFT JOIN vals v USING (geom_id)
+""",
+        "geo_terrain": f"""
+WITH {_allpx_cte("doc_id < 16 AND doc_id % 7 <> 6")},
+offs AS (
+  SELECT dr.dr, dc.dc
+  FROM (SELECT unnest(range(-1, 2)) AS dr) dr,
+       (SELECT unnest(range(-1, 2)) AS dc) dc
+),
+shifted AS (
+  -- a source pixel shifted by (dr, dc) sits at relative offset
+  -- (-dr, -dc) from its target: Horn weights folded in at shift time
+  SELECT idx, b, r + o.dr AS r, c + o.dc AS c,
+         px * ((-o.dc) * (2 - abs(o.dr))) AS wxv,
+         px * ((-o.dr) * (2 - abs(o.dc))) AS wyv
+  FROM allpx CROSS JOIN offs o
+),
+agg AS (
+  SELECT idx, b, r, c, SUM(wxv) AS gx, SUM(wyv) AS gy, COUNT(*) AS fcnt
+  FROM shifted GROUP BY 1, 2, 3, 4
+),
+nbr AS (
+  SELECT a.image_id, a.b, a.r, a.c, g.gx, g.gy
+  FROM allpx a JOIN agg g
+    ON g.idx = a.idx AND g.b = a.b AND g.r = a.r AND g.c = a.c
+  WHERE g.fcnt = 9
+)
+SELECT image_id, CAST(b AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(gx) AS BIGINT) AS sum_gx,
+       CAST(SUM(gy) AS BIGINT) AS sum_gy,
+       CAST(SUM(gx * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_gx
+FROM nbr GROUP BY 1, 2
 """,
         "geo_focal_mean": f"""
 WITH {_allpx_cte("doc_id < 16 AND doc_id % 7 <> 6")},

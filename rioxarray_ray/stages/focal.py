@@ -117,3 +117,159 @@ def focal_mean_stage(tiles_ds, radius: int = 1, **map_kwargs):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return tiles_ds.map_batches(run, **kwargs)
+
+
+TERRAIN_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("band", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("gx_num", pa.list_(pa.float64())),
+        ("gy_num", pa.list_(pa.float64())),
+        ("slope_deg", pa.list_(pa.float64())),
+        ("aspect_deg", pa.list_(pa.float64())),
+        ("hillshade", pa.list_(pa.float64())),
+    ]
+)
+
+#: Horn 1981 3x3 gradient kernels (the GDALDEM / xrspatial convention):
+#: gx_num = (z_ne + 2 z_e + z_se) - (z_nw + 2 z_w + z_sw), y points DOWN
+#: the row axis (north up in the raster), so gy_num is the same stencil
+#: transposed.  dz/dx = gx_num / (8 * xres).
+_HORN_X = {(-1, 1): 1.0, (0, 1): 2.0, (1, 1): 1.0,
+           (-1, -1): -1.0, (0, -1): -2.0, (1, -1): -1.0}
+_HORN_Y = {(1, -1): 1.0, (1, 0): 2.0, (1, 1): 1.0,
+           (-1, -1): -1.0, (-1, 0): -2.0, (-1, 1): -1.0}
+
+
+def horn_gradients(values: np.ndarray, vm: np.ndarray):
+    """(gx_num, gy_num, interior) per pixel: Horn stencil numerators, and
+    the mask of pixels whose FULL 3x3 window is in-array AND valid (the
+    only pixels the stencil is defined on — edge/nodata-adjacent pixels
+    are masked, matching the oracle's count-9 rule)."""
+    b, h, w = values.shape
+    z = np.where(vm, values.astype(np.float64), 0.0)
+    zp = np.pad(z, ((0, 0), (1, 1), (1, 1)))
+    vp = np.pad(vm.astype(np.int64), ((0, 0), (1, 1), (1, 1)))
+    gx = np.zeros((b, h, w), dtype=np.float64)
+    gy = np.zeros_like(gx)
+    cnt = np.zeros((b, h, w), dtype=np.int64)
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            sh_z = zp[:, 1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            cnt += vp[:, 1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            wx = _HORN_X.get((dr, dc))
+            if wx:
+                gx += wx * sh_z
+            wy = _HORN_Y.get((dr, dc))
+            if wy:
+                gy += wy * sh_z
+    return gx, gy, cnt == 9
+
+
+def terrain_stage(tiles_ds, z_factor: float = 1.0, azimuth: float = 315.0,
+                  altitude: float = 45.0, **map_kwargs):
+    """Slope / aspect / hillshade from halo'd tiles — the GDALDEM /
+    xrspatial terrain recipe over a rioxarray-opened DEM, Horn's method.
+
+    Same zero-shuffle shape as :func:`focal_mean_stage` (each tile's core
+    is exact from its halo; halo >= 1 validated).  Cell size comes from
+    each tile's own transform.  Emits per (tile, band): the INTEGER Horn
+    numerators ``gx_num``/``gy_num`` (exact for integer rasters — the
+    oracle-gateable part) plus derived ``slope_deg`` / ``aspect_deg``
+    (gdaldem convention: 0=N, clockwise, -9999 on flat) / ``hillshade``
+    (0..255); all NaN outside the interior-and-valid mask.
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in TERRAIN_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            cr, cc = row["core_roff"], row["core_coff"]
+            ch, cw = row["core_h"], row["core_w"]
+            for off, name in ((cr, "row"), (cc, "col")):
+                if off < 1 and row[f"win_{name}_off"] != off:
+                    raise ValueError(
+                        "terrain_stage needs tiles cut with halo >= 1"
+                    )
+            nod = row["nodata"]
+            if nod != nod:
+                nod = (
+                    None
+                    if np.dtype(row["dtype"]).kind in "iu"
+                    else float("nan")
+                )
+            vm = valid_mask(pixels, nod)
+            gx, gy, interior = horn_gradients(pixels, vm)
+            t = tuple(row["transform"])
+            xres, yres = abs(t[0]), abs(t[4])
+            sl = (cr, cr + ch, cc, cc + cw)
+            for b in range(pixels.shape[0]):
+                gxb = gx[b, sl[0] : sl[1], sl[2] : sl[3]]
+                gyb = gy[b, sl[0] : sl[1], sl[2] : sl[3]]
+                ok = interior[b, sl[0] : sl[1], sl[2] : sl[3]]
+                dzdx = z_factor * gxb / (8.0 * xres)
+                dzdy = z_factor * gyb / (8.0 * yres)
+                slope = np.degrees(np.arctan(np.hypot(dzdx, dzdy)))
+                # gdaldem aspect: bearing the slope FACES (downslope),
+                # 0 = north, clockwise; flat -> -9999.  Downslope vector
+                # in geographic components: east = -dzdx, north = +dzdy
+                # (+row = south), bearing = atan2(east, north).
+                asp = np.degrees(np.arctan2(-dzdx, dzdy))
+                asp = np.where(asp < 0.0, asp + 360.0, asp)
+                flat = (gxb == 0.0) & (gyb == 0.0)
+                asp = np.where(flat, -9999.0, asp)
+                zen = np.radians(90.0 - altitude)
+                azr = np.radians(azimuth)
+                sr = np.radians(slope)
+                # aspect measured from north clockwise; hillshade formula
+                # wants the trig aspect — use components directly
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    denom = np.hypot(dzdx, dzdy)
+                    hs = 255.0 * (
+                        np.cos(zen) * np.cos(sr)
+                        + np.sin(zen)
+                        * np.sin(sr)
+                        * np.where(
+                            denom > 0,
+                            (
+                                np.sin(azr) * np.divide(
+                                    -dzdx, denom,
+                                    out=np.zeros_like(dzdx), where=denom > 0)
+                                + np.cos(azr) * np.divide(
+                                    dzdy, denom,
+                                    out=np.zeros_like(dzdy), where=denom > 0)
+                            ),
+                            0.0,
+                        )
+                    )
+                hs = np.clip(hs, 0.0, 255.0)
+                nanf = lambda a: np.where(ok, a, np.nan)
+                out["image_id"].append(row["image_id"])
+                out["tile_row"].append(row["tile_row"])
+                out["tile_col"].append(row["tile_col"])
+                out["band"].append(b)
+                out["win_row_off"].append(row["win_row_off"])
+                out["win_col_off"].append(row["win_col_off"])
+                out["h"].append(ch)
+                out["w"].append(cw)
+                out["gx_num"].append(nanf(gxb).ravel())
+                out["gy_num"].append(nanf(gyb).ravel())
+                out["slope_deg"].append(nanf(slope).ravel())
+                out["aspect_deg"].append(nanf(asp).ravel())
+                out["hillshade"].append(nanf(hs).ravel())
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in TERRAIN_SCHEMA],
+            schema=TERRAIN_SCHEMA,
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(run, **kwargs)
