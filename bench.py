@@ -143,6 +143,9 @@ def run_bench() -> dict:
         "geo_downsample_avg",
         "geo_merge",
         "geo_clip_geometry",
+        "geo_composite_median",
+        "geo_focal_mean",
+        "geo_point_sample",
         "dedup_exact",
         "dedup_minhash",
         "embedding_near_dup",
