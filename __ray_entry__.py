@@ -482,6 +482,30 @@ def q_geo_composite_median(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_geo_change_crosstab(sf_dir: str):
+    """Cross-scene change-detection contingency table
+    (stages/merge.change_crosstab — align scenes on the shared grid,
+    crosstab co-located pixel classes per scene pair), oracle-gated
+    EXACTLY: DuckDB self-joins the regenerated pixel spec on global pixel
+    identity and groups by the same floor(px/256) classes (floor, not
+    DuckDB's truncating // — they differ on negatives).  doc_id < 64."""
+    from rioxarray_ray.stages import merge as mstage
+
+    tiles = _tiles_4326(sf_dir)
+
+    def keep64(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx < 64))
+
+    small = tiles.map_batches(keep64, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return mstage.change_crosstab(
+        small, origin=(-60.0, 40.0), res=5e-3, comp_px=64, bucket=256.0
+    )
+
+
 def q_geo_point_sample(sf_dir: str):
     """Raster value extraction at vector point locations (the reference's
     ``rds.sel(x, y, method="nearest")`` recipe), oracle-gated EXACTLY:
@@ -2058,6 +2082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_pip_shuffle": q_geo_pip_shuffle,
         "geo_zonal_stats": q_geo_zonal_stats,
         "geo_point_sample": q_geo_point_sample,
+        "geo_change_crosstab": q_geo_change_crosstab,
         "geo_composite_median": q_geo_composite_median,
         "geo_focal_mean": q_geo_focal_mean,
         "geo_terrain": q_geo_terrain,
@@ -2571,6 +2596,23 @@ SELECT c.geom_id,
        CAST(COALESCE(v.min_inside, -999999) AS BIGINT) AS min_inside,
        CAST(COALESCE(v.max_inside, -999999) AS BIGINT) AS max_inside
 FROM counts c LEFT JOIN vals v USING (geom_id)
+""",
+        "geo_change_crosstab": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT *, (idx % 64) * w AS gx0, ((idx // 64) % 64) * h AS gy0 FROM img
+),
+gpx AS (
+  SELECT p.idx, i.image_id, i.gx0 + p.c AS gx, i.gy0 + p.r AS gy, p.b, p.px
+  FROM allpx p JOIN imj i ON p.idx = i.idx
+)
+SELECT a.image_id AS image_a, b.image_id AS image_b, CAST(a.b AS INT) AS band,
+       CAST(floor(a.px / 2.56e2) AS BIGINT) AS class_a,
+       CAST(floor(b.px / 2.56e2) AS BIGINT) AS class_b,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM gpx a JOIN gpx b
+  ON a.gx = b.gx AND a.gy = b.gy AND a.b = b.b AND a.idx < b.idx
+GROUP BY 1, 2, 3, 4, 5
 """,
         "geo_terrain": f"""
 WITH {_allpx_cte("doc_id < 16 AND doc_id % 7 <> 6")},

@@ -282,40 +282,11 @@ def merge_stage(
     )
 
 
-def composite_median(
-    tiles_ds,
-    origin: tuple[float, float],
-    res: float,
-    comp_px: int = 64,
-    **map_kwargs,
-):
-    """Per-pixel MEDIAN composite across overlapping rasters on a shared
-    grid — the reference recipe ``xarray.concat([...], dim="time")
-    .median(dim="time")`` over rioxarray-opened scenes (the classic
-    cloud-free-composite; merge's method table stops at first/last/min/
-    max/sum/count because rasterio's fold is pairwise — median is NOT
-    foldable, so it needs this gather-per-pixel plan instead).
-
-    Partitioning assumption (documented per SURVEY.md §2 custom-operator
-    rule): every input tile sits on ONE global grid — axis-aligned
-    ``res``-sized pixels anchored at ``origin=(x0, y0_top)``; offsets are
-    validated to be integral and misaligned tiles raise.
-
-    100-TB shape: each input tile is SPLIT (map_batches, stateless tasks)
-    into composite-grid-aligned sub-blocks keyed by composite tile, then
-    ONE ``groupby(ctx, cty, band)`` gathers co-located sub-blocks and
-    takes the per-pixel nanmedian.  Shuffle volume = the input moved
-    exactly once; reducer memory = overlap_factor x one composite tile
-    (the number of scenes covering a spot, small in practice), NOT the
-    dataset; skew is bounded by the same factor.  Pixels ride the shuffle
-    as float64-with-NaN lists, so validity needs no side channel.
-
-    Returns one row per (composite tile, band) with any valid pixel:
-    ``(ctx, cty, band, w, h, pixels: list<double> row-major, NaN where no
-    input had a valid value, n_values: total contributing valid pixels)``.
-    """
-    import pyarrow.compute as pc
-
+def _grid_split_fn(origin, res: float, comp_px: int):
+    """map_batches fn: split tiles on a shared global grid into
+    composite-tile-aligned sub-blocks (float64 values, NaN = invalid),
+    keyed (ctx, cty, band) and carrying the source image_id.  Shared by
+    composite_median and change_crosstab — one split, two reducers."""
     from ..kernels.nodata import valid_mask
     from .schema import pixel_views
 
@@ -328,7 +299,7 @@ def composite_median(
         for row, pixels in zip(meta, pixel_views(batch)):
             t = tuple(row["transform"])
             if abs(t[1]) > 1e-12 or abs(t[3]) > 1e-12:
-                raise ValueError("composite_median requires axis-aligned tiles")
+                raise ValueError("grid split requires axis-aligned tiles")
             if abs(t[0] - res) > 1e-9 or abs(-t[4] - res) > 1e-9:
                 raise ValueError(
                     f"tile resolution ({t[0]}, {t[4]}) is off the composite "
@@ -365,6 +336,7 @@ def composite_median(
                             continue
                         out.append(
                             {
+                                "image_id": row["image_id"],
                                 "ctx": int(ctx),
                                 "cty": int(cty),
                                 "band": int(b),
@@ -377,6 +349,9 @@ def composite_median(
                         )
         return pa.Table.from_pydict(
             {
+                "image_id": pa.array(
+                    [r["image_id"] for r in out], pa.string()
+                ),
                 "ctx": pa.array([r["ctx"] for r in out], pa.int64()),
                 "cty": pa.array([r["cty"] for r in out], pa.int64()),
                 "band": pa.array([r["band"] for r in out], pa.int32()),
@@ -389,6 +364,43 @@ def composite_median(
                 ),
             }
         )
+
+    return split
+
+
+def composite_median(
+    tiles_ds,
+    origin: tuple[float, float],
+    res: float,
+    comp_px: int = 64,
+    **map_kwargs,
+):
+    """Per-pixel MEDIAN composite across overlapping rasters on a shared
+    grid — the reference recipe ``xarray.concat([...], dim="time")
+    .median(dim="time")`` over rioxarray-opened scenes (the classic
+    cloud-free-composite; merge's method table stops at first/last/min/
+    max/sum/count because rasterio's fold is pairwise — median is NOT
+    foldable, so it needs this gather-per-pixel plan instead).
+
+    Partitioning assumption (documented per SURVEY.md §2 custom-operator
+    rule): every input tile sits on ONE global grid — axis-aligned
+    ``res``-sized pixels anchored at ``origin=(x0, y0_top)``; offsets are
+    validated to be integral and misaligned tiles raise.
+
+    100-TB shape: each input tile is SPLIT (map_batches, stateless tasks)
+    into composite-grid-aligned sub-blocks keyed by composite tile, then
+    ONE ``groupby(ctx, cty, band)`` gathers co-located sub-blocks and
+    takes the per-pixel nanmedian.  Shuffle volume = the input moved
+    exactly once; reducer memory = overlap_factor x one composite tile
+    (the number of scenes covering a spot, small in practice), NOT the
+    dataset; skew is bounded by the same factor.  Pixels ride the shuffle
+    as float64-with-NaN lists, so validity needs no side channel.
+
+    Returns one row per (composite tile, band) with any valid pixel:
+    ``(ctx, cty, band, w, h, pixels: list<double> row-major, NaN where no
+    input had a valid value, n_values: total contributing valid pixels)``.
+    """
+    split = _grid_split_fn(origin, res, comp_px)
 
     def reduce(group: pa.Table) -> pa.Table:
         n = group.num_rows
@@ -425,3 +437,93 @@ def composite_median(
     return blocks.groupby(["ctx", "cty", "band"]).map_groups(
         reduce, batch_format="pyarrow"
     )
+
+
+def change_crosstab(
+    tiles_ds,
+    origin: tuple[float, float],
+    res: float,
+    comp_px: int = 64,
+    bucket: float = 256.0,
+    **map_kwargs,
+):
+    """Cross-scene change-detection contingency table: for every pair of
+    scenes that overlap on the shared grid, count co-located valid pixels
+    by (class_a, class_b) where class = floor(value / bucket) — the
+    rioxarray change-detection recipe (open two scenes, align with
+    ``reproject_match``, crosstab the classified difference; e.g. the
+    reference docs' reproject_match example feeding a histogram2d).
+
+    Same split as :func:`composite_median` (one shared-grid shuffle);
+    each (composite tile, band) group pastes its scenes onto per-image
+    canvases and crosstabs every scene pair where both are valid —
+    overlap_factor^2 pair work on ONE 64x64 tile per group, then a tiny
+    ``groupby`` folds partial counts.  Nothing image-sized shuffles twice.
+
+    Returns (image_a, image_b, band, class_a, class_b, n) with
+    image_a < image_b (lexicographic = corpus id order).
+    """
+    split = _grid_split_fn(origin, res, comp_px)
+
+    def crosstab(group: pa.Table) -> pa.Table:
+        ids = group["image_id"].to_pylist()
+        x0 = group["x0"].to_numpy(zero_copy_only=False)
+        y0 = group["y0"].to_numpy(zero_copy_only=False)
+        bw = group["bw"].to_numpy(zero_copy_only=False)
+        bh = group["bh"].to_numpy(zero_copy_only=False)
+        flat = group["vals"].combine_chunks()
+        canvases: dict[str, np.ndarray] = {}
+        for i in range(group.num_rows):
+            cv = canvases.get(ids[i])
+            if cv is None:
+                cv = np.full((comp_px, comp_px), np.nan)
+                canvases[ids[i]] = cv
+            block = np.asarray(flat[i].values).reshape(int(bh[i]), int(bw[i]))
+            cv[y0[i] : y0[i] + bh[i], x0[i] : x0[i] + bw[i]] = block
+        band = int(group["band"][0].as_py())
+        out = {"image_a": [], "image_b": [], "band": [], "class_a": [],
+               "class_b": [], "n": []}
+        names = sorted(canvases)
+        for ia in range(len(names)):
+            for ib in range(ia + 1, len(names)):
+                a, b = canvases[names[ia]], canvases[names[ib]]
+                both = ~np.isnan(a) & ~np.isnan(b)
+                if not both.any():
+                    continue
+                ca = np.floor(a[both] / bucket).astype(np.int64)
+                cb = np.floor(b[both] / bucket).astype(np.int64)
+                # pack pair-class codes, count in one pass
+                key = (ca - ca.min()) * (cb.max() - cb.min() + 1) + (
+                    cb - cb.min()
+                )
+                uniq, cnt = np.unique(key, return_counts=True)
+                span = cb.max() - cb.min() + 1
+                for k, c in zip(uniq, cnt):
+                    out["image_a"].append(names[ia])
+                    out["image_b"].append(names[ib])
+                    out["band"].append(band)
+                    out["class_a"].append(int(k // span + ca.min()))
+                    out["class_b"].append(int(k % span + cb.min()))
+                    out["n"].append(int(c))
+        return pa.Table.from_pydict(
+            {
+                "image_a": pa.array(out["image_a"], pa.string()),
+                "image_b": pa.array(out["image_b"], pa.string()),
+                "band": pa.array(out["band"], pa.int32()),
+                "class_a": pa.array(out["class_a"], pa.int64()),
+                "class_b": pa.array(out["class_b"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    blocks = tiles_ds.map_batches(split, **kwargs)
+    partial = blocks.groupby(["ctx", "cty", "band"]).map_groups(
+        crosstab, batch_format="pyarrow"
+    )
+    return partial.groupby(
+        ["image_a", "image_b", "band", "class_a", "class_b"]
+    ).aggregate(Sum("n", alias_name="n"))

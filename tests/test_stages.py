@@ -1692,3 +1692,69 @@ def test_terrain_gdaldem_conventions(ray_session):
             assert np.all((hs[ok] >= 0.0) & (hs[ok] <= 255.0))
             seen[b, r0 : r0 + h, c0 : c0 + w] = True
         assert seen.all()
+
+
+def test_change_crosstab_matches_bruteforce(rds):
+    """change_crosstab == direct pairwise histogram over the global-grid
+    layers (every overlapping scene pair, both valid, floor classes)."""
+    import pyarrow.compute as pc
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import merge as mstage
+
+    n_sub = 12
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((idx % 7 != 6) & (idx < n_sub)))
+
+    tiles = rds["tiles"].map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    got = {}
+    for r in mstage.change_crosstab(
+        tiles, origin=(-60.0, 40.0), res=5e-3, bucket=256.0
+    ).take_all():
+        key = (r["image_a"], r["image_b"], r["band"],
+               r["class_a"], r["class_b"])
+        assert key not in got
+        got[key] = r["n"]
+    assert len(got) > 0
+
+    res = 5e-3
+    layers = {}
+    for idx in range(n_sub):
+        if idx % 7 == 6:
+            continue
+        ras = corpus.raster_for(idx)
+        gx = round((ras.transform[2] + 60.0) / res)
+        gy = round((40.0 - ras.transform[5]) / res)
+        vals = np.where(
+            valid_mask(ras.pixels, ras.nodata),
+            ras.pixels.astype(np.float64),
+            np.nan,
+        )
+        layers[corpus.image_id(idx)] = (gx, gy, vals)
+
+    expected = {}
+    names = sorted(layers)
+    for ia in range(len(names)):
+        for ib in range(ia + 1, len(names)):
+            (ax, ay, av), (bx, by, bv) = layers[names[ia]], layers[names[ib]]
+            # overlap rect in global pixel coords
+            x0, x1 = max(ax, bx), min(ax + av.shape[2], bx + bv.shape[2])
+            y0, y1 = max(ay, by), min(ay + av.shape[1], by + bv.shape[1])
+            if x0 >= x1 or y0 >= y1:
+                continue
+            for b in range(min(av.shape[0], bv.shape[0])):
+                aa = av[b, y0 - ay : y1 - ay, x0 - ax : x1 - ax]
+                bb = bv[b, y0 - by : y1 - by, x0 - bx : x1 - bx]
+                both = ~np.isnan(aa) & ~np.isnan(bb)
+                ca = np.floor(aa[both] / 256.0).astype(np.int64)
+                cb = np.floor(bb[both] / 256.0).astype(np.int64)
+                for va, vb in zip(ca, cb):
+                    k = (names[ia], names[ib], b, int(va), int(vb))
+                    expected[k] = expected.get(k, 0) + 1
+    assert got == expected
