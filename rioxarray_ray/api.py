@@ -414,9 +414,12 @@ class RasterDataset:
         return set(self.ds.select_columns(["crs"]).unique("crs"))
 
     # ---- structure ------------------------------------------------------
-    def tile(self, tile_size: int = 64, cell_res: int = CELL_RES) -> "RasterDataset":
+    def tile(self, tile_size: int = 64, cell_res: int = CELL_RES,
+             halo: int = 0) -> "RasterDataset":
         return self._wrap(
-            tile_stage_mod.tile_stage(self.ds, tile_size=tile_size, cell_res=cell_res)
+            tile_stage_mod.tile_stage(
+                self.ds, tile_size=tile_size, cell_res=cell_res, halo=halo
+            )
         )
 
     def band_as_variable(self) -> "RasterDataset":
@@ -573,6 +576,40 @@ class RasterDataset:
 
     def knn_join(self, point_rows, k=3, **kwargs):
         return join_mod.knn_join(self.ds, point_rows, k=k, **kwargs)
+
+    def zonal_stats(self, geom_rows, **kwargs):
+        return join_mod.zonal_stats(self.ds, geom_rows, **kwargs)
+
+    def sample_points(self, point_rows, **kwargs):
+        """Raster values at point locations (sel(x, y, method='nearest'))."""
+        return join_mod.point_sample(self.ds, point_rows, **kwargs)
+
+    # ---- rolling-window / multi-scene analysis --------------------------
+    def focal_mean(self, radius: int = 1, **kwargs):
+        """Moving-window mean; call on halo'd tiles (``tile_halo`` or
+        ``tile(...)`` with halo >= radius)."""
+        from .stages import focal as focal_mod
+
+        return focal_mod.focal_mean_stage(self.ds, radius=radius, **kwargs)
+
+    def terrain(self, **kwargs):
+        """Horn slope/aspect/hillshade; call on halo'd tiles (halo >= 1)."""
+        from .stages import focal as focal_mod
+
+        return focal_mod.terrain_stage(self.ds, **kwargs)
+
+    def composite_median(self, origin, res, comp_px: int = 64, **kwargs):
+        """Per-pixel median composite across scenes on a shared grid."""
+        return merge_stage_mod.composite_median(
+            self.ds, origin, res, comp_px=comp_px, **kwargs
+        )
+
+    def change_crosstab(self, origin, res, comp_px: int = 64,
+                        bucket: float = 256.0, **kwargs):
+        """Scene-pair contingency table of co-located pixel classes."""
+        return merge_stage_mod.change_crosstab(
+            self.ds, origin, res, comp_px=comp_px, bucket=bucket, **kwargs
+        )
 
     # ---- consumption ----------------------------------------------------
     def bounds_table(self):

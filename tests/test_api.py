@@ -375,3 +375,40 @@ def test_open_images_mixed_wild_formats(ray_session):
     bad = rd.from_items([{"image_id": "x", "payload": b"\x99garbage"}])
     with pytest.raises(Exception, match="unrecognized payload format"):
         api.open_images(bad).ds.take_all()
+
+
+def test_accessor_analysis_wrappers(ray_session):
+    """The chainable accessor exposes the round-4 analysis ops and they
+    agree with the underlying stages on row counts."""
+    from rioxarray_ray import api
+    from rioxarray_ray.sources import corpus
+
+    rds = api.open_corpus(8)
+    halo_tiles = rds.tile(64, halo=1)
+    fm = halo_tiles.focal_mean(radius=1)
+    tr = halo_tiles.terrain()
+    assert fm.count() == tr.count() > 0
+
+    import pyarrow.compute as pc
+    import pyarrow as pa
+
+    def keep4326(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    flat = api.wrap(
+        rds.tile(64).ds.map_batches(
+            keep4326, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    comp = flat.composite_median(origin=(-60.0, 40.0), res=5e-3)
+    xt = flat.change_crosstab(origin=(-60.0, 40.0), res=5e-3)
+    assert comp.count() > 0
+    assert xt.count() >= 0  # 8 images may or may not overlap
+
+    points = [g for g in corpus.geometry_table(40) if g["kind"] == "point"]
+    samp = flat.sample_points(points)
+    assert samp.count() >= 0
