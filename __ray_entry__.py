@@ -1754,6 +1754,21 @@ def q_text_sample(sf_dir: str):
     ).select_columns(["doc_id", "n_tokens"])
 
 
+def q_text_stratified_sample(sf_dir: str):
+    """Per-language quota sample (functions/sample.stratified_sample):
+    the class-balanced subsetting step — membership = the 5 smallest
+    (md5_number_upper(seed:doc_id), doc_id) rows per lang, a proper
+    combiner plan (each batch emits <= 5 rows per lang, one groupby
+    merges partials).  SQL mirror is a window row_number <= 5."""
+    from rioxarray_ray.functions import sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    out = sample.stratified_sample(
+        ds, group_col="lang", n_per_group=5, key_col="doc_id", seed=7
+    )
+    return out.select_columns(["lang", "doc_id"])
+
+
 def q_text_token_topk(sf_dir: str):
     """Global top-50 token frequencies (functions/text.token_topk): the
     vocabulary heavy-hitter pipeline — per-batch value_counts partials,
@@ -2128,6 +2143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_sample": q_text_sample,
+        "text_stratified_sample": q_text_stratified_sample,
         "text_token_topk": q_text_token_topk,
         "events_asof_orders": q_events_asof_orders,
         "text_length_quantiles": q_text_length_quantiles,
@@ -3272,6 +3288,17 @@ SELECT doc_id,
        END AS n_tokens
 FROM documents
 WHERE md5_number_upper('7:' || CAST(doc_id AS VARCHAR)) % 1000 < 200
+""",
+        "text_stratified_sample": """
+WITH d AS (
+  SELECT doc_id, lang, md5_number_upper('7:' || doc_id) AS u
+  FROM documents
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk
+  FROM d
+)
+SELECT lang, doc_id FROM r WHERE rk <= 5
 """,
         "text_token_topk": """
 WITH toks AS (

@@ -85,3 +85,78 @@ def quantiles_disc(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99)):
         out_v.append(cur[col])
     return pa.table({"q": pa.array(out_q, pa.float64()),
                      "value": pa.array(out_v)})
+
+
+def rank_u64(keys, seed: int = 0) -> np.ndarray:
+    """Deterministic uint64 rank per key: md5_number_upper(f"{seed}:{key}")
+    — same hash family as :func:`sample_mask`, so membership and ranking
+    share one SQL-mirrorable primitive."""
+    from ._arrowbytes import utf8_views
+
+    n = len(keys)
+    pref = pa.array([f"{seed}:"] * n, pa.string())
+    salted = pc.binary_join_element_wise(pref, pc.cast(keys, pa.string()), "")
+    out = np.empty(n, dtype=np.uint64)
+    for i, v in enumerate(utf8_views(salted)):
+        out[i] = int.from_bytes(hashlib.md5(v).digest()[:8], "little")
+    return out
+
+
+def _top_n_per_group(grp: np.ndarray, u: np.ndarray, keys: np.ndarray,
+                     n_per_group: int) -> np.ndarray:
+    """Indices of the n smallest (u, key) rows per group — vectorized
+    (lexsort + change-point scan), no per-group python loop."""
+    n = len(grp)
+    order = np.lexsort((keys, u, grp))
+    g_sorted = grp[order]
+    new_grp = np.ones(n, dtype=bool)
+    new_grp[1:] = g_sorted[1:] != g_sorted[:-1]
+    starts = np.where(new_grp, np.arange(n), 0)
+    starts = np.maximum.accumulate(starts)
+    within = np.arange(n) - starts
+    return order[within < n_per_group]
+
+
+def stratified_sample(ds, group_col: str, n_per_group: int,
+                      key_col: str = "doc_id", seed: int = 0):
+    """Exact deterministic per-group quota sample ("n docs per language"
+    — the class-balanced subsetting step of a training-data pipeline).
+
+    Membership = the ``n_per_group`` smallest ``(rank_u64(key), key)``
+    rows of each group — content-stable like :func:`hash_sample`
+    (partitioning / block order / cluster size never change the sample).
+
+    100-TB shape: top-n per group is a proper COMBINER — each map batch
+    emits at most n rows per group it contains, then ONE
+    ``groupby(group)`` merges partials and keeps the global top n.
+    Shuffle volume <= n x groups x blocks, never the data; no driver
+    state.  Equivalent SQL: ``row_number() OVER (PARTITION BY grp ORDER
+    BY md5_number_upper(seed || ':' || key), key) <= n``.
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "_srank", pa.array([], pa.uint64())
+            )
+        u = rank_u64(batch[key_col], seed)
+        grp = np.asarray(batch[group_col].to_numpy(zero_copy_only=False))
+        keys = np.asarray(batch[key_col].to_numpy(zero_copy_only=False))
+        keep = _top_n_per_group(grp, u, keys, n_per_group)
+        keep.sort()
+        return batch.take(pa.array(keep)).append_column(
+            "_srank", pa.array(u[keep], pa.uint64())
+        )
+
+    def final(group: pa.Table) -> pa.Table:
+        u = group["_srank"].to_numpy(zero_copy_only=False)
+        keys = np.asarray(group[key_col].to_numpy(zero_copy_only=False))
+        order = np.lexsort((keys, u))[:n_per_group]
+        order.sort()
+        return group.take(pa.array(order)).drop_columns(["_srank"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return part.groupby(group_col).map_groups(final, batch_format="pyarrow")

@@ -543,3 +543,42 @@ def test_quantiles_disc_matches_sorted_positions(ray_session):
     for r in out:
         pos = max(1, math.ceil(r["q"] * len(vals)))
         assert r["value"] == svals[pos - 1], r
+
+
+def test_stratified_sample_partition_invariant(ray_session):
+    """Same sample regardless of block layout; exactly n per group (or
+    the whole group when smaller); combiner partials never exceed n per
+    group per batch."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import sample
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr"][i % 3]} for i in range(90)
+    ] + [{"doc_id": 1000, "lang": "tiny"}]
+    a = rd.from_items(rows, override_num_blocks=1)
+    b = rd.from_items(rows[::-1], override_num_blocks=13)
+
+    def key_set(ds):
+        out = sample.stratified_sample(
+            ds, group_col="lang", n_per_group=4, key_col="doc_id", seed=3
+        ).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["lang"], set()).add(r["doc_id"])
+        return got
+
+    ga, gb = key_set(a), key_set(b)
+    assert ga == gb
+    assert all(len(v) == 4 for k, v in ga.items() if k != "tiny")
+    assert ga["tiny"] == {1000}
+
+    # membership matches the documented rule exactly
+    from rioxarray_ray.functions.sample import rank_u64
+    import pyarrow as pa
+
+    for lang in ("en", "de", "fr"):
+        ids = [r["doc_id"] for r in rows if r["lang"] == lang]
+        u = rank_u64(pa.array(ids), seed=3)
+        expect = {i for _, i in sorted(zip(u, ids))[:4]}
+        assert ga[lang] == expect
