@@ -527,3 +527,50 @@ def change_crosstab(
     return partial.groupby(
         ["image_a", "image_b", "band", "class_a", "class_b"]
     ).aggregate(Sum("n", alias_name="n"))
+
+
+def composite_to_rasters(comp_ds, origin: tuple[float, float], res: float,
+                         crs: str = "EPSG:4326", **map_kwargs):
+    """Lift :func:`composite_median` rows into RASTER_SCHEMA rows so the
+    composite chains back into the rest of the engine (reproject, clip,
+    write_parquet / open_parquet, merge) like any other raster: one
+    single-band float64 raster per (composite tile, band), georeferenced
+    from the composite grid, nodata = NaN where no scene was valid."""
+    from .schema import RASTER_SCHEMA, pixels_to_bytes
+
+    ox, oy = float(origin[0]), float(origin[1])
+    res = float(res)
+
+    def lift(batch: pa.Table) -> pa.Table:
+        rows = []
+        flat = batch["pixels"].combine_chunks()
+        ctxs = batch["ctx"].to_numpy(zero_copy_only=False)
+        ctys = batch["cty"].to_numpy(zero_copy_only=False)
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            px = np.asarray(flat[i].values, dtype=np.float64).reshape(1, h, w)
+            ctx, cty, b = int(ctxs[i]), int(ctys[i]), int(bands[i])
+            rows.append(
+                {
+                    "image_id": f"composite/{ctx}/{cty}/b{b}",
+                    "band_count": 1,
+                    "h": h,
+                    "w": w,
+                    "dtype": "float64",
+                    "nodata": float("nan"),
+                    "crs": crs,
+                    "transform": [res, 0.0, ox + ctx * w * res,
+                                  0.0, -res, oy - cty * h * res],
+                    "pixels": pixels_to_bytes(px),
+                    "caption": "",
+                    "phash": 0,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=RASTER_SCHEMA)
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return comp_ds.map_batches(lift, **kwargs)

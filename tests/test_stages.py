@@ -1758,3 +1758,50 @@ def test_change_crosstab_matches_bruteforce(rds):
                     k = (names[ia], names[ib], b, int(va), int(vb))
                     expected[k] = expected.get(k, 0) + 1
     assert got == expected
+
+
+def test_composite_to_rasters_chains_into_engine(rds, tmp_path):
+    """Lifted composite rows are real RASTER_SCHEMA rows: they round-trip
+    parquet and georeference the median values on the composite grid."""
+    import pyarrow.compute as pc
+
+    from rioxarray_ray import api
+    from rioxarray_ray.stages import merge as mstage
+    from rioxarray_ray.stages.schema import row_to_raster
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((idx % 7 != 6) & (idx < 8)))
+
+    tiles = rds["tiles"].map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    comp = mstage.composite_median(tiles, origin=(-60.0, 40.0), res=5e-3)
+    by_key = {
+        (r["ctx"], r["cty"], r["band"]): np.asarray(r["pixels"])
+        for r in comp.take_all()
+    }
+    lifted = mstage.composite_to_rasters(
+        mstage.composite_median(tiles, origin=(-60.0, 40.0), res=5e-3),
+        origin=(-60.0, 40.0),
+        res=5e-3,
+    )
+    out = str(tmp_path / "comp")
+    api.wrap(lifted).write_parquet(out)
+    back = api.open_parquet(out)
+    n = 0
+    for row in back.take_all():
+        _, ctx, cty, btag = row["image_id"].split("/")
+        key = (int(ctx), int(cty), int(btag[1:]))
+        ras = row_to_raster(row)
+        ref = by_key[key].reshape(ras.pixels.shape[1:])
+        got = ras.pixels[0]
+        assert np.array_equal(np.isnan(got), np.isnan(ref))
+        m = ~np.isnan(ref)
+        assert np.array_equal(got[m], ref[m])
+        # georeference: tile origin on the composite grid
+        assert abs(ras.transform[2] - (-60.0 + key[0] * 64 * 5e-3)) < 1e-12
+        n += 1
+    assert n == len(by_key) > 0
