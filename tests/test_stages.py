@@ -1805,3 +1805,34 @@ def test_composite_to_rasters_chains_into_engine(rds, tmp_path):
         assert abs(ras.transform[2] - (-60.0 + key[0] * 64 * 5e-3)) < 1e-12
         n += 1
     assert n == len(by_key) > 0
+
+
+def test_manifest_crash_simulation_stale_tmp_and_partial(tmp_path):
+    """A crash mid-write leaves a stale .tmp dir and/or a half-written
+    marker .tmp — the next run must treat the partition as INCOMPLETE,
+    overwrite the debris, and complete atomically."""
+    import os
+
+    from rioxarray_ray.state.manifest import PartitionManifest
+
+    root = str(tmp_path / "out")
+    m = PartitionManifest(root)
+
+    # crash 1: data tmp dir exists with garbage, no marker
+    stale = m.partition_dir("x") + ".tmp"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "data.parquet"), "w") as f:
+        f.write("GARBAGE-NOT-PARQUET")
+    assert m.completed_keys() == set()  # debris is not completion
+
+    # crash 2: marker tmp exists (fsync'd marker never renamed)
+    with open(os.path.join(m.manifest_dir, "y.json.tmp"), "w") as f:
+        f.write('{"partition_key": "y"')  # truncated json
+    assert m.completed_keys() == set()
+
+    t = pa.table({"v": [1, 2, 3]})
+    m.write_partition("x", t)
+    m.write_partition("y", t)
+    assert m.completed_keys() == {"x", "y"}
+    assert m.read_partition("x").num_rows == 3
+    assert not os.path.exists(stale)  # debris replaced by the real dir
