@@ -378,8 +378,9 @@ def composite_median(
     """Per-pixel MEDIAN composite across overlapping rasters on a shared
     grid — the reference recipe ``xarray.concat([...], dim="time")
     .median(dim="time")`` over rioxarray-opened scenes (the classic
-    cloud-free-composite; merge's method table stops at first/last/min/
-    max/sum/count because rasterio's fold is pairwise — median is NOT
+    cloud-free composite; the reference's own merge stops at
+    first/last/min/max/sum/count — /root/reference/rioxarray/merge.py:96,125-127
+    passes `method` straight to rasterio's pairwise copyto fold, and median is NOT pairwise-
     foldable, so it needs this gather-per-pixel plan instead).
 
     Partitioning assumption (documented per SURVEY.md §2 custom-operator
@@ -450,9 +451,10 @@ def change_crosstab(
     """Cross-scene change-detection contingency table: for every pair of
     scenes that overlap on the shared grid, count co-located valid pixels
     by (class_a, class_b) where class = floor(value / bucket) — the
-    rioxarray change-detection recipe (open two scenes, align with
-    ``reproject_match``, crosstab the classified difference; e.g. the
-    reference docs' reproject_match example feeding a histogram2d).
+    rioxarray change-detection recipe: open two scenes, align with
+    ``reproject_match`` (/root/reference/docs/examples/reproject_match.ipynb
+    — the documented way to put two rasters on one grid), then crosstab
+    the classified pair (numpy histogram2d over the aligned arrays).
 
     Same split as :func:`composite_median` (one shared-grid shuffle);
     each (composite tile, band) group pastes its scenes onto per-image
