@@ -2007,6 +2007,22 @@ def q_ann_topk_ivf_exhaustive(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_events_topk_per_user(sf_dir: str):
+    """Top-3 events per user by value (functions/agg.topk_per_group):
+    the generic window row_number()<=k shape as a COMBINER plan — each
+    batch emits <= k rows per user, ONE groupby merges partials.  Pure
+    ordering, no arithmetic, so the double column gates bit-exactly."""
+    from rioxarray_ray.functions import agg
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "event_id", "value"])
+    out = agg.topk_per_group(
+        ds, group_col="user_id", order_col="value", k=3,
+        descending=True, tiebreak_col="event_id",
+    )
+    return out.select_columns(["user_id", "event_id", "value"])
+
+
 def q_events_window(sf_dir: str):
     from rioxarray_ray.functions import events
 
@@ -2147,6 +2163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_topk": q_text_token_topk,
         "events_asof_orders": q_events_asof_orders,
         "text_length_quantiles": q_text_length_quantiles,
+        "events_topk_per_user": q_events_topk_per_user,
         "events_window": q_events_window,
         "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
@@ -3441,6 +3458,16 @@ r AS (
 )
 SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM r
 WHERE rank <= {_ANN_K}
+""",
+        "events_topk_per_user": """
+WITH r AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id
+         ) AS rk
+  FROM events
+)
+SELECT user_id, event_id, value FROM r WHERE rk <= 3
 """,
         "events_window": """
 SELECT user_id, date_trunc('hour', ts) AS win,

@@ -582,3 +582,40 @@ def test_stratified_sample_partition_invariant(ray_session):
         u = rank_u64(pa.array(ids), seed=3)
         expect = {i for _, i in sorted(zip(u, ids))[:4]}
         assert ga[lang] == expect
+
+
+def test_topk_per_group_partition_invariant_and_ties(ray_session):
+    """Combiner top-k == brute force regardless of block layout; repeated
+    order values break ties by the tiebreak column; NaN orders last."""
+    import math
+
+    import ray.data as rd
+
+    from rioxarray_ray.functions import agg
+
+    rows = []
+    for i in range(60):
+        rows.append({"g": i % 4, "id": i, "v": float(i % 7)})
+    rows.append({"g": 0, "id": 999, "v": math.nan})
+    a = rd.from_items(rows, override_num_blocks=1)
+    b = rd.from_items(rows[::-1], override_num_blocks=11)
+
+    def got(ds):
+        out = agg.topk_per_group(
+            ds, group_col="g", order_col="v", k=3,
+            descending=True, tiebreak_col="id",
+        ).take_all()
+        res = {}
+        for r in out:
+            res.setdefault(r["g"], []).append((r["v"], r["id"]))
+        return {k: sorted(v, key=lambda t: (-t[0], t[1])) for k, v in res.items()}
+
+    ga, gb = got(a), got(b)
+    assert ga == gb
+    for g in range(4):
+        members = sorted(
+            ((r["v"], r["id"]) for r in rows
+             if r["g"] == g and not math.isnan(r["v"])),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        assert ga[g] == members  # NaN row never displaces a real value
