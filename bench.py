@@ -153,6 +153,7 @@ def run_bench() -> dict:
         "ann_topk",
         "ann_topk_blocked",
         "text_quality",
+        "events_topk_per_user",
         "events_window",
     ):
         fn = entrymod.queries()[name]
