@@ -1836,3 +1836,32 @@ def test_manifest_crash_simulation_stale_tmp_and_partial(tmp_path):
     assert m.completed_keys() == {"x", "y"}
     assert m.read_partition("x").num_rows == 3
     assert not os.path.exists(stale)  # debris replaced by the real dir
+
+
+def test_lifted_composite_reprojects(rds):
+    """Composite rows lifted to RASTER_SCHEMA flow through the warp stage
+    like any raster: float64 payload, NaN nodata propagates."""
+    import pyarrow.compute as pc
+
+    from rioxarray_ray.stages import merge as mstage, warp as wstage
+    from rioxarray_ray.stages.schema import row_to_raster
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((idx % 7 != 6) & (idx < 8)))
+
+    tiles = rds["tiles"].map_batches(
+        keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    comp = mstage.composite_median(tiles, origin=(-60.0, 40.0), res=5e-3)
+    lifted = mstage.composite_to_rasters(comp, origin=(-60.0, 40.0), res=5e-3)
+    rows = wstage.reproject_stage(lifted, "EPSG:3857", concurrency=2).take_all()
+    assert len(rows) > 0
+    n_val = 0
+    for r in rows:
+        ras = row_to_raster(r)
+        assert ras.pixels.dtype == np.float64
+        n_val += int((~np.isnan(ras.pixels)).sum())
+    assert n_val > 0
