@@ -1866,6 +1866,31 @@ def q_dedup_clusters(sf_dir: str):
     return dedup.connected_components(pairs, docs)
 
 
+def q_dedup_apply(sf_dir: str):
+    """APPLY the dedup: one canonical representative per duplicate
+    cluster, keep-rule = longest doc (n_chars), tie -> smallest doc_id —
+    the step that turns cluster labels into the deduplicated corpus.
+    Pure composition of gated operators: md5-MinHash candidates ->
+    distributed connected components -> Ray native hash join to doc
+    metadata -> grouped top-1 (functions/agg.topk_per_group).  Oracle
+    extends the dedup_clusters recursive CTE with the same window rule."""
+    from rioxarray_ray.functions import agg, dedup
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = dedup.minhash_candidates(
+        docs, num_perm=64, bands=16, gram_hash="md5"
+    )
+    cc = dedup.connected_components(pairs, docs)
+    meta = _read_pq(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "n_chars"])
+    joined = cc.join(meta, "inner", 8, on=("doc_id",))
+    best = agg.topk_per_group(
+        joined, group_col="cluster_id", order_col="n_chars", k=1,
+        descending=True, tiebreak_col="doc_id",
+    )
+    return best.select_columns(["cluster_id", "doc_id", "n_chars"])
+
+
 def q_dedup_simhash_md5(sf_dir: str):
     """Oracle-gated twin of ``dedup_simhash``: md5 gram hashes make the
     64-bit Charikar signature SQL-replicable (per-bit vote = signed sum
@@ -2145,6 +2170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_md5": q_dedup_minhash_md5,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_apply": q_dedup_apply,
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_simhash_pairs_md5": q_dedup_simhash_pairs_md5,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3533,5 +3559,30 @@ conn(n, m) AS (
 SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id,
        MIN(m) = n AS keep
 FROM conn GROUP BY n
+"""
+    sql["dedup_apply"] = f"""
+WITH RECURSIVE pairs AS ({sql["dedup_minhash_md5"]}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+conn(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, c.m FROM edges e JOIN conn c ON c.n = e.a
+),
+clusters AS (
+  SELECT n AS doc_id, MIN(m) AS cluster_id FROM conn GROUP BY n
+),
+scored AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id) AS rk
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM scored WHERE rk = 1
 """
     return sql
