@@ -1780,6 +1780,106 @@ def q_text_token_topk(sf_dir: str):
     return text.token_topk(ds, k=50)
 
 
+def _ahash_media(sf_dir: str):
+    """Shared synth for the image-dedup gates: one REAL PNG per doc
+    (kernels/png.py encoder -> from-scratch decoder in the query path),
+    closed-form pixels so DuckDB can regenerate the hash.  Docs come in
+    near-dup groups of 3: base pattern v(i) = ((doc_id//3)*53 + i*i) % 256
+    on a 1x16x16 grid; variants (doc_id%3 = 1, 2) flip one pixel
+    (i = 37 / 74, +128 mod 256) so in-group aHash hamming is tiny."""
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.kernels.png import encode_png
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(256, dtype=np.int64)
+        v = ((ids // 3)[:, None] * 53 + i[None, :] * i[None, :]) % 256
+        for k in (1, 2):
+            sel = ids % 3 == k
+            v[sel, k * 37] = (v[sel, k * 37] + 128) % 256
+        payloads = [
+            encode_png(v[r].astype(np.uint8).reshape(1, 16, 16))
+            for r in range(len(ids))
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_image_ahash(sf_dir: str):
+    """Perceptual 8x8 average-hash over real PNG bytes
+    (functions/multimodal.ahash64): integer-exact bits (block_sum x area
+    cross-multiplication), so the oracle regenerates the hash from the
+    closed-form pixels entirely in SQL."""
+    from rioxarray_ray.functions import multimodal
+
+    hashed = multimodal.ahash_stage(_ahash_media(sf_dir), id_col="media_id")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "ahash"])
+
+    return hashed.map_batches(rename, batch_format="pyarrow")
+
+
+def q_image_near_dup(sf_dir: str):
+    """Image near-duplicate pairs (functions/multimodal.image_near_dup):
+    decode -> aHash actor pool -> certified banded hamming-LSH (the
+    factored functions/dedup.banded_hamming_candidates plan).  Pixels
+    never shuffle; the oracle mirrors segment bucketing + bit_count(xor)
+    exactly (the dedup_simhash_pairs_md5 pattern)."""
+    from rioxarray_ray.functions import multimodal
+
+    pairs = multimodal.image_near_dup(
+        _ahash_media(sf_dir), id_col="media_id", max_hamming=3, bands=4
+    )
+    return pairs
+
+
+def q_text_repetition(sf_dir: str):
+    """Gopher-style repetition statistics (functions/text.repetition_batch):
+    duplicate-line counts/chars + top word-bigram frequency per document,
+    all-integer outputs so the DuckDB mirror gates bit-exactly.  Pure
+    map_batches — no shuffle."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        text.repetition_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out.select_columns(
+        ["doc_id", "n_lines", "n_distinct_lines", "line_chars",
+         "dup_line_chars", "top_bigram_count", "n_bigrams"]
+    )
+
+
+def q_text_doc_freq(sf_dir: str):
+    """Corpus document-frequency table (functions/text.doc_frequency):
+    per-batch dictionary-encoded (token, tf, df) partials, ONE Sum
+    groupby — the inverted-index statistics step of TF-IDF."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.doc_frequency(ds, min_df=2)
+
+
+def q_text_rarest_term(sf_dir: str):
+    """Most distinctive token per document (functions/text.rarest_term):
+    distinct (doc, token) explode -> native hash join to the df table ->
+    grouped top-1 by (df asc, token asc).  The integer-exact core of
+    TF-IDF ranking, mirrored by a window-ranked SQL oracle."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.rarest_term(ds, num_partitions=8)
+
+
 def q_text_ngram_jaccard(sf_dir: str):
     """Exact word-trigram Jaccard for consecutive-id doc pairs — gives the
     n-gram-Jaccard kernel its own exact SQL oracle (the LSH candidate path
@@ -2187,6 +2287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_sample": q_text_sample,
         "text_stratified_sample": q_text_stratified_sample,
         "text_token_topk": q_text_token_topk,
+        "image_ahash": q_image_ahash,
+        "image_near_dup": q_image_near_dup,
+        "text_repetition": q_text_repetition,
+        "text_doc_freq": q_text_doc_freq,
+        "text_rarest_term": q_text_rarest_term,
         "events_asof_orders": q_events_asof_orders,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
@@ -2551,6 +2656,33 @@ sh AS (
   SELECT doc_id,
          SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(b AS INT) ELSE 0 END) AS u
   FROM votes GROUP BY doc_id
+)"""
+
+
+# closed-form 1x16x16 pixel grid of the image-dedup gates (_ahash_media)
+# + the integer-exact aHash rule of functions/multimodal.ahash64:
+# bit k=(i//16//2)*8+(i%16//2) set iff block_sum * 256 > total_sum * 4
+_AHASH_CTE = """px AS (
+  SELECT d.doc_id, t.i,
+         CASE WHEN d.doc_id % 3 = 1 AND t.i = 37
+                THEN ((d.doc_id // 3) * 53 + t.i * t.i + 128) % 256
+              WHEN d.doc_id % 3 = 2 AND t.i = 74
+                THEN ((d.doc_id // 3) * 53 + t.i * t.i + 128) % 256
+              ELSE ((d.doc_id // 3) * 53 + t.i * t.i) % 256 END AS v
+  FROM documents d CROSS JOIN generate_series(0, 255) t(i)
+),
+tot AS (SELECT doc_id, SUM(v) AS ts FROM px GROUP BY doc_id),
+blk AS (
+  SELECT doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2) AS k, SUM(v) AS bs
+  FROM px GROUP BY doc_id, ((i // 16) // 2) * 8 + ((i % 16) // 2)
+),
+hb AS (
+  SELECT b.doc_id,
+         SUM(CASE WHEN b.bs * 256 > t.ts * 4
+                  THEN CAST(1 AS HUGEINT) << CAST(b.k AS INT)
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM blk b JOIN tot t ON b.doc_id = t.doc_id
+  GROUP BY b.doc_id
 )"""
 
 
@@ -3355,6 +3487,85 @@ GROUP BY token
 ORDER BY cnt DESC, token ASC
 LIMIT 50
 """,
+        # line split + per-(doc,line) group mirrors repetition_batch's
+        # dictionary-encode + composite-key unique exactly; bigrams via
+        # ordinality self-join on i+1
+        "text_repetition": r"""
+WITH l AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line
+  FROM documents
+),
+per AS (
+  SELECT doc_id, line, COUNT(*) AS c, length(line) AS len
+  FROM l GROUP BY doc_id, line
+),
+lagg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_lines,
+         CAST(SUM(c * len) AS BIGINT) AS line_chars,
+         CAST(SUM((c - 1) * len) AS BIGINT) AS dup_line_chars
+  FROM per GROUP BY doc_id
+),
+t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+') AS toks
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS i
+  FROM t
+),
+bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+gc AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY doc_id, w1, w2
+),
+bagg AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+         CAST(SUM(c) AS BIGINT) AS n_bigrams
+  FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id, l.n_lines, l.n_distinct_lines, l.line_chars,
+       l.dup_line_chars,
+       COALESCE(b.top_bigram_count, 0) AS top_bigram_count,
+       COALESCE(b.n_bigrams, 0) AS n_bigrams
+FROM documents d
+JOIN lagg l ON l.doc_id = d.doc_id
+LEFT JOIN bagg b ON b.doc_id = d.doc_id
+""",
+        "text_doc_freq": r"""
+WITH u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+'))
+           AS token
+  FROM documents
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS tf,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+FROM u GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        "text_rarest_term": r"""
+WITH u AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+'))
+           AS token
+  FROM documents
+),
+g AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM u GROUP BY token
+),
+r AS (
+  SELECT u.doc_id, u.token, g.df,
+         row_number() OVER (PARTITION BY u.doc_id
+                            ORDER BY g.df ASC, u.token ASC) AS rk
+  FROM u JOIN g ON g.token = u.token
+)
+SELECT doc_id, token, df FROM r WHERE rk = 1
+""",
         "text_tokens": r"""
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
@@ -3440,6 +3651,33 @@ SELECT doc_id,
        CAST(CASE WHEN u >= {1 << 63} THEN u - {1 << 64} ELSE u END AS BIGINT)
          AS simhash
 FROM sh
+""",
+        "image_ahash": f"""
+WITH {_AHASH_CTE}
+SELECT doc_id,
+       CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN u - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE u END AS BIGINT) AS ahash
+FROM hb
+""",
+        "image_near_dup": f"""
+WITH {_AHASH_CTE},
+segs AS (
+  SELECT doc_id, u, k.band,
+         CAST((u // (CAST(1 AS HUGEINT) << CAST(16 * k.band AS INT))) % 65536
+              AS BIGINT) AS bucket
+  FROM hb CROSS JOIN (SELECT unnest(range(4)) AS band) k
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.u AS ua, r.u AS ub
+  FROM segs l JOIN segs r ON l.band = r.band AND l.bucket = r.bucket
+                         AND l.doc_id < r.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
 """,
         "dedup_simhash_pairs_md5": f"""
 WITH {_SIMHASH_MD5_CTE},

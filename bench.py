@@ -153,6 +153,8 @@ def run_bench() -> dict:
         "ann_topk",
         "ann_topk_blocked",
         "text_quality",
+        "text_repetition",
+        "text_doc_freq",
         "events_topk_per_user",
         "events_window",
     ):

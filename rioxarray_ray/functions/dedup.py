@@ -533,6 +533,32 @@ def simhash_candidates(ds, col: str = "text", ngram: int = 2,
       the truncated tail of such a bucket can be missed unless they share
       another, smaller band bucket.
     """
+    def sigs(batch: pa.Table) -> pa.Table:
+        sig = _simhash_signatures(batch, col, ngram, gram_hash)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(sig.view(np.int64), pa.int64()),
+            }
+        )
+
+    return banded_hamming_candidates(
+        ds.map_batches(sigs, batch_format="pyarrow", zero_copy_batch=True),
+        max_hamming=max_hamming,
+        bands=bands,
+    )
+
+
+def banded_hamming_candidates(ds, id_col: str = "doc_id",
+                              hash_col: str = "simhash",
+                              max_hamming: int = 3, bands: int = 4):
+    """Generic banded hamming-LSH over PRECOMPUTED 64-bit hashes: the
+    shuffle/collect/expand machinery of :func:`simhash_candidates`,
+    factored so any 64-bit signature family (SimHash, image aHash/pHash)
+    shares the one certified plan.  Input needs (id_col, hash_col int64)
+    only — upstream projections keep payloads out of the shuffle.
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, deduplicated, with
+    the same pigeonhole certification and bucket-cap caveats."""
     from ray.data.aggregate import AggregateFn, Min
 
     assert 64 % bands == 0
@@ -547,9 +573,14 @@ def simhash_candidates(ds, col: str = "text", ngram: int = 2,
     mask = np.uint64((1 << seg_bits) - 1)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        sig = _simhash_signatures(batch, col, ngram, gram_hash)
+        sig = (
+            batch[hash_col]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+            .view(np.uint64)
+        )
         n = batch.num_rows
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         buckets = np.empty((n, bands), np.int64)
         for band in range(bands):
             seg = (sig >> np.uint64(band * seg_bits)) & mask

@@ -242,3 +242,92 @@ def frame_sample_stage(ds, every_nth: int = 10, concurrency=(1, 2)):
         )
 
     return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ahash64(arr: np.ndarray) -> np.int64:
+    """8x8 average hash (aHash) of a decoded (bands, h, w) image —
+    the classic perceptual fingerprint for image near-dup detection.
+
+    Integer-exact so a SQL oracle can mirror it bit-for-bit: grayscale =
+    SUM over bands (no float luma weights), block edges r_k = k*h//8
+    (any h, w >= 8), and bit(br, bc) = 1 iff the block mean STRICTLY
+    exceeds the image mean, compared by integer cross-multiplication
+    (block_sum * total_area > total_sum * block_area) — no division, no
+    float rounding.  Bit k = br*8 + bc; returned as the signed int64
+    view of the uint64 hash (Arrow-friendly, same convention as SimHash).
+    """
+    b, h, w = arr.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"ahash64 needs h, w >= 8, got {h}x{w}")
+    if h * w > 1 << 26:
+        raise ValueError(
+            f"ahash64 int64 cross-multiplication bound exceeded for "
+            f"{h}x{w}; downsample first (resize_stage)"
+        )
+    gray = arr.astype(np.int64).sum(axis=0)
+    p = np.zeros((h + 1, w + 1), np.int64)
+    np.cumsum(np.cumsum(gray, axis=0), axis=1, out=p[1:, 1:])
+    re = (np.arange(9) * h) // 8
+    ce = (np.arange(9) * w) // 8
+    ps = p[re][:, ce]  # (9, 9) prefix sums at block corners
+    block_sum = ps[1:, 1:] - ps[:-1, 1:] - ps[1:, :-1] + ps[:-1, :-1]
+    block_area = np.outer(np.diff(re), np.diff(ce)).astype(np.int64)
+    total_sum = int(p[h, w])
+    bits = block_sum * (h * w) > total_sum * block_area
+    k = (np.arange(8)[:, None] * 8 + np.arange(8)[None, :]).astype(np.uint64)
+    hash_u = np.bitwise_or.reduce(
+        (bits.astype(np.uint64) << k).ravel()
+    )
+    return hash_u.view(np.int64)
+
+
+class AHasher:
+    """Actor-pool perceptual-hash stage: decode (REAL for every native +
+    wild format in the codec registry) -> 64-bit aHash per image.  Decoder
+    table pinned in __init__; output is the slim (id, ahash) relation so
+    downstream LSH shuffles never carry pixels."""
+
+    def __init__(self, id_col: str = "media_id"):
+        self.decode = DECODERS["image"]
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [
+            int(ahash64(self.decode(payload)))
+            for payload in batch["payload"].to_pylist()
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "ahash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def ahash_stage(ds, id_col: str = "media_id", concurrency=(1, 2),
+                batch_size: int = 64):
+    return ds.map_batches(
+        AHasher,
+        fn_constructor_kwargs=dict(id_col=id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def image_near_dup(ds, id_col: str = "media_id", max_hamming: int = 3,
+                   bands: int = 4, concurrency=(1, 2)):
+    """Image near-duplicate candidate pairs: aHash in an actor pool, then
+    the certified banded hamming-LSH plan (functions/dedup.py) over the
+    slim (id, ahash) relation — by pigeonhole every pair within
+    ``bands - 1`` hamming is caught, and emitted pairs carry exact
+    hamming.  100-TB shape: pixels never leave the decode actors; the
+    LSH shuffle moves 16 bytes per image per band."""
+    from .dedup import banded_hamming_candidates
+
+    hashed = ahash_stage(ds, id_col=id_col, concurrency=concurrency)
+    return banded_hamming_candidates(
+        hashed, id_col=id_col, hash_col="ahash",
+        max_hamming=max_hamming, bands=bands,
+    )

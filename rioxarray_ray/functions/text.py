@@ -230,3 +230,196 @@ def token_topk(ds, k: int = 50, col: str = "text"):
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
     return agg.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+def repetition_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Gopher-style repetition statistics per document (Rae et al. 2021,
+    "Scaling Language Models" §A1.1 quality heuristics) — the standard
+    pre-training repetition filters, emitted as exact integers so the
+    DuckDB oracle can match bit-for-bit:
+
+    - ``n_lines`` / ``n_distinct_lines``: duplicate-line fraction is
+      ``1 - n_distinct_lines/n_lines`` (lines split on ``\\n``; an empty
+      document is one empty line, matching ``string_split``).
+    - ``line_chars`` / ``dup_line_chars``: characters in redundant repeats
+      of a line (each extra occurrence counts its full length), i.e. the
+      "fraction of characters in duplicate lines" numerator.
+    - ``top_bigram_count`` / ``n_bigrams``: occurrences of the most
+      frequent word bigram over the shared ``[a-z']+`` token rule; the
+      top-2-gram fraction is their ratio.
+
+    Fully vectorized: one Arrow split per metric family, dictionary
+    encoding for line/token identity, ``np.unique`` on int64 composite
+    keys for per-row distinct counts — no Python loop over rows.  Runs
+    embarrassingly parallel (no shuffle): at 100 TB this is a pure
+    ``map_batches`` stage.
+    """
+    n = batch.num_rows
+    filled = pc.fill_null(batch[col], "")
+
+    # --- line family ---------------------------------------------------
+    lines = pc.split_pattern(filled, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat_l = pc.list_flatten(lines)
+    par_l = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+    par_l = par_l.astype(np.int64, copy=False)
+    len_l = pc.utf8_length(flat_l).to_numpy(zero_copy_only=False)
+    len_l = len_l.astype(np.int64, copy=False)
+    enc_l = pc.dictionary_encode(flat_l)
+    if isinstance(enc_l, pa.ChunkedArray):
+        enc_l = enc_l.combine_chunks()
+    code_l = enc_l.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    d_l = max(len(enc_l.dictionary), 1)
+
+    n_lines = np.bincount(par_l, minlength=n).astype(np.int64)
+    line_chars = np.bincount(
+        par_l, weights=len_l.astype(np.float64), minlength=n
+    ).astype(np.int64)
+    # distinct (row, line) pairs via composite key; first occurrence
+    # carries the line's length exactly once per distinct value
+    first_idx = np.unique(par_l * d_l + code_l, return_index=True)[1]
+    n_distinct = np.bincount(par_l[first_idx], minlength=n).astype(np.int64)
+    distinct_chars = np.bincount(
+        par_l[first_idx], weights=len_l[first_idx].astype(np.float64),
+        minlength=n,
+    ).astype(np.int64)
+    dup_line_chars = line_chars - distinct_chars
+
+    # --- bigram family ---------------------------------------------------
+    _, flat_t, par_t, nonempty = _tokenize(batch[col])
+    enc_t = pc.dictionary_encode(flat_t)
+    if isinstance(enc_t, pa.ChunkedArray):
+        enc_t = enc_t.combine_chunks()
+    code_t = enc_t.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    pt = par_t[nonempty]
+    tc = code_t[nonempty]
+    d_t = max(len(enc_t.dictionary), 1)
+
+    top_bigram = np.zeros(n, dtype=np.int64)
+    n_bigrams = np.zeros(n, dtype=np.int64)
+    if len(pt) >= 2:
+        same = pt[:-1] == pt[1:]
+        bp = pt[:-1][same]                      # parent of each bigram
+        b1 = tc[:-1][same]
+        b2 = tc[1:][same]
+        n_bigrams = np.bincount(bp, minlength=n).astype(np.int64)
+        if len(bp):
+            # composite (row, w1, w2) key; fall back to row-wise unique
+            # if the flat key would overflow int64
+            if d_t <= 1_500_000 and n * d_t * d_t < 2**62:
+                key = (bp * d_t + b1) * d_t + b2
+                uniq, counts = np.unique(key, return_counts=True)
+                upar = uniq // (d_t * d_t)
+            else:  # pragma: no cover - astronomically wide batch
+                uniq, counts = np.unique(
+                    np.stack([bp, b1, b2], axis=1), axis=0,
+                    return_counts=True,
+                )
+                upar = uniq[:, 0]
+            np.maximum.at(top_bigram, upar, counts)
+
+    return (
+        batch.append_column("n_lines", pa.array(n_lines, pa.int64()))
+        .append_column("n_distinct_lines", pa.array(n_distinct, pa.int64()))
+        .append_column("line_chars", pa.array(line_chars, pa.int64()))
+        .append_column("dup_line_chars", pa.array(dup_line_chars, pa.int64()))
+        .append_column("top_bigram_count", pa.array(top_bigram, pa.int64()))
+        .append_column("n_bigrams", pa.array(n_bigrams, pa.int64()))
+    )
+
+
+def _df_partial(batch: pa.Table, col: str) -> pa.Table:
+    """Per-batch (token, tf, df) partials for document-frequency: tf =
+    total occurrences in the batch, df = number of batch rows containing
+    the token (rows ARE documents, so in-batch df partials sum exactly)."""
+    _, flat, parents, nonempty = _tokenize(batch[col])
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    d = max(len(enc.dictionary), 1)
+    pt = parents[nonempty]
+    tc = codes[nonempty]
+    tf = np.bincount(tc, minlength=d).astype(np.int64)
+    uniq = np.unique(pt * d + tc)
+    df = np.bincount(uniq % d, minlength=d).astype(np.int64)
+    present = tf > 0
+    return pa.table(
+        {
+            "token": enc.dictionary.filter(pa.array(present)),
+            "tf": pa.array(tf[present], pa.int64()),
+            "df": pa.array(df[present], pa.int64()),
+        }
+    )
+
+
+def doc_frequency(ds, col: str = "text", min_df: int = 1):
+    """Corpus document frequency — the inverted-index / TF-IDF statistics
+    step of a pre-training pipeline (vocabulary df for idf weights).
+
+    100-TB shape: each batch pre-aggregates occurrences to one
+    (token, tf, df) row via dictionary encoding + bincount, so the ONE
+    groupby shuffle moves counts, never an occurrence-level relation.
+    Combiner exactness holds because a document is a single row: a
+    batch's df partial counts each (doc, token) pair exactly once.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _df_partial(batch, col)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("tf", alias_name="tf"), Sum("df", alias_name="df"))
+    )
+    if min_df > 1:
+        def keep(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.greater_equal(batch["df"], min_df))
+
+        out = out.map_batches(keep, batch_format="pyarrow")
+    return out
+
+
+def rarest_term(ds, col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 8):
+    """Most distinctive (rarest corpus-wide) token per document — the
+    integer-exact core of TF-IDF ranking (argmax idf == argmin df; tie
+    breaks to the lexicographically smallest token so output is
+    partitioning-independent).
+
+    Plan: explode each doc to its DISTINCT tokens (the inverted-index
+    relation — one row per (doc, token) pair, the natural shuffle unit),
+    hash-join token→df on the token key (both sides partitioned by
+    token; no broadcast of the unbounded vocabulary), then a grouped
+    top-1 by (df asc, token asc) per document.
+    """
+    from .agg import topk_per_group
+
+    df_tbl = doc_frequency(ds, col=col, min_df=1).select_columns(
+        ["token", "df"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        _, flat, parents, nonempty = _tokenize(batch[col])
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = max(len(enc.dictionary), 1)
+        key = parents[nonempty] * d + codes[nonempty]
+        uniq = np.unique(key)
+        rows = (uniq // d).astype(np.int64)
+        toks = enc.dictionary.take(pa.array(uniq % d, pa.int64()))
+        ids = batch[id_col].take(pa.array(rows, pa.int64()))
+        return pa.table({id_col: ids, "token": toks})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = pairs.join(df_tbl, "inner", num_partitions, on=("token",))
+    best = topk_per_group(
+        joined, group_col=id_col, order_col="df", k=1,
+        descending=False, tiebreak_col="token",
+    )
+    return best.select_columns([id_col, "token", "df"])

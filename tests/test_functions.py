@@ -619,3 +619,174 @@ def test_topk_per_group_partition_invariant_and_ties(ray_session):
             key=lambda t: (-t[0], t[1]),
         )[:3]
         assert ga[g] == members  # NaN row never displaces a real value
+
+
+def test_repetition_batch_dup_lines_and_bigrams():
+    """Hand-computed oracle on multi-line docs (the gate corpus is
+    single-line, so duplicate-line semantics are pinned here)."""
+    import pyarrow as pa
+
+    from rioxarray_ray.functions.text import repetition_batch
+
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "aa\nbb\naa\ncc\nbb\naa",      # aa x3, bb x2, cc x1
+                "",                             # one empty line
+                None,                           # null -> like empty
+                "x y x y x\nz",                 # bigram 'x y' x2
+            ],
+        }
+    )
+    out = repetition_batch(docs)
+    assert out["n_lines"].to_pylist() == [6, 1, 1, 2]
+    assert out["n_distinct_lines"].to_pylist() == [3, 1, 1, 2]
+    # doc 1: 6 lines x 2 chars = 12 total; distinct chars = 6; dup = 6
+    assert out["line_chars"].to_pylist() == [12, 0, 0, 10]
+    assert out["dup_line_chars"].to_pylist() == [6, 0, 0, 0]
+    # doc 1 bigrams (per line-agnostic token stream incl. '\n' as split):
+    # aa bb / bb aa / aa cc / cc bb / bb aa -> 'bb aa' x2 top
+    assert out["top_bigram_count"].to_pylist() == [2, 0, 0, 2]
+    assert out["n_bigrams"].to_pylist() == [5, 0, 0, 5]
+
+
+def test_repetition_batch_matches_duckdb_on_multiline():
+    """Cross-check every column against the gate's SQL on a corpus WITH
+    newlines (deterministic synthetic, seeds the dup-line branch)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+
+    from rioxarray_ray.functions.text import repetition_batch
+
+    rng = np.random.default_rng(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = []
+    for _ in range(60):
+        lines = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 5)))
+            for _ in range(rng.integers(1, 7))
+        ]
+        # force duplicates in ~half the docs
+        if rng.random() < 0.5 and lines:
+            lines += [lines[0]] * int(rng.integers(1, 3))
+        texts.append("\n".join(lines))
+    docs = pa.table({"doc_id": list(range(60)), "text": texts})
+
+    got = repetition_batch(docs)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    import __ray_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["text_repetition"]
+    want = con.sql(sql).df().sort_values("doc_id").reset_index(drop=True)
+    for col in ["n_lines", "n_distinct_lines", "line_chars",
+                "dup_line_chars", "top_bigram_count", "n_bigrams"]:
+        assert got[col].to_pylist() == want[col].tolist(), col
+
+
+def test_doc_frequency_and_rarest_term(ray_session):
+    """df counts distinct docs (not occurrences); rarest-term tie breaks
+    lexicographically; both partition-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rioxarray_ray.functions.text import doc_frequency, rarest_term
+
+    docs = pa.table(
+        {
+            "doc_id": [10, 20, 30],
+            "text": [
+                "apple apple banana",
+                "banana cherry",
+                "apple zebra zebra",
+            ],
+        }
+    )
+    for nblocks in (1, 3):
+        ds = rd.from_arrow(docs).repartition(nblocks)
+        dfres = {
+            r["token"]: (r["tf"], r["df"])
+            for r in doc_frequency(ds).take_all()
+        }
+        assert dfres == {
+            "apple": (3, 2), "banana": (2, 2),
+            "cherry": (1, 1), "zebra": (2, 1),
+        }
+        rare = {
+            r["doc_id"]: (r["token"], r["df"])
+            for r in rarest_term(ds, num_partitions=2).take_all()
+        }
+        # doc 10: apple/banana both df=2 -> lexicographic 'apple'
+        assert rare == {
+            10: ("apple", 2), 20: ("cherry", 1), 30: ("zebra", 1),
+        }
+
+
+def test_ahash64_integer_rule_and_locality():
+    """Hash matches a scalar python mirror of the cross-multiplication
+    rule; one flipped pixel moves at most a couple of bits."""
+    import numpy as np
+
+    from rioxarray_ray.functions.multimodal import ahash64
+
+    i = np.arange(256, dtype=np.int64)
+    v = (7 * 53 + i * i) % 256
+    arr = v.reshape(1, 16, 16).astype(np.uint8)
+    got = int(ahash64(arr))
+
+    gray = arr[0].astype(int)
+    total = gray.sum()
+    bits = 0
+    for br in range(8):
+        for bc in range(8):
+            bs = gray[2 * br:2 * br + 2, 2 * bc:2 * bc + 2].sum()
+            if bs * 256 > total * 4:
+                bits |= 1 << (br * 8 + bc)
+    want = bits - (1 << 64) if bits >= (1 << 63) else bits
+    assert got == want
+
+    v2 = v.copy()
+    v2[37] = (v2[37] + 128) % 256
+    h2 = int(ahash64(v2.reshape(1, 16, 16).astype(np.uint8)))
+    ham = bin((got ^ h2) & (2 ** 64 - 1)).count("1")
+    assert ham <= 2  # single-pixel flips move at most a couple of bits
+
+    with pytest.raises(ValueError):
+        ahash64(np.zeros((1, 4, 4), np.uint8))
+
+
+def test_image_near_dup_finds_planted_png_pairs(ray_session):
+    """End-to-end: real PNG encode -> decode -> aHash -> banded hamming
+    LSH catches every planted near-identical image pair."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rioxarray_ray.functions.multimodal import image_near_dup
+    from rioxarray_ray.kernels.png import encode_png
+
+    rng = np.random.default_rng(3)
+    payloads, ids = [], []
+    for base in range(6):
+        img = rng.integers(0, 256, size=(1, 16, 16), dtype=np.uint8)
+        twin = img.copy()
+        twin[0, 0, 0] ^= 4  # tiny perturbation
+        payloads += [encode_png(img), encode_png(twin)]
+        ids += [base * 2, base * 2 + 1]
+    media = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    ).repartition(3)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in image_near_dup(media, max_hamming=3, bands=4).take_all()
+    }
+    for base in range(6):
+        assert (base * 2, base * 2 + 1) in pairs
+        assert pairs[(base * 2, base * 2 + 1)] <= 3
