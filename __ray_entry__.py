@@ -1842,6 +1842,25 @@ def q_image_near_dup(sf_dir: str):
     return pairs
 
 
+def q_multimodal_joint_near_dup(sf_dir: str):
+    """Joint image+caption near-dup scoring — the cross-modal dedup shape
+    of an image+caption corpus: aHash banded-LSH image pairs, then the
+    exact caption word-trigram Jaccard computed per pair by joining the
+    texts back (functions/dedup.verify_jaccard_pairs — two slim hash
+    joins; the corpus text is never broadcast).  threshold=0 keeps every
+    image pair so the output is a joint (image-similarity, caption-
+    similarity) relation a filter composes over."""
+    from rioxarray_ray.functions import dedup, multimodal
+
+    pairs = multimodal.image_near_dup(
+        _ahash_media(sf_dir), id_col="media_id", max_hamming=3, bands=4
+    )
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.verify_jaccard_pairs(
+        pairs, docs, threshold=0.0, ngram=3, num_partitions=8
+    )
+
+
 def q_text_repetition(sf_dir: str):
     """Gopher-style repetition statistics (functions/text.repetition_batch):
     duplicate-line counts/chars + top word-bigram frequency per document,
@@ -2289,6 +2308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_topk": q_text_token_topk,
         "image_ahash": q_image_ahash,
         "image_near_dup": q_image_near_dup,
+        "multimodal_joint_near_dup": q_multimodal_joint_near_dup,
         "text_repetition": q_text_repetition,
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
@@ -3678,6 +3698,47 @@ SELECT doc_a, doc_b,
          AS hamming
 FROM cand
 WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+""",
+        "multimodal_joint_near_dup": f"""
+WITH {_AHASH_CTE},
+segs AS (
+  SELECT doc_id, u, k.band,
+         CAST((u // (CAST(1 AS HUGEINT) << CAST(16 * k.band AS INT))) % 65536
+              AS BIGINT) AS bucket
+  FROM hb CROSS JOIN (SELECT unnest(range(4)) AS band) k
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, l.u AS ua, r.u AS ub
+  FROM segs l JOIN segs r ON l.band = r.band AND l.bucket = r.bucket
+                         AND l.doc_id < r.doc_id
+),
+ip AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+),
+w AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 3 THEN
+            CASE WHEN len(words[1]) = 0 THEN []
+                 ELSE [array_to_string(words, ' ')] END
+         ELSE [array_to_string(words[i:i+2], ' ')
+               FOR i IN range(1, len(words) - 1)]
+         END AS grams
+  FROM w
+)
+SELECT ip.doc_a, ip.doc_b,
+       CASE WHEN len(list_distinct(a.grams)) = 0
+                 AND len(list_distinct(b.grams)) = 0 THEN 1.0
+            WHEN len(list_distinct(a.grams)) = 0
+                 OR len(list_distinct(b.grams)) = 0 THEN 0.0
+            ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.grams || b.grams)) AS DOUBLE)
+       END AS jaccard
+FROM ip JOIN g a ON a.doc_id = ip.doc_a JOIN g b ON b.doc_id = ip.doc_b
 """,
         "dedup_simhash_pairs_md5": f"""
 WITH {_SIMHASH_MD5_CTE},
