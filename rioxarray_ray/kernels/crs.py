@@ -49,6 +49,16 @@ def _m_factor(phi):
     return np.cos(phi) / np.sqrt(1.0 - _E2 * s * s)
 
 
+def _wrap_lon_deg(lon):
+    """Wrap longitudes into [-180, 180).  The theta-based inverses (conic
+    and polar-stereographic) compute lon = theta + lon_0, which crosses the
+    antimeridian for valid in-domain points whenever lon_0 != 0 (e.g.
+    EPSG:3413's lon_0=-45 maps lon=136E to -224) — correct mod 360 but
+    outside the range every downstream consumer (bounds, clip, PIP)
+    assumes.  Hypothesis found this; test_property_roundtrips pins it."""
+    return (np.asarray(lon, np.float64) + 180.0) % 360.0 - 180.0
+
+
 def _t_factor(phi):
     """Snyder eq 15-9: t = tan(pi/4 - phi/2) / ((1-e sin)/(1+e sin))^(e/2)."""
     s = np.sin(phi)
@@ -433,9 +443,9 @@ class CRS:
             )
         if self.south:
             theta = np.arctan2(xp, yp)
-            return (theta + lam0) * _R2D, -phi * _R2D
+            return _wrap_lon_deg((theta + lam0) * _R2D), -phi * _R2D
         theta = np.arctan2(xp, -yp)
-        return (theta + lam0) * _R2D, phi * _R2D
+        return _wrap_lon_deg((theta + lam0) * _R2D), phi * _R2D
 
     # ---- Lambert conformal conic 2SP (Snyder 1987 eqs 15-1..15-11) -----
     def _lcc_constants(self):
@@ -454,7 +464,11 @@ class CRS:
     def _lcc_forward(self, lon, lat):
         n, F, rho0, lam0, x0, y0 = self._lcc_constants()
         phi = np.asarray(lat, np.float64) * _D2R
-        lam = np.asarray(lon, np.float64) * _D2R - lam0
+        # wrap lam into [-pi, pi): theta = n*lam with n != 1, so a lon on
+        # the other side of the antimeridian (lon_0=170, lon=-175 -> the
+        # CORRECT delta is +15 deg, not -345) would otherwise rotate to a
+        # wrong cone angle (PROJ wraps identically)
+        lam = _wrap_lon_deg(np.asarray(lon, np.float64) - lam0 * _R2D) * _D2R
         rho = _A * F * _t_factor(phi) ** n
         theta = n * lam
         return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
@@ -473,7 +487,7 @@ class CRS:
             phi = math.pi / 2.0 - 2.0 * np.arctan(
                 t * ((1.0 - _E * s) / (1.0 + _E * s)) ** (_E / 2.0)
             )
-        return (theta / n + lam0) * _R2D, phi * _R2D
+        return _wrap_lon_deg((theta / n + lam0) * _R2D), phi * _R2D
 
     # ---- Albers equal-area conic 2SP (Snyder 1987 eqs 14-1..14-11) -----
     def _aea_constants(self):
@@ -492,7 +506,8 @@ class CRS:
     def _aea_forward(self, lon, lat):
         n, C, rho0, lam0, x0, y0 = self._aea_constants()
         phi = np.asarray(lat, np.float64) * _D2R
-        lam = np.asarray(lon, np.float64) * _D2R - lam0
+        # wrap lam into [-pi, pi) — same antimeridian rationale as LCC
+        lam = _wrap_lon_deg(np.asarray(lon, np.float64) - lam0 * _R2D) * _D2R
         rho = _A * np.sqrt(C - n * _q_factor(phi)) / n
         theta = n * lam
         return rho * np.sin(theta) + x0, rho0 - rho * np.cos(theta) + y0
@@ -514,7 +529,7 @@ class CRS:
                 - s / one
                 + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * s) / (1.0 + _E * s))
             )
-        return (theta / n + lam0) * _R2D, phi * _R2D
+        return _wrap_lon_deg((theta / n + lam0) * _R2D), phi * _R2D
 
     # ---- Transverse Mercator series (Snyder 1987 eqs 8-9..8-25) --------
     @property
