@@ -1116,6 +1116,67 @@ def q_multimodal_features(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_multimodal_features_pooled(sf_dir: str):
+    """Oracle-gated twin of multimodal_features: the SAME FeatureExtractor
+    actor path (decode -> standardize nearest-gather to 3x32x32 -> feature
+    vector), but with the pooled-statistics projection (per-channel
+    sum/min/max) instead of the Gaussian matrix, fed REAL native-codec
+    bytes (rawu8) whose pixels are closed-form ((doc_id*61 + i*i) % 253
+    over 3x16x16).  Decode is real (kernels/codecs.py) and the oracle
+    regenerates the standardize gather in SQL — v(b, (r*16)//32,
+    (c*16)//32) — so a decode, resize-gather, channel-order, or pooling
+    defect breaks the value hash.  Gaussian twin shares every line up to
+    the final projection step."""
+    import numpy as np
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import codecs
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(3 * 16 * 16, dtype=np.int64)
+        vals = (ids[:, None] * 61 + i[None, :] * i[None, :]) % 253
+        payloads = [
+            codecs.encode(vals[k].astype(np.uint8).reshape(3, 16, 16), "rawu8")
+            for k in range(len(ids))
+        ]
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array([str(d) for d in ids], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "media_type": pa.array(["image"] * len(ids), pa.string()),
+                "meta": pa.array(["{}"] * len(ids), pa.string()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    out = multimodal.feature_stage(media, projection="pooled", concurrency=2)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = [int(v) for v in batch["media_id"].to_pylist()]
+        feats = np.asarray(batch["feature"].to_pylist(), np.float64)
+        assert feats.shape[1] == 9
+        cols = {"doc_id": pa.array(ids, pa.int64())}
+        for ch in range(3):
+            cols[f"sum_{ch}"] = pa.array(
+                np.rint(feats[:, 3 * ch]).astype(np.int64), pa.int64()
+            )
+            cols[f"min_{ch}"] = pa.array(
+                np.rint(feats[:, 3 * ch + 1]).astype(np.int64), pa.int64()
+            )
+            cols[f"max_{ch}"] = pa.array(
+                np.rint(feats[:, 3 * ch + 2]).astype(np.int64), pa.int64()
+            )
+        return pa.Table.from_pydict(cols)
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_multimodal_png(sf_dir: str):
     """REAL PNG bytes through the codec registry, oracle-gated.  Pixels are
     a closed-form function of doc_id ((doc_id*31 + i*i) % 251 over a
@@ -2274,6 +2335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_interpolate_na": q_geo_interpolate_na,
         "geo_interpolate_na_plane": q_geo_interpolate_na_plane,
         "multimodal_features": q_multimodal_features,
+        "multimodal_features_pooled": q_multimodal_features_pooled,
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_avi": q_multimodal_avi,
@@ -3369,6 +3431,31 @@ FROM documents d, LATERAL (
     SELECT b.b * 120 + ((r.r * 12) // 5) * 10 + ((c.c * 10) // 4) AS i
   ) si,
   LATERAL (SELECT (d.doc_id * 53 + si.i * si.i) % 256 AS v) sv
+) s
+""",
+        "multimodal_features_pooled": """
+SELECT d.doc_id,
+       s.sum_0, s.min_0, s.max_0,
+       s.sum_1, s.min_1, s.max_1,
+       s.sum_2, s.min_2, s.max_2
+FROM documents d, LATERAL (
+  SELECT
+    CAST(SUM(CASE WHEN b = 0 THEN v END) AS BIGINT) AS sum_0,
+    CAST(MIN(CASE WHEN b = 0 THEN v END) AS BIGINT) AS min_0,
+    CAST(MAX(CASE WHEN b = 0 THEN v END) AS BIGINT) AS max_0,
+    CAST(SUM(CASE WHEN b = 1 THEN v END) AS BIGINT) AS sum_1,
+    CAST(MIN(CASE WHEN b = 1 THEN v END) AS BIGINT) AS min_1,
+    CAST(MAX(CASE WHEN b = 1 THEN v END) AS BIGINT) AS max_1,
+    CAST(SUM(CASE WHEN b = 2 THEN v END) AS BIGINT) AS sum_2,
+    CAST(MIN(CASE WHEN b = 2 THEN v END) AS BIGINT) AS min_2,
+    CAST(MAX(CASE WHEN b = 2 THEN v END) AS BIGINT) AS max_2
+  FROM generate_series(0, 2) tb(b)
+  CROSS JOIN generate_series(0, 31) tr(r)
+  CROSS JOIN generate_series(0, 31) tc(c),
+  LATERAL (
+    SELECT b * 256 + ((r * 16) // 32) * 16 + ((c * 16) // 32) AS i
+  ) si,
+  LATERAL (SELECT (d.doc_id * 61 + si.i * si.i) % 253 AS v) sv
 ) s
 """,
         "multimodal_pnm": """

@@ -113,10 +113,20 @@ class FeatureExtractor:
     'large binary payloads need small batches').
     """
 
-    def __init__(self, feature_dim: int = 16, seed: int = 5):
+    def __init__(
+        self, feature_dim: int = 16, seed: int = 5, projection: str = "gaussian"
+    ):
         self.decoders = DECODERS
-        rng = np.random.default_rng(seed)
-        self.proj = rng.standard_normal((3 * 32 * 32, feature_dim))
+        self.projection = projection
+        if projection == "gaussian":
+            rng = np.random.default_rng(seed)
+            self.proj = rng.standard_normal((3 * 32 * 32, feature_dim))
+        elif projection == "pooled":
+            # per-channel [sum, min, max] over the standardized array —
+            # a deterministic pooled-statistics embedding (feature_dim 9).
+            self.proj = None
+        else:
+            raise ValueError(f"unknown projection {projection!r}")
 
     @staticmethod
     def _standardize(arr: np.ndarray) -> np.ndarray:
@@ -137,7 +147,15 @@ class FeatureExtractor:
             batch["payload"].to_pylist(), batch["media_type"].to_pylist()
         ):
             arr = self._standardize(self.decoders[mtype](payload))
-            feats.append((arr.reshape(-1) @ self.proj).tolist())
+            if self.projection == "pooled":
+                feats.append(
+                    np.stack(
+                        [arr.sum(axis=(1, 2)), arr.min(axis=(1, 2)),
+                         arr.max(axis=(1, 2))], axis=1
+                    ).reshape(-1).tolist()
+                )
+            else:
+                feats.append((arr.reshape(-1) @ self.proj).tolist())
         return pa.Table.from_pydict(
             {
                 "media_id": batch["media_id"],
@@ -147,10 +165,16 @@ class FeatureExtractor:
         )
 
 
-def feature_stage(ds, feature_dim: int = 16, concurrency=(1, 2), batch_size: int = 64):
+def feature_stage(
+    ds,
+    feature_dim: int = 16,
+    concurrency=(1, 2),
+    batch_size: int = 64,
+    projection: str = "gaussian",
+):
     return ds.map_batches(
         FeatureExtractor,
-        fn_constructor_kwargs=dict(feature_dim=feature_dim),
+        fn_constructor_kwargs=dict(feature_dim=feature_dim, projection=projection),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

@@ -736,6 +736,32 @@ def test_tiled_halo_warp_equals_whole_image(ray_session, resampling):
         assert mismatches == 0, (resampling, idx, mismatches)
 
 
+def test_multimodal_pooled_features_exact(ray_session):
+    """The pooled projection rides the SAME decode+standardize path as the
+    Gaussian one; pin it to hand-computed per-channel stats of a real
+    native-codec payload (3x16x16 rawu8, so the 32x32 nearest gather
+    duplicates every pixel 4x: sum_32 = 4*sum_src, min/max unchanged)."""
+    import numpy as np
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import codecs
+
+    src = (np.arange(3 * 16 * 16, dtype=np.int64) ** 2 % 253).reshape(3, 16, 16)
+    payload = codecs.encode(src.astype(np.uint8), "rawu8")
+    ds = rd.from_items(
+        [{"media_id": "m0", "payload": payload, "media_type": "image",
+          "meta": "{}"}]
+    )
+    (row,) = multimodal.feature_stage(ds, projection="pooled").take_all()
+    feats = np.asarray(row["feature"])
+    assert feats.shape == (9,)
+    for ch in range(3):
+        assert feats[3 * ch] == 4 * src[ch].sum()
+        assert feats[3 * ch + 1] == src[ch].min()
+        assert feats[3 * ch + 2] == src[ch].max()
+
+
 def test_multimodal_resize_and_frame_sample(ray_session):
     import ray.data as rd
 
