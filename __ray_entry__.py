@@ -1939,6 +1939,87 @@ def q_text_repetition(sf_dir: str):
     )
 
 
+def q_text_redact(sf_dir: str):
+    """PII redaction (functions/text.redact_batch) — emails, IPv4 and
+    phone numbers scrubbed by sequential vectorized RE2 rewrites.  The
+    corpus text is augmented with deterministic doc_id-derived PII (both
+    sides construct the same string) so every rule fires on every row;
+    output = per-rule match counts + md5 of the redacted text, which the
+    oracle mirrors with nested regexp_replace (same RE2 engine)."""
+    import numpy as np
+
+    from rioxarray_ray.functions import text as textmod
+    from rioxarray_ray.functions._arrowbytes import utf8_views
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids_s = pa.array(ids.astype(str), pa.string())
+        mod7 = pa.array((ids % 7).astype(str), pa.string())
+        mod256 = pa.array((ids % 256).astype(str), pa.string())
+        aug = pc.binary_join_element_wise(
+            pc.fill_null(batch["text"], ""), " contact user", ids_s, "@ex",
+            mod7, ".com or +1 555 00", ids_s, " ip 10.0.", mod256, ".1 end",
+            "",
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": aug})
+
+    out = ds.map_batches(augment, batch_format="pyarrow",
+                         zero_copy_batch=True).map_batches(
+        textmod.redact_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        md5s = [
+            hashlib.md5(v).hexdigest() for v in utf8_views(batch["clean"])
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_email": batch["n_email"],
+                "n_ip": batch["n_ip"],
+                "n_phone": batch["n_phone"],
+                "clean_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    return out.map_batches(summarize, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_text_decontaminate(sf_dir: str):
+    """Benchmark decontamination (functions/text.decontaminate_stage):
+    flags corpus documents sharing any 5-token gram with the benchmark
+    subset (doc_id % 50 == 0 plays the eval suite).  The benchmark gram
+    set broadcasts once via ray.put and membership is one vectorized
+    pc.is_in per batch; the oracle rebuilds the same grams in SQL and
+    LEFT JOINs against the distinct benchmark grams."""
+    import ray
+
+    from rioxarray_ray.functions import text as textmod
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        keep = pc.equal(
+            pc.subtract(ids, pc.multiply(pc.divide(ids, 50), 50)), 0
+        )
+        return batch.filter(keep)
+
+    bench = ds.map_batches(bench_only, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    grams = textmod.benchmark_ngrams(bench, n=5)
+    ref = ray.put(grams)
+    out = textmod.decontaminate_stage(ds, ref, n=5)
+    return out.select_columns(
+        ["doc_id", "n_grams", "n_contaminated", "contaminated"]
+    )
+
+
 def q_text_doc_freq(sf_dir: str):
     """Corpus document-frequency table (functions/text.doc_frequency):
     per-batch dictionary-encoded (token, tf, df) partials, ONE Sum
@@ -2372,6 +2453,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "multimodal_joint_near_dup": q_multimodal_joint_near_dup,
         "text_repetition": q_text_repetition,
+        "text_redact": q_text_redact,
+        "text_decontaminate": q_text_decontaminate,
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
         "events_asof_orders": q_events_asof_orders,
@@ -3597,6 +3680,65 @@ LIMIT 50
         # line split + per-(doc,line) group mirrors repetition_batch's
         # dictionary-encode + composite-key unique exactly; bigrams via
         # ordinality self-join on i+1
+        # sequential rewrite mirrored stage by stage: each rule counts on
+        # the text as seen at its turn (email -> ip -> phone), exactly as
+        # redact_batch applies PII_RULES in order; same RE2 engine
+        "text_redact": r"""
+SELECT doc_id,
+ CAST(length(regexp_extract_all(t0,
+   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+ CAST(length(regexp_extract_all(t1,
+   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+ CAST(length(regexp_extract_all(t2,
+   '\+[0-9][0-9 ()\-]{6,}[0-9]')) AS BIGINT) AS n_phone,
+ md5(regexp_replace(t2, '\+[0-9][0-9 ()\-]{6,}[0-9]', '<PHONE>', 'g'))
+   AS clean_md5
+FROM (
+ SELECT doc_id, t0, t1,
+   regexp_replace(t1,
+     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+ FROM (
+  SELECT doc_id, t0,
+    regexp_replace(t0,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM (
+   SELECT doc_id,
+     COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR)
+       || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+       || '.com or +1 555 00' || CAST(doc_id AS VARCHAR)
+       || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 end' AS t0
+   FROM documents
+  )
+ )
+)
+""",
+        # grams rebuilt with the shared [a-z']+ token rule; the benchmark
+        # side (doc_id % 50 = 0) is deduplicated before the LEFT JOIN so
+        # each corpus gram occurrence is counted once, matching pc.is_in
+        "text_decontaminate": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - 4)) AS i
+        FROM toks)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+agg AS (
+  SELECT gr.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_contaminated
+  FROM grams gr LEFT JOIN bench b ON gr.g = b.g
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(COALESCE(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+  CAST(COALESCE(a.n_contaminated, 0) > 0 AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN agg a USING (doc_id)
+""",
         "text_repetition": r"""
 WITH l AS (
   SELECT doc_id, unnest(string_split(coalesce(text, ''), chr(10))) AS line

@@ -423,3 +423,132 @@ def rarest_term(ds, col: str = "text", id_col: str = "doc_id",
         descending=False, tiebreak_col="token",
     )
     return best.select_columns([id_col, "token", "df"])
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, RE2 pattern, replacement) applied IN ORDER — email before ip
+# before phone so the generic digit-run phone rule can never eat an
+# address or dotted quad.  Both Arrow and DuckDB run RE2, so counts and
+# replacements match byte for byte (same engine, same leftmost
+# non-overlapping global semantics).
+PII_RULES = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()\-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_batch(batch: pa.Table, col: str = "text") -> pa.Table:
+    """PII scrub — the standard pre-training privacy pass (emails, IPv4,
+    international phone numbers) as pure vectorized Arrow RE2 kernels.
+
+    Each rule is counted on the text AS SEEN AT ITS TURN (email counts on
+    the raw text, ip counts after email redaction, ...) so the DuckDB
+    oracle can mirror the sequential rewrite exactly with nested
+    ``regexp_replace(..., 'g')`` + ``length(regexp_extract_all(...))``.
+    Appends ``clean`` plus one ``n_<rule>`` column per rule.  Stateless
+    and shuffle-free: at 100 TB this is a pure ``map_batches`` stage.
+    """
+    cur = pc.fill_null(batch[col], "")
+    counts = {}
+    for name, pat, repl in PII_RULES:
+        counts[name] = pc.cast(pc.count_substring_regex(cur, pat), pa.int64())
+        cur = pc.replace_substring_regex(cur, pat, repl)
+    out = batch
+    for name, _, _ in PII_RULES:
+        out = out.append_column(f"n_{name}", counts[name])
+    return out.append_column("clean", cur)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a broadcast benchmark set)
+# ---------------------------------------------------------------------------
+
+
+def _gram_windows(text_col, n: int):
+    """All n-token grams per row, fully vectorized: one tokenize, window
+    starts via a shifted parent-index compare, member strings gathered
+    with ``take`` and fused by ``binary_join_element_wise``.  Returns
+    (grams: StringArray, parent row index per gram)."""
+    _, flat, parents, nonempty = _tokenize(text_col)
+    ft = flat.filter(pa.array(nonempty))
+    pt = parents[nonempty]
+    if len(pt) < n:
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    starts = np.nonzero(pt[: len(pt) - n + 1] == pt[n - 1 :])[0]
+    if not len(starts):
+        return pa.array([], pa.string()), np.zeros(0, np.int64)
+    parts = [ft.take(pa.array(starts + k, type=pa.int64())) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return grams, pt[starts]
+
+
+def benchmark_ngrams(bench_ds, n: int = 5, col: str = "text"):
+    """Distinct n-grams of the benchmark set, as a broadcast-ready Arrow
+    string array.  The BENCHMARK side is small by contract (eval suites
+    are thousands of documents, not billions) — it is reduced to
+    per-batch distinct grams in parallel, and only the deduplicated gram
+    list crosses to the driver for ``ray.put``."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        grams, _ = _gram_windows(batch[col], n)
+        return pa.table({"g": pc.unique(grams)})
+
+    parts = bench_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    vals = sorted({r["g"] for r in parts})
+    return pa.array(vals, pa.string())
+
+
+class Decontaminator:
+    """Actor-pool decontamination stage: flags documents sharing any
+    n-token gram with a benchmark set (the standard eval-leakage filter,
+    e.g. GPT-3 App. C / PaLM §8 13-gram overlap — here over the shared
+    ``[a-z']+`` token rule so the DuckDB oracle can mirror it exactly).
+
+    100-TB shape: the benchmark gram set rides the object store ONCE
+    (``ray.put`` ref resolved in ``__init__``, once per actor — never
+    re-shipped per batch); membership is one vectorized ``pc.is_in`` per
+    batch; per-document counts are ``np.bincount``.  No shuffle."""
+
+    def __init__(self, grams_ref, n: int = 5, col: str = "text"):
+        import ray
+
+        self.value_set = (
+            ray.get(grams_ref) if hasattr(grams_ref, "hex") else grams_ref
+        )
+        self.n = n
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, gpar = _gram_windows(batch[self.col], self.n)
+        nrows = batch.num_rows
+        hit = pc.is_in(grams, value_set=self.value_set).to_numpy(
+            zero_copy_only=False
+        )
+        n_grams = np.bincount(gpar, minlength=nrows).astype(np.int64)
+        n_contam = np.bincount(
+            gpar[hit], minlength=nrows
+        ).astype(np.int64)
+        return (
+            batch.append_column("n_grams", pa.array(n_grams, pa.int64()))
+            .append_column("n_contaminated", pa.array(n_contam, pa.int64()))
+            .append_column(
+                "contaminated", pa.array((n_contam > 0).astype(np.int64))
+            )
+        )
+
+
+def decontaminate_stage(ds, grams_ref, n: int = 5, col: str = "text",
+                        concurrency=(1, 4)):
+    return ds.map_batches(
+        Decontaminator,
+        fn_constructor_kwargs=dict(grams_ref=grams_ref, n=n, col=col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )

@@ -790,3 +790,64 @@ def test_image_near_dup_finds_planted_png_pairs(ray_session):
     for base in range(6):
         assert (base * 2, base * 2 + 1) in pairs
         assert pairs[(base * 2, base * 2 + 1)] <= 3
+
+
+def test_redact_batch_counts_and_rewrite():
+    """PII rules fire in order (email -> ip -> phone) with exact counts;
+    replacement text is verified literally on a hand case."""
+    import pyarrow as pa
+
+    from rioxarray_ray.functions.text import redact_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail bob.smith+x@corp-mail.co.uk call +1 (555) 123-4567",
+                    "hosts 8.8.8.8 and 1.2.3.4 but not1.2.3.4x",
+                    None,
+                    "a@b.io c@d.com +44 20 7946 0958 10.0.0.1",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = redact_batch(t)
+    assert out["n_email"].to_pylist() == [1, 0, 0, 2]
+    assert out["n_ip"].to_pylist() == [0, 2, 0, 1]
+    assert out["n_phone"].to_pylist() == [1, 0, 0, 1]
+    assert out["clean"].to_pylist()[0] == "mail <EMAIL> call <PHONE>"
+    assert out["clean"].to_pylist()[1] == "hosts <IP> and <IP> but not1.2.3.4x"
+    assert (
+        out["clean"].to_pylist()[3] == "<EMAIL> <EMAIL> <PHONE> <IP>"
+    )
+
+
+def test_decontaminator_flags_ngram_overlap():
+    """5-gram overlap vs a benchmark doc: full self-hit, partial hit on a
+    shared window, zero for unrelated/short/null docs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from rioxarray_ray.functions.text import Decontaminator, _gram_windows
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a benchmark question about the quick brown fox jumps high",
+        "totally unrelated content here with many words indeed",
+        None,
+        "short text",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    bg, _ = _gram_windows(pa.array([texts[0]], pa.string()), 5)
+    res = Decontaminator(pc.unique(bg), n=5)(t)
+    assert res["n_grams"].to_pylist() == [5, 6, 4, 0, 0]
+    assert res["n_contaminated"].to_pylist() == [5, 1, 0, 0, 0]
+    assert res["contaminated"].to_pylist() == [1, 1, 0, 0, 0]
