@@ -154,6 +154,8 @@ def run_bench() -> dict:
         "ann_topk_blocked",
         "text_quality",
         "text_repetition",
+        "text_redact",
+        "text_decontaminate",
         "text_doc_freq",
         "events_topk_per_user",
         "events_window",
