@@ -2210,6 +2210,20 @@ def q_embedding_near_dup_bcast(sf_dir: str):
     return out.select_columns(["vec_a", "vec_b"])
 
 
+def q_embedding_kmedians(sf_dir: str):
+    """Distributed k-medians clustering (functions/cluster.kmedians) —
+    2 assignment passes + 1 median update over the embeddings table,
+    integer-exact by construction (x2-scaled quantization makes every
+    median an integer; L1 distances are integers), so the DuckDB oracle
+    replays the whole iteration bit for bit: same seeds (k smallest
+    vec_ids), same argmin tie rule, same empty-cluster carry."""
+    from rioxarray_ray.functions import cluster
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    return cluster.kmedians(ds, k=8, iters=2)
+
+
 def q_ann_topk(sf_dir: str):
     from rioxarray_ray.functions import ann
 
@@ -2436,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_md5": q_dedup_simhash_md5,
         "dedup_simhash_pairs_md5": q_dedup_simhash_pairs_md5,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_kmedians": q_embedding_kmedians,
         "embedding_near_dup_bcast": q_embedding_near_dup_bcast,
         "ann_topk": q_ann_topk,
         "ann_topk_blocked": q_ann_topk_blocked,
@@ -3987,6 +4002,53 @@ SELECT doc_a, doc_b,
          AS hamming
 FROM cand
 WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+""",
+        # full 2-pass k-medians replay: quantize w = 2*floor(1000*e)
+        # (all-even ints => every median is an integer), L1 argmin with
+        # ties to the smallest cluster, per-(cluster,dim) median update,
+        # empty clusters carry the previous centroid
+        "embedding_kmedians": """
+WITH q AS (
+  SELECT vec_id, i AS dim,
+         CAST(2 * FLOOR(1000 * CAST(v AS DOUBLE)) AS BIGINT) AS w
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         vec_id
+  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+c0 AS (SELECT init.c, q.dim, q.w AS cw FROM init JOIN q USING (vec_id)),
+d1 AS (
+  SELECT q.vec_id, c0.c, SUM(ABS(q.w - c0.cw)) AS dist
+  FROM q JOIN c0 ON q.dim = c0.dim GROUP BY q.vec_id, c0.c
+),
+a1 AS (
+  SELECT vec_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.c, q.dim, CAST(median(q.w) AS BIGINT) AS cw
+  FROM a1 JOIN q USING (vec_id) GROUP BY a1.c, q.dim
+),
+c1f AS (
+  SELECT c0.c, c0.dim, COALESCE(c1.cw, c0.cw) AS cw
+  FROM c0 LEFT JOIN c1 ON c0.c = c1.c AND c0.dim = c1.dim
+),
+d2 AS (
+  SELECT q.vec_id, c1f.c, SUM(ABS(q.w - c1f.cw)) AS dist
+  FROM q JOIN c1f ON q.dim = c1f.dim GROUP BY q.vec_id, c1f.c
+)
+SELECT vec_id, c AS cluster, CAST(dist AS BIGINT) AS l1_dist FROM (
+  SELECT vec_id, c, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn
+  FROM d2
+) WHERE rn = 1
 """,
         "embedding_near_dup": f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b

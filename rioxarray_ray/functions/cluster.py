@@ -1,0 +1,155 @@
+"""Distributed clustering over an embedding column — the corpus-curation
+step after dedup/ANN (topic bucketing, diversity sampling, IVF training).
+
+The gated algorithm is **k-medians with L1 distance over quantized
+embeddings**, chosen so the whole iteration is integer-exact and a DuckDB
+oracle can mirror it bit for bit:
+
+- quantize ``w = 2 * floor(1000 * e)`` (int64).  The factor 2 makes every
+  coordinate even, so the median of any member set (DuckDB's
+  lower/upper-average rule == ``np.median``) is always an INTEGER — no
+  float drift across iterations.
+- assignment: ``argmin_j sum_d |w_d - c_jd|`` (integer L1), ties to the
+  smallest cluster id (numpy ``argmin`` first-occurrence == SQL
+  ``row_number() ORDER BY dist, c``).
+- update: per-(cluster, dim) median of members; empty clusters keep their
+  previous centroid.
+
+100-TB shape: each assignment pass is a pure vectorized ``map_batches``
+(broadcast k x d centroid matrix — tiny, shipped per task); the update is
+ONE ``groupby(cluster).map_groups`` whose per-group payload is that
+cluster's vectors (documented partition assumption: a cluster's members
+fit one task; for pathological cluster sizes swap the median in for the
+value-histogram fold of ``functions/sample.quantiles_disc``).  Only the
+k x d centroid table crosses to the driver between iterations — the
+standard synchronous-iteration shape of distributed Lloyd/k-medians.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _quantized_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    """(n, d) int64 matrix ``2 * floor(1000 * e)`` via zero-copy flatten.
+
+    Null/ragged embeddings raise (same contract as functions/ann.py)."""
+    emb = batch[col]
+    if isinstance(emb, pa.ChunkedArray):
+        emb = emb.combine_chunks()
+    if emb.null_count:
+        raise ValueError("null embedding rows are not supported")
+    flat = pc.list_flatten(emb)
+    vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(emb)
+    if n == 0:
+        return np.zeros((0, 0), np.int64)
+    mat = vals.reshape(n, -1)
+    return (2 * np.floor(1000.0 * mat)).astype(np.int64)
+
+
+def _assign(w: np.ndarray, centroids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Integer L1 argmin, ties to the smallest cluster id.  Chunked over
+    rows so the (rows, k, d) broadcast never exceeds ~32 MB."""
+    n, d = w.shape
+    k = len(centroids)
+    out = np.empty(n, np.int64)
+    dist = np.empty(n, np.int64)
+    step = max(1, (32 << 20) // max(1, 8 * k * d))
+    for s in range(0, n, step):
+        block = w[s : s + step]
+        dd = np.abs(block[:, None, :] - centroids[None, :, :]).sum(axis=2)
+        out[s : s + step] = dd.argmin(axis=1)
+        dist[s : s + step] = dd.min(axis=1)
+    return out, dist
+
+
+def kmedians(
+    ds,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Run ``iters`` assignment passes (with ``iters - 1`` median updates
+    in between) and return a Dataset of (id, cluster, l1_dist).
+
+    Initial centroids are the quantized vectors of the k smallest ids —
+    deterministic and partitioning-independent, so the DuckDB oracle can
+    reproduce the whole run.
+    """
+    # k smallest ids WITHOUT a global sort: each batch keeps its own k
+    # smallest (a combiner — bounded k rows per block cross to the
+    # driver), then the driver merges the partials.
+    def k_smallest(batch: pa.Table) -> pa.Table:
+        idx = pc.select_k_unstable(
+            batch, k=min(k, batch.num_rows), sort_keys=[(id_col, "ascending")]
+        )
+        return batch.select([id_col, col]).take(idx)
+
+    parts = ds.map_batches(
+        k_smallest, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    parts.sort(key=lambda r: r[id_col])
+    seed_rows = parts[:k]
+    centroids = np.stack(
+        [
+            _quantized_matrix(pa.table({col: pa.array([r[col]])}), col)[0]
+            for r in seed_rows
+        ]
+    )
+
+    def assign_stage(cents: np.ndarray, with_vec: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            w = _quantized_matrix(batch, col)
+            a, dist = _assign(w, cents)
+            out = {
+                id_col: batch[id_col],
+                "cluster": pa.array(a, pa.int64()),
+                "l1_dist": pa.array(dist, pa.int64()),
+            }
+            if with_vec:
+                out["w"] = pa.array(list(w), pa.list_(pa.int64()))
+            return pa.table(out)
+
+        return fn
+
+    for it in range(iters - 1):
+        assigned = ds.map_batches(
+            assign_stage(centroids, with_vec=True),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def group_median(g: pa.Table) -> pa.Table:
+            wcol = g["w"]
+            if isinstance(wcol, pa.ChunkedArray):
+                wcol = wcol.combine_chunks()
+            flat = pc.list_flatten(wcol).to_numpy(zero_copy_only=False)
+            mat = flat.astype(np.int64, copy=False).reshape(len(wcol), -1)
+            med = np.median(mat, axis=0)
+            return pa.table(
+                {
+                    "cluster": pa.array([int(g["cluster"][0].as_py())]),
+                    "centroid": pa.array([med.astype(np.int64).tolist()],
+                                         pa.list_(pa.int64())),
+                }
+            )
+
+        rows = (
+            assigned.groupby("cluster")
+            .map_groups(group_median, batch_format="pyarrow")
+            .take_all()
+        )
+        new_c = centroids.copy()  # empty clusters keep previous centroids
+        for r in rows:
+            new_c[int(r["cluster"])] = np.asarray(r["centroid"], np.int64)
+        centroids = new_c
+
+    return ds.map_batches(
+        assign_stage(centroids, with_vec=False),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

