@@ -2020,6 +2020,21 @@ def q_text_decontaminate(sf_dir: str):
     )
 
 
+def q_text_chunk(sf_dir: str):
+    """Fixed-size token chunking with overlap (functions/text.chunk_batch)
+    — the context-window prep of a RAG/pretraining pipeline.  Pure
+    flat_map shape (no shuffle); one ragged-ranges gather + binary_join
+    per batch; oracle rebuilds every chunk string and md5 in SQL."""
+    from rioxarray_ray.functions import text as textmod
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: textmod.chunk_batch(b, size=32, overlap=8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_text_doc_freq(sf_dir: str):
     """Corpus document-frequency table (functions/text.doc_frequency):
     per-batch dictionary-encoded (token, tf, df) partials, ONE Sum
@@ -2470,6 +2485,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": q_text_repetition,
         "text_redact": q_text_redact,
         "text_decontaminate": q_text_decontaminate,
+        "text_chunk": q_text_chunk,
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
         "events_asof_orders": q_events_asof_orders,
@@ -3726,6 +3742,30 @@ FROM (
   )
  )
 )
+""",
+        # chunk i covers [i*stride, min(i*stride+size, m)); n_chunks =
+        # ceil(max(m-overlap,1)/stride) via integer arithmetic; chunk text
+        # rebuilt with 1-based inclusive list slicing and md5'd
+        "text_chunk": """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS ts,
+         len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+')) AS m
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_id, i * 24 AS tok_start,
+         LEAST(i * 24 + 32, m) AS tok_end, ts
+  FROM (SELECT doc_id, ts, m,
+               unnest(generate_series(0, (GREATEST(m - 8, 1) + 23) // 24 - 1))
+                 AS i
+        FROM toks WHERE m > 0)
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(tok_start AS BIGINT) AS tok_start,
+       CAST(tok_end AS BIGINT) AS tok_end,
+       md5(array_to_string(ts[tok_start + 1:tok_end], ' ')) AS chunk_md5
+FROM chunks
 """,
         # grams rebuilt with the shared [a-z']+ token rule; the benchmark
         # side (doc_id % 50 = 0) is deduplicated before the LEFT JOIN so

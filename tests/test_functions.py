@@ -888,3 +888,42 @@ def test_kmedians_partition_invariant_and_integer_exact(ray_session):
     assert all(len(s) == 1 for s in by_plant.values())
     # distances are integers in the doubled-quantized space (even coords)
     assert all(isinstance(v[1], int) for v in res[1].values())
+
+
+def test_chunk_batch_geometry_and_content():
+    """Chunk boundaries follow [i*stride, i*stride+size) with the final
+    chunk clipped; every non-empty doc yields >= 1 chunk; md5 content is
+    pinned on a hand case."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from rioxarray_ray.functions.text import chunk_batch
+
+    # letter-only words: digits are separators under the [a-z']+ rule
+    words = ["w" + chr(ord("a") + i // 26) + chr(ord("a") + i % 26)
+             for i in range(50)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([" ".join(words), "only three words", None,
+                              "x"], pa.string()),
+        }
+    )
+    out = chunk_batch(t, size=32, overlap=8)
+    rows = out.to_pylist()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: m=50 -> ceil(max(42,1)/24)=2 chunks: [0,32) and [24,50)
+    assert [(r["tok_start"], r["tok_end"]) for r in by_doc[0]] == [
+        (0, 32), (24, 50)
+    ]
+    assert by_doc[0][1]["chunk_md5"] == hashlib.md5(
+        " ".join(words[24:50]).encode()
+    ).hexdigest()
+    # doc 1: one clipped chunk covering all 3 tokens
+    assert [(r["tok_start"], r["tok_end"]) for r in by_doc[1]] == [(0, 3)]
+    # null doc -> no chunks; single-token doc -> one chunk
+    assert 2 not in by_doc
+    assert [(r["tok_start"], r["tok_end"]) for r in by_doc[3]] == [(0, 1)]
