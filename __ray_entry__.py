@@ -2239,6 +2239,23 @@ def q_embedding_kmedians(sf_dir: str):
     return cluster.kmedians(ds, k=8, iters=2)
 
 
+def q_embedding_sketch(sf_dir: str):
+    """Deterministic ±1 signed-projection sketch (functions/cluster.
+    signed_projection_batch) — 64-dim quantized embeddings down to 16
+    integer coordinates in one int64 matmul per batch; the oracle
+    recomputes every coordinate as SUM(w * sign) with the same closed-form
+    product-hash sign matrix."""
+    from rioxarray_ray.functions import cluster
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        cluster.signed_projection_batch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_ann_topk(sf_dir: str):
     from rioxarray_ray.functions import ann
 
@@ -2466,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash_pairs_md5": q_dedup_simhash_pairs_md5,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_kmedians": q_embedding_kmedians,
+        "embedding_sketch": q_embedding_sketch,
         "embedding_near_dup_bcast": q_embedding_near_dup_bcast,
         "ann_topk": q_ann_topk,
         "ann_topk_blocked": q_ann_topk_blocked,
@@ -4042,6 +4060,21 @@ SELECT doc_a, doc_b,
          AS hamming
 FROM cand
 WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+""",
+        # same x2-quantization as kmedians; sign = product hash parity
+        "embedding_sketch": """
+WITH q AS (
+  SELECT vec_id, i AS dim,
+         CAST(2 * FLOOR(1000 * CAST(v AS DOUBLE)) AS BIGINT) AS w
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+)
+SELECT q.vec_id, od.od AS out_dim,
+       CAST(SUM(q.w * (1 - 2 * (((q.dim) * (od.od + 1) * 2654435761)
+                                % 1000000007 % 2))) AS BIGINT) AS value
+FROM q CROSS JOIN generate_series(0, 15) od(od)
+GROUP BY q.vec_id, od.od
 """,
         # full 2-pass k-medians replay: quantize w = 2*floor(1000*e)
         # (all-even ints => every median is an integer), L1 argmin with

@@ -156,6 +156,8 @@ def run_bench() -> dict:
         "text_repetition",
         "text_redact",
         "text_decontaminate",
+        "text_chunk",
+        "embedding_kmedians",
         "text_doc_freq",
         "events_topk_per_user",
         "events_window",

@@ -153,3 +153,42 @@ def kmedians(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def signed_projection_batch(
+    batch: pa.Table,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pa.Table:
+    """JL-style dimensionality-reduction sketch with a DETERMINISTIC ±1
+    sign matrix ``S[i, j] = 1 - 2*((((i+1)*(j+1)*2654435761) % 1000000007)
+    % 2)`` (a product hash — parities of linear-term hashes collapse to
+    low-rank structure; this one is full-rank and balanced, checked in
+    tests) over the same
+    x2-quantized integer embeddings as :func:`kmedians` — so the sketch
+    is integer-exact and a DuckDB oracle can recompute every output
+    coordinate (``SUM(w * sign)``) bit for bit.
+
+    The sign matrix is closed-form (no trained state to broadcast); the
+    batch work is ONE int64 matmul.  Output is the unnested long form
+    (id, out_dim, value) so the gate's sorted-hash compare is
+    schema-stable.  Pure map_batches — no shuffle at any scale.
+    """
+    w = _quantized_matrix(batch, col)
+    n, d = w.shape if w.size else (batch.num_rows, 0)
+    i = np.arange(d, dtype=np.int64)[:, None]
+    j = np.arange(out_dim, dtype=np.int64)[None, :]
+    signs = 1 - 2 * ((((i + 1) * (j + 1) * 2654435761) % 1000000007) % 2)
+    y = w @ signs if d else np.zeros((n, out_dim), np.int64)
+    ids = np.repeat(
+        batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64), out_dim
+    )
+    ods = np.tile(np.arange(out_dim, dtype=np.int64), n)
+    return pa.table(
+        {
+            id_col: pa.array(ids, pa.int64()),
+            "out_dim": pa.array(ods, pa.int64()),
+            "value": pa.array(y.reshape(-1), pa.int64()),
+        }
+    )

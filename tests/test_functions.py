@@ -927,3 +927,35 @@ def test_chunk_batch_geometry_and_content():
     # null doc -> no chunks; single-token doc -> one chunk
     assert 2 not in by_doc
     assert [(r["tok_start"], r["tok_end"]) for r in by_doc[3]] == [(0, 1)]
+
+
+def test_signed_projection_full_rank_and_linear():
+    """The product-hash sign matrix is full-rank and balanced (a linear
+    parity would collapse to a checkerboard), and the sketch is linear in
+    the quantized embedding."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rioxarray_ray.functions.cluster import signed_projection_batch
+
+    d, r = 64, 16
+    i = np.arange(d, dtype=np.int64)[:, None]
+    j = np.arange(r, dtype=np.int64)[None, :]
+    S = 1 - 2 * ((((i + 1) * (j + 1) * 2654435761) % 1000000007) % 2)
+    assert np.linalg.matrix_rank(S.astype(float)) == r
+    assert abs(S.mean()) < 0.1
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=d).astype(np.float32)
+    b = rng.normal(size=d).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([a.tolist(), b.tolist()],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = signed_projection_batch(t).to_pandas()
+    wa = (2 * np.floor(1000.0 * a.astype(np.float64))).astype(np.int64)
+    ya = out[out.vec_id == 0].sort_values("out_dim")["value"].to_numpy()
+    np.testing.assert_array_equal(ya, wa @ S)
