@@ -596,6 +596,136 @@ def q_geo_reproject_grid(sf_dir: str):
     return _rd().from_arrow(tbl).map_batches(plan, batch_format="pyarrow")
 
 
+def _keep_idx(tiles, pred):
+    """Filter tile rows by a vectorized predicate over the numeric doc_id
+    parsed from image_id (gate-side subsetting shared by the pixel-exact
+    oracles, which bound DuckDB's pixel regeneration cost)."""
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(pred(idx)))
+
+    return tiles.map_batches(keep, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def q_geo_histogram(sf_dir: str):
+    """Per-image pixel-value histogram (stages/stats.histogram_stage:
+    per-batch bincount partials -> ONE (image_id, bucket) groupby Sum;
+    the shuffle carries count rows, never pixels), oracle-gated EXACTLY:
+    DuckDB regenerates the frozen pixel spec and groups the same
+    floor(px/16) buckets.  doc_id < 64 bounds the SQL regeneration."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 64)
+    hist = sstage.histogram_stage(small, bucket=16, concurrency=4)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "image_id": batch["image_id"],
+                "bucket": pc.cast(batch["bucket"], pa.int64()),
+                "n": pc.cast(batch["n"], pa.int64()),
+            }
+        )
+
+    return hist.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_geo_band_math(sf_dir: str):
+    """NDVI-style normalized difference (band1 - band0)/(band1 + band0)
+    over the 3-band scenes (stages/stats.normalized_difference_stage),
+    projected to per-tile integer aggregates of round_even(nd * 1e6) so
+    DuckDB can replay the IEEE float chain term-for-term from the
+    regenerated pixel spec — any per-pixel ratio error breaks the hash.
+    Tiles whose every pixel is masked (or zero-denominator) carry no
+    gate row; that case is pytest-covered."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(
+        _tiles_4326(sf_dir), lambda idx: (idx < 320) & (idx % 5 == 0)
+    )
+    nd = sstage.normalized_difference_stage(
+        small, band_a=1, band_b=0, concurrency=4
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {
+            "image_id": [], "tile_row": [], "tile_col": [],
+            "n_ok": [], "nd_sum": [], "nd_min": [], "nd_max": [],
+        }
+        for row in batch.to_pylist():
+            vals = np.asarray(row["nd"], dtype=np.float64)
+            ok = ~np.isnan(vals)
+            if not ok.any():
+                continue
+            q = np.rint(vals[ok] * 1e6).astype(np.int64)
+            out["image_id"].append(row["image_id"])
+            out["tile_row"].append(int(row["tile_row"]))
+            out["tile_col"].append(int(row["tile_col"]))
+            out["n_ok"].append(int(ok.sum()))
+            out["nd_sum"].append(int(q.sum()))
+            out["nd_min"].append(int(q.min()))
+            out["nd_max"].append(int(q.max()))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "tile_row": pa.array(out["tile_row"], pa.int64()),
+                "tile_col": pa.array(out["tile_col"], pa.int64()),
+                "n_ok": pa.array(out["n_ok"], pa.int64()),
+                "nd_sum": pa.array(out["nd_sum"], pa.int64()),
+                "nd_min": pa.array(out["nd_min"], pa.int64()),
+                "nd_max": pa.array(out["nd_max"], pa.int64()),
+            }
+        )
+
+    return nd.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_geo_overviews(sf_dir: str):
+    """Overview pyramid levels 2/4/8 (stages/stats.overviews_stage:
+    per-LxL-block floor-mean of valid pixels, zero-shuffle because the
+    64-aligned tile grid divides every level), projected to
+    position-weighted checksums per (tile, band, level) so a block
+    misplacement, a wrong floor-mean, or a nodata leak each break the
+    hash.  DuckDB rebuilds every overview cell from the regenerated
+    pixel spec; doc_id < 64 bounds the regeneration."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 64)
+    ov = sstage.overviews_stage(small, levels=(2, 4, 8), concurrency=4)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {
+            "image_id": [], "tile_row": [], "tile_col": [], "band": [],
+            "level": [], "ov_h": [], "ov_w": [], "n_valid": [], "wsum": [],
+        }
+        for row in batch.to_pylist():
+            vals = np.asarray(row["ov"], dtype=np.int64)
+            ok = np.asarray(row["ov_valid"], dtype=bool)
+            if not ok.any():
+                continue
+            p = np.arange(vals.size, dtype=np.int64)
+            weights = 1 + (p % 97)
+            out["image_id"].append(row["image_id"])
+            out["tile_row"].append(int(row["tile_row"]))
+            out["tile_col"].append(int(row["tile_col"]))
+            out["band"].append(int(row["band"]))
+            out["level"].append(int(row["level"]))
+            out["ov_h"].append(int(row["ov_h"]))
+            out["ov_w"].append(int(row["ov_w"]))
+            out["n_valid"].append(int(ok.sum()))
+            out["wsum"].append(int((vals[ok] * weights[ok]).sum()))
+        return pa.table(
+            {k: pa.array(v, pa.string() if k == "image_id" else pa.int64())
+             for k, v in out.items()}
+        )
+
+    return ov.map_batches(finalize, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # geo queries (rows-only; pixel semantics covered by pytest oracles)
 # --------------------------------------------------------------------------
@@ -2449,6 +2579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_composite_median": q_geo_composite_median,
         "geo_focal_mean": q_geo_focal_mean,
         "geo_terrain": q_geo_terrain,
+        "geo_histogram": q_geo_histogram,
+        "geo_band_math": q_geo_band_math,
+        "geo_overviews": q_geo_overviews,
         "geo_knn": q_geo_knn,
         "geo_reproject_grid": q_geo_reproject_grid,
         "geo_downsample_avg": q_geo_downsample_avg,
@@ -2965,6 +3098,70 @@ WHERE LEAST(cw, tw - ci) >= 1 AND LEAST(rh, th - ri) >= 1
 """,
         "geo_pip_rect": _PIP_RECT_SQL,
         "geo_pip_shuffle": _PIP_RECT_SQL,
+        "geo_histogram": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")}
+SELECT image_id,
+       CAST(floor(CAST(px AS DOUBLE) / 16) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM allpx
+GROUP BY image_id, floor(CAST(px AS DOUBLE) / 16)
+""",
+        "geo_band_math": f"""
+WITH {_allpx_cte(
+    "doc_id < 320 AND doc_id % 5 = 0 AND doc_id % 7 <> 6")},
+nd AS (
+  SELECT b0.image_id,
+         b0.r // 64 AS tile_row, b0.c // 64 AS tile_col,
+         round_even(((b1.px - b0.px) / CAST(b1.px + b0.px AS DOUBLE)) * 1e6,
+                    0) AS ndv
+  FROM (SELECT * FROM allpx WHERE b = 0) b0
+  JOIN (SELECT * FROM allpx WHERE b = 1) b1
+    ON b1.idx = b0.idx AND b1.r = b0.r AND b1.c = b0.c
+  WHERE (b1.px + b0.px) <> 0
+)
+SELECT image_id,
+       CAST(tile_row AS BIGINT) AS tile_row,
+       CAST(tile_col AS BIGINT) AS tile_col,
+       CAST(COUNT(*) AS BIGINT) AS n_ok,
+       CAST(SUM(CAST(ndv AS BIGINT)) AS BIGINT) AS nd_sum,
+       CAST(MIN(CAST(ndv AS BIGINT)) AS BIGINT) AS nd_min,
+       CAST(MAX(CAST(ndv AS BIGINT)) AS BIGINT) AS nd_max
+FROM nd
+GROUP BY image_id, tile_row, tile_col
+""",
+        "geo_overviews": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+lv AS (SELECT unnest([2, 4, 8]) AS level),
+blocks AS (
+  SELECT p.image_id, p.idx, p.b AS band, lv.level,
+         p.r // 64 AS tile_row, p.c // 64 AS tile_col,
+         (p.r % 64) // lv.level AS br, (p.c % 64) // lv.level AS bc,
+         CAST(floor(CAST(SUM(p.px) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ov
+  FROM allpx p CROSS JOIN lv
+  GROUP BY p.image_id, p.idx, p.b, lv.level,
+           p.r // 64, p.c // 64,
+           (p.r % 64) // lv.level, (p.c % 64) // lv.level
+),
+dims AS (
+  SELECT bl.*,
+         CAST(LEAST(64, i.h - 64 * bl.tile_row) AS BIGINT) // bl.level
+           AS ov_h,
+         CAST(LEAST(64, i.w - 64 * bl.tile_col) AS BIGINT) // bl.level
+           AS ov_w
+  FROM blocks bl JOIN img i ON i.idx = bl.idx
+)
+SELECT image_id,
+       CAST(tile_row AS BIGINT) AS tile_row,
+       CAST(tile_col AS BIGINT) AS tile_col,
+       CAST(band AS BIGINT) AS band,
+       CAST(level AS BIGINT) AS level,
+       CAST(ov_h AS BIGINT) AS ov_h,
+       CAST(ov_w AS BIGINT) AS ov_w,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(ov * (1 + (br * ov_w + bc) % 97)) AS BIGINT) AS wsum
+FROM dims
+GROUP BY image_id, tile_row, tile_col, band, level, ov_h, ov_w
+""",
         "geo_zonal_stats": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
 imj AS (

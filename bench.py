@@ -147,6 +147,9 @@ def run_bench() -> dict:
         "geo_change_crosstab",
         "geo_focal_mean",
         "geo_point_sample",
+        "geo_histogram",
+        "geo_band_math",
+        "geo_overviews",
         "dedup_exact",
         "dedup_minhash",
         "embedding_near_dup",

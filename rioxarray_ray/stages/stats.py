@@ -1,0 +1,238 @@
+"""Raster value statistics: histograms, band math, overview pyramids.
+
+Reference recipes these recast (rioxarray delegates all three to
+numpy/xarray or GDAL utilities; the semantics below are the public,
+documented ones):
+
+- histogram: ``np.histogram(rds.values[rds.values != nodata])`` over a
+  rioxarray-opened raster (the xarray ``plot.hist`` path); GDAL's
+  ``gdalinfo -hist`` equivalent.
+- band math: ``(rds.sel(band=2) - rds.sel(band=1)) / (sel2 + sel1)`` —
+  the NDVI-style normalized-difference recipe from rioxarray's docs
+  (georeferencing survives because arithmetic preserves dims/coords,
+  see /root/reference/rioxarray/rioxarray.py accessor docs).
+- overviews: GDAL ``BuildOverviews(AVERAGE)`` / COG overview levels —
+  rioxarray exposes them at read time via ``open_rasterio(overview_level=)``
+  (/root/reference/rioxarray/_io.py URI option handling).
+
+Ray-Data recast (all three are ZERO-SHUFFLE or one-small-shuffle):
+
+- ``histogram_stage``: per-batch bincount partials (tile loop, vectorized
+  inside) -> ONE groupby((image_id, bucket)) Sum.  The shuffle moves
+  (image_id, bucket, n) count rows only — at 100 TB the exchange volume
+  is bounded by images x occupied buckets, never by pixels.
+- ``normalized_difference_stage``: embarrassingly parallel map_batches;
+  output volume ~= 8x input bytes/band-pair (float64 ratio), streams.
+- ``overviews_stage``: per-tile block reduction with NO halo and NO
+  shuffle — valid because the tile grid is cut at multiples of 64 and
+  every level divides the tile size, so per-tile overview blocks ARE
+  per-image overview blocks (the partitioning assumption, checked at
+  runtime).  A failed run re-derives any tile independently.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HIST_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("bucket", pa.int64()),
+        ("n", pa.int64()),
+    ]
+)
+
+ND_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("nd", pa.list_(pa.float64())),
+    ]
+)
+
+OVERVIEW_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("band", pa.int32()),
+        ("level", pa.int32()),
+        ("ov_h", pa.int32()),
+        ("ov_w", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("ov", pa.list_(pa.int64())),
+        ("ov_valid", pa.list_(pa.bool_())),
+    ]
+)
+
+
+def _row_nodata(row: dict):
+    """Nodata coercion shared with focal_mean_stage: parquet NaN means
+    'none' for integer rasters and NaN-sentinel for float ones."""
+    nod = row["nodata"]
+    if nod != nod:
+        return None if np.dtype(row["dtype"]).kind in "iu" else float("nan")
+    return nod
+
+
+def histogram_stage(tiles_ds, bucket: int = 16, **map_kwargs):
+    """Per-image pixel-value histogram of VALID pixels, bucketed by
+    ``floor(px / bucket)`` (floor, not truncation — negative values fall
+    in the bucket below zero, matching ``np.floor_divide``).
+
+    Returns a Dataset of (image_id, bucket, n) rows.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[tuple[str, int], int] = {}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            vm = valid_mask(pixels, _row_nodata(row))
+            v = pixels[vm].astype(np.int64)
+            if v.size == 0:
+                continue
+            bo = np.floor_divide(v, bucket)
+            uniq, counts = np.unique(bo, return_counts=True)
+            iid = row["image_id"]
+            for u, c in zip(uniq.tolist(), counts.tolist()):
+                key = (iid, u)
+                acc[key] = acc.get(key, 0) + c
+        if not acc:
+            return HIST_SCHEMA.empty_table()
+        keys = list(acc.keys())
+        return pa.table(
+            {
+                "image_id": pa.array([k[0] for k in keys]),
+                "bucket": pa.array([k[1] for k in keys], pa.int64()),
+                "n": pa.array([acc[k] for k in keys], pa.int64()),
+            }
+        )
+
+    partials = tiles_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )
+    return partials.groupby(["image_id", "bucket"]).aggregate(
+        Sum("n", alias_name="n")
+    )
+
+
+def normalized_difference_stage(tiles_ds, band_a: int = 1, band_b: int = 0,
+                                **map_kwargs):
+    """NDVI-style normalized difference ``(A - B) / (A + B)`` between two
+    bands of every tile (float64; NaN where either band is nodata or the
+    denominator is zero).  Tiles with fewer bands than required raise.
+
+    IEEE-determinism contract (lets DuckDB replay it bit-for-bit for the
+    gate): the ratio is computed exactly as ``(a - b) / (a + b)`` on
+    float64 promotions of the integer pixel values — one subtraction,
+    one addition, one division, no rearrangement.
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    need = max(band_a, band_b) + 1
+
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {name: [] for name in ND_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            if pixels.shape[0] < need:
+                raise ValueError(
+                    f"normalized_difference needs >= {need} bands; "
+                    f"{row['image_id']} has {pixels.shape[0]}"
+                )
+            vm = valid_mask(pixels, _row_nodata(row))
+            a = pixels[band_a].astype(np.float64)
+            b = pixels[band_b].astype(np.float64)
+            num = a - b
+            den = a + b
+            ok = vm[band_a] & vm[band_b] & (den != 0.0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                nd = np.where(ok, num / den, np.nan)
+            out["image_id"].append(row["image_id"])
+            out["tile_row"].append(row["tile_row"])
+            out["tile_col"].append(row["tile_col"])
+            out["h"].append(row["h"])
+            out["w"].append(row["w"])
+            out["win_row_off"].append(row["win_row_off"])
+            out["win_col_off"].append(row["win_col_off"])
+            out["nd"].append(nd.ravel())
+        return pa.Table.from_pydict(out, schema=ND_SCHEMA)
+
+    return tiles_ds.map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )
+
+
+def overview_blocks(values: np.ndarray, vm: np.ndarray, level: int):
+    """(bands, h//L, w//L) floor-mean of VALID pixels per LxL block plus
+    the any-valid mask.  h and w must divide by ``level`` (the tile-grid
+    alignment assumption; callers raise otherwise)."""
+    b, h, w = values.shape
+    v = np.where(vm, values.astype(np.int64), 0)
+    s = v.reshape(b, h // level, level, w // level, level).sum(axis=(2, 4))
+    c = (
+        vm.astype(np.int64)
+        .reshape(b, h // level, level, w // level, level)
+        .sum(axis=(2, 4))
+    )
+    ok = c > 0
+    ov = np.floor_divide(s, np.maximum(c, 1))
+    return ov, ok
+
+
+def overviews_stage(tiles_ds, levels=(2, 4, 8), **map_kwargs):
+    """Overview (reduced-resolution) pyramid per tile: each level-L cell
+    is the floor of the mean of the VALID base pixels in its LxL block
+    (GDAL AVERAGE built from the base raster; all-nodata blocks are
+    invalid).  Zero-shuffle: tile dims must divide every level, which the
+    64-aligned tile grid guarantees for levels up to 8 on this corpus;
+    violations raise rather than silently misalign.
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    levels = tuple(int(lv) for lv in levels)
+
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {name: [] for name in OVERVIEW_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            h, w = pixels.shape[1], pixels.shape[2]
+            vm = valid_mask(pixels, _row_nodata(row))
+            for lv in levels:
+                if h % lv or w % lv:
+                    raise ValueError(
+                        f"overview level {lv} does not divide tile "
+                        f"{h}x{w} of {row['image_id']} — cut tiles at a "
+                        f"multiple of {lv}"
+                    )
+                ov, ok = overview_blocks(pixels, vm, lv)
+                for band in range(pixels.shape[0]):
+                    out["image_id"].append(row["image_id"])
+                    out["tile_row"].append(row["tile_row"])
+                    out["tile_col"].append(row["tile_col"])
+                    out["band"].append(band)
+                    out["level"].append(lv)
+                    out["ov_h"].append(h // lv)
+                    out["ov_w"].append(w // lv)
+                    out["win_row_off"].append(row["win_row_off"])
+                    out["win_col_off"].append(row["win_col_off"])
+                    out["ov"].append(ov[band].ravel())
+                    out["ov_valid"].append(ok[band].ravel())
+        return pa.Table.from_pydict(out, schema=OVERVIEW_SCHEMA)
+
+    return tiles_ds.map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )

@@ -47,6 +47,9 @@ def _oracle_df(sql: str) -> pd.DataFrame:
         "geo_downsample_avg",
         "geo_merge",
         "geo_clip_geometry",
+        "geo_histogram",
+        "geo_band_math",
+        "geo_overviews",
     ],
 )
 def test_exact_oracle_parity(ray_session, query):

@@ -1891,3 +1891,118 @@ def test_lifted_composite_reprojects(rds):
         assert ras.pixels.dtype == np.float64
         n_val += int((~np.isnan(ras.pixels)).sum())
     assert n_val > 0
+
+
+# ---------------------------------------------------------------------------
+# stats stage: histogram / band math / overviews
+# ---------------------------------------------------------------------------
+
+
+def test_histogram_stage_equals_whole_image(rds):
+    """Distributed (tile-partial + groupby) histogram == single-process
+    bincount over each whole image's valid pixels."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats
+
+    rows = stats.histogram_stage(rds["tiles"], bucket=16).take_all()
+    got: dict[tuple[str, int], int] = {
+        (r["image_id"], r["bucket"]): r["n"] for r in rows
+    }
+    assert len(got) == len(rows)  # group keys unique
+    want: dict[tuple[str, int], int] = {}
+    for idx in range(N_IMAGES):
+        ras = corpus.raster_for(idx)
+        v = ras.pixels[valid_mask(ras.pixels, ras.nodata)].astype(np.int64)
+        uniq, counts = np.unique(np.floor_divide(v, 16), return_counts=True)
+        for u, c in zip(uniq.tolist(), counts.tolist()):
+            want[(corpus.image_id(idx), u)] = c
+    assert got == want
+
+
+def test_normalized_difference_matches_numpy(rds):
+    """Per-pixel (b1-b0)/(b1+b0) on the 3-band scenes equals the direct
+    numpy expression; masked and zero-denominator pixels are NaN."""
+    import pyarrow.compute as pc
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats
+
+    three_band = rds["tiles"].filter(
+        lambda r: int(r["image_id"][3:]) % 5 == 0
+    )
+    rows = stats.normalized_difference_stage(three_band).take_all()
+    assert rows
+
+    for idx in range(0, N_IMAGES, 5):
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        a = ras.pixels[1].astype(np.float64)
+        b = ras.pixels[0].astype(np.float64)
+        den = a + b
+        ok = vm[1] & vm[0] & (den != 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ref = np.where(ok, (a - b) / den, np.nan)
+        seen = np.zeros(ref.shape, dtype=bool)
+        for r in rows:
+            if r["image_id"] != corpus.image_id(idx):
+                continue
+            h, w = r["h"], r["w"]
+            r0, c0 = r["win_row_off"], r["win_col_off"]
+            nd = np.asarray(r["nd"]).reshape(h, w)
+            ref_win = ref[r0 : r0 + h, c0 : c0 + w]
+            assert np.array_equal(np.isnan(nd), np.isnan(ref_win))
+            assert np.array_equal(nd[~np.isnan(nd)], ref_win[~np.isnan(ref_win)])
+            seen[r0 : r0 + h, c0 : c0 + w] = True
+        assert seen.all()
+
+
+def test_normalized_difference_rejects_single_band(rds):
+    from rioxarray_ray.stages import stats
+
+    one_band = rds["tiles"].filter(
+        lambda r: int(r["image_id"][3:]) % 5 != 0
+    )
+    with pytest.raises(Exception) as ei:
+        stats.normalized_difference_stage(one_band).take_all()
+    assert "bands" in str(ei.value)
+
+
+def test_overviews_stage_floor_mean_and_alignment(rds):
+    """Every overview cell equals the floor-mean of the valid base pixels
+    in its block, computed over the WHOLE image (proving per-tile blocks
+    align with per-image blocks on the 64-cut grid)."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats
+
+    levels = (2, 4, 8)
+    rows = stats.overviews_stage(rds["tiles"], levels=levels).take_all()
+    assert rows
+
+    for idx in (0, 2, 3, 5):  # mixed sizes + a 3-band (0, 5)
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        for lv in levels:
+            ref, ref_ok = stats.overview_blocks(ras.pixels, vm, lv)
+            seen = np.zeros(ref.shape, dtype=bool)
+            for r in rows:
+                if r["image_id"] != corpus.image_id(idx) or r["level"] != lv:
+                    continue
+                b = r["band"]
+                oh, ow = r["ov_h"], r["ov_w"]
+                r0 = r["win_row_off"] // lv
+                c0 = r["win_col_off"] // lv
+                ov = np.asarray(r["ov"]).reshape(oh, ow)
+                ok = np.asarray(r["ov_valid"]).reshape(oh, ow)
+                assert np.array_equal(ok, ref_ok[b, r0 : r0 + oh, c0 : c0 + ow])
+                ref_win = ref[b, r0 : r0 + oh, c0 : c0 + ow]
+                assert np.array_equal(ov[ok], ref_win[ok])
+                seen[b, r0 : r0 + oh, c0 : c0 + ow] = True
+            assert seen.all()
+
+
+def test_overviews_stage_rejects_misaligned_level(rds):
+    from rioxarray_ray.stages import stats
+
+    with pytest.raises(Exception) as ei:
+        stats.overviews_stage(rds["tiles"], levels=(7,)).take_all()
+    assert "divide" in str(ei.value) or "multiple" in str(ei.value)
