@@ -1465,6 +1465,113 @@ def q_multimodal_avi(sf_dir: str):
                                zero_copy_batch=True)
 
 
+def q_multimodal_audio_features(sf_dir: str):
+    """Frame-level audio features (energy / zero-crossings / peak over
+    256-sample frames, hop 128) through the REAL WAV codec chain
+    (functions/multimodal.audio_features_stage).  Same closed-form
+    waveform + depth/channel rotation as q_multimodal_wav, so the oracle
+    replays every frame's integer features from the formula — a framing
+    bug (hop, window, channel split) or a codec defect breaks the hash."""
+    import numpy as np
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import wav
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    _DTYPES = (np.int16, np.int32, np.int32, np.float32)
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(1024, dtype=np.int64)
+        vals = (ids[:, None] * 37 + i[None, :] * i[None, :]) % 2001 - 1000
+        payloads = []
+        for k, d in enumerate(ids):
+            depth = int(d) % 4
+            channels = 1 + int(d) % 2
+            arr = vals[k].astype(_DTYPES[depth]).reshape(channels, -1)
+            payloads.append(
+                wav.encode_wav(arr, 16000, bits=24 if depth == 1 else None)
+            )
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array([str(d) for d in ids], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    feats = multimodal.audio_features_stage(media, frame=256, hop=128)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch["media_id"], pa.int64()),
+                "channel": pc.cast(batch["channel"], pa.int64()),
+                "frame_index": pc.cast(batch["frame_index"], pa.int64()),
+                "energy": batch["energy"],
+                "zero_crossings": batch["zero_crossings"],
+                "peak": batch["peak"],
+            }
+        )
+
+    return feats.map_batches(finalize, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def q_multimodal_scene_cut(sf_dir: str):
+    """Shot-boundary detection through the REAL AVI codec chain
+    (functions/multimodal.scene_cut_stage): SAD between consecutive
+    frames + thresholded cut flags.  Same closed-form 5-frame video as
+    q_multimodal_avi — frame f+1 is frame f shifted by +1 mod 256, so
+    SAD = 192 + 254*k where k counts the pixels that wrap; the oracle
+    recomputes every SAD from the formula, catching frame-order, BGR,
+    stride and diff bugs."""
+    import numpy as np
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import avi
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = np.arange(5, dtype=np.int64)
+        i = np.arange(3 * 8 * 8, dtype=np.int64)
+        vals = (
+            ids[:, None, None] * 13 + f[None, :, None] * 257
+            + i[None, None, :] * i[None, None, :]
+        ) % 256
+        payloads = [
+            avi.encode_avi(vals[k].astype(np.uint8).reshape(5, 3, 8, 8),
+                           fps=10.0)
+            for k in range(len(ids))
+        ]
+        return pa.Table.from_pydict(
+            {
+                "media_id": pa.array([str(d) for d in ids], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    cuts = multimodal.scene_cut_stage(media, threshold=400)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "doc_id": pc.cast(batch["media_id"], pa.int64()),
+                "frame_index": pc.cast(batch["frame_index"], pa.int64()),
+                "sad": batch["sad"],
+                "is_cut": batch["is_cut"],
+            }
+        )
+
+    return cuts.map_batches(finalize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_multimodal_jpeg(sf_dir: str):
     """REAL baseline JPEG bytes through the image registry, oracle-gated.
     Each doc gets a 16x24 grayscale image that is FLAT per 8x8 block
@@ -2599,6 +2706,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_png": q_multimodal_png,
         "multimodal_wav": q_multimodal_wav,
         "multimodal_avi": q_multimodal_avi,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_scene_cut": q_multimodal_scene_cut,
         "geo_open_geotiff": q_geo_open_geotiff,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_bmp": q_multimodal_bmp,
@@ -3821,6 +3930,52 @@ LATERAL (
          AS frame_sum
   FROM generate_series(0, 191) t(i)
 ) s
+""",
+        "multimodal_audio_features": """
+WITH d AS (
+  SELECT doc_id, 1 + doc_id % 2 AS channels,
+         1024 // (1 + doc_id % 2) AS per
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, per, unnest(range(0, 1024)) AS i FROM d
+),
+s AS (
+  SELECT doc_id, per, i // per AS ch, i % per AS p,
+         (doc_id * 37 + i * i) % 2001 - 1000 AS x
+  FROM pos
+),
+sx AS (
+  SELECT *, lead(x) OVER (PARTITION BY doc_id, ch ORDER BY p) AS xn FROM s
+),
+fr AS (
+  SELECT doc_id, unnest(range(0, 1 + (per - 256) // 128)) AS f FROM d
+)
+SELECT s.doc_id,
+       CAST(s.ch AS BIGINT) AS channel,
+       CAST(fr.f AS BIGINT) AS frame_index,
+       CAST(SUM(s.x * s.x) AS BIGINT) AS energy,
+       CAST(SUM(CASE WHEN s.p < fr.f * 128 + 255 AND s.x * s.xn < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+       CAST(MAX(ABS(s.x)) AS BIGINT) AS peak
+FROM sx s
+JOIN fr ON fr.doc_id = s.doc_id
+       AND s.p >= fr.f * 128 AND s.p < fr.f * 128 + 256
+GROUP BY s.doc_id, s.ch, fr.f
+""",
+        "multimodal_scene_cut": """
+WITH fx AS (SELECT doc_id, unnest(range(1, 5)) AS f FROM documents),
+px AS (SELECT doc_id, f, unnest(range(0, 192)) AS i FROM fx),
+sad AS (
+  SELECT doc_id, f,
+         SUM(ABS(((doc_id * 13 + f * 257 + i * i) % 256)
+               - ((doc_id * 13 + (f - 1) * 257 + i * i) % 256))) AS sad
+  FROM px GROUP BY doc_id, f
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_index,
+       CAST(sad AS BIGINT) AS sad,
+       CAST(CASE WHEN sad > 400 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+FROM sad
 """,
         "geo_interpolate_na_plane": """
 SELECT d.doc_id, s.pixel_sum, h.n_holes_filled

@@ -355,3 +355,123 @@ def image_near_dup(ds, id_col: str = "media_id", max_hamming: int = 3,
         hashed, id_col=id_col, hash_col="ahash",
         max_hamming=max_hamming, bands=bands,
     )
+
+
+def audio_features_stage(ds, frame: int = 256, hop: int = 128,
+                         quantize: bool = True, concurrency=(1, 2)):
+    """Frame-level audio features over decoded waveforms: per
+    (media, channel, frame) — ``energy`` (sum of squares), ``peak``
+    (max magnitude) and ``zero_crossings`` (strict sign flips between
+    consecutive samples; zeros never cross) — the front half of any
+    VAD / silence-trim / audio-quality filter in a training-data
+    pipeline.
+
+    ``quantize=True`` (default) casts decoded samples to int64 so every
+    feature is integer-exact and order-free (PCM decodes are integral;
+    float audio truncates toward zero, documented).  ``quantize=False``
+    keeps float64 features for real-valued audio.
+
+    Overflow contract: int64 energy holds |x| <= ~600k per 256-sample
+    frame; full-scale 32-bit PCM needs ``quantize=False``.
+
+    100-TB shape: embarrassingly parallel map_batches (flat-map to frame
+    rows); payload bytes never re-enter the object store — only the slim
+    (id, channel, frame, 3 ints) relation leaves the stage.
+    """
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "media_id": [], "channel": [], "frame_index": [],
+            "energy": [], "zero_crossings": [], "peak": [],
+        }
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            samples = DECODERS["audio"](payload)
+            x = np.asarray(samples)
+            if x.ndim == 1:
+                x = x[None, :]
+            if quantize:
+                x = x.astype(np.int64)
+            else:
+                x = x.astype(np.float64)
+            n = x.shape[1]
+            if n < frame:
+                continue
+            n_frames = 1 + (n - frame) // hop
+            for ch in range(x.shape[0]):
+                w = np.lib.stride_tricks.sliding_window_view(
+                    x[ch], frame
+                )[:: hop][:n_frames]
+                energy = (w * w).sum(axis=1)
+                pos = w > 0
+                neg = w < 0
+                zc = (
+                    (pos[:, :-1] & neg[:, 1:]) | (neg[:, :-1] & pos[:, 1:])
+                ).sum(axis=1)
+                peak = np.abs(w).max(axis=1)
+                for f in range(n_frames):
+                    out["media_id"].append(media_id)
+                    out["channel"].append(ch)
+                    out["frame_index"].append(f)
+                    out["energy"].append(energy[f])
+                    out["zero_crossings"].append(int(zc[f]))
+                    out["peak"].append(peak[f])
+        val_t = pa.int64() if quantize else pa.float64()
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "channel": pa.array(out["channel"], pa.int32()),
+                "frame_index": pa.array(out["frame_index"], pa.int32()),
+                "energy": pa.array(out["energy"], val_t),
+                "zero_crossings": pa.array(out["zero_crossings"], pa.int64()),
+                "peak": pa.array(out["peak"], val_t),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def scene_cut_stage(ds, threshold: int = 400, concurrency=(1, 2)):
+    """Shot-boundary (scene-cut) detection over decoded video: for every
+    consecutive frame pair, the sum of absolute pixel differences (SAD,
+    integer-exact); ``is_cut`` = 1 where SAD exceeds ``threshold`` — the
+    keyframe-selection primitive of a video training-data pipeline
+    (sample one frame per shot instead of a fixed stride).
+
+    AVI payloads decode for REAL (kernels/avi.py); foreign formats raise
+    the same NotImplementedError contract as DECODERS['video'].
+
+    100-TB shape: embarrassingly parallel; only (id, frame, sad, is_cut)
+    rows leave the stage.
+    """
+    from ..kernels import avi
+
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "media_id": [], "frame_index": [], "sad": [], "is_cut": [],
+        }
+        for media_id, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            if not (payload and avi.is_avi(payload)):
+                _unavailable("non-AVI video")(payload)
+            frames, _fps = avi.decode_avi(payload)
+            a = np.asarray(frames).astype(np.int64)
+            if a.shape[0] < 2:
+                continue
+            sad = np.abs(a[1:] - a[:-1]).sum(axis=tuple(range(1, a.ndim)))
+            for t, s in enumerate(sad.tolist(), start=1):
+                out["media_id"].append(media_id)
+                out["frame_index"].append(t)
+                out["sad"].append(s)
+                out["is_cut"].append(1 if s > threshold else 0)
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.string()),
+                "frame_index": pa.array(out["frame_index"], pa.int32()),
+                "sad": pa.array(out["sad"], pa.int64()),
+                "is_cut": pa.array(out["is_cut"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)

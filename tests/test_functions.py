@@ -959,3 +959,92 @@ def test_signed_projection_full_rank_and_linear():
     wa = (2 * np.floor(1000.0 * a.astype(np.float64))).astype(np.int64)
     ya = out[out.vec_id == 0].sort_values("out_dim")["value"].to_numpy()
     np.testing.assert_array_equal(ya, wa @ S)
+
+
+# ---------------------------------------------------------------------------
+# audio frame features / video scene cut
+# ---------------------------------------------------------------------------
+
+
+def test_audio_features_known_waveform(ray_session):
+    """Alternating +-A waveform: every 256-frame has energy 256*A^2,
+    zc 255, peak A; frames index by hop 128; per-channel split honored."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import wav
+
+    n = 1024
+    a = 700
+    x = np.tile([a, -a], n // 2).astype(np.int16)
+    stereo = np.stack([x, -x])  # ch1 is the inverse — same features
+    payload = wav.encode_wav(stereo, 8000)
+    ds = rd.from_items([{"media_id": "m0", "payload": payload}])
+    rows = multimodal.audio_features_stage(ds, frame=256, hop=128).take_all()
+    # 2 channels x (1 + (1024-256)//128) = 2 x 7 frames
+    assert len(rows) == 14
+    for r in rows:
+        assert r["energy"] == 256 * a * a
+        assert r["zero_crossings"] == 255
+        assert r["peak"] == a
+    assert {r["channel"] for r in rows} == {0, 1}
+    assert {r["frame_index"] for r in rows} == set(range(7))
+
+
+def test_audio_features_zero_samples_never_cross(ray_session):
+    """Zeros break sign runs: +A 0 -A has NO strict crossing."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import wav
+
+    x = np.zeros(256, dtype=np.int16)
+    x[0::3] = 100
+    x[2::3] = -100  # pattern +,0,-,+,0,-,... no adjacent sign flip
+    payload = wav.encode_wav(x[None, :], 8000)
+    ds = rd.from_items([{"media_id": "m0", "payload": payload}])
+    rows = multimodal.audio_features_stage(ds, frame=256, hop=256).take_all()
+    assert len(rows) == 1
+    # crossings only at (-100, +100) boundaries: x[2]=-100, x[3]=+100, ...
+    neg_then_pos = sum(
+        1 for i in range(255) if x[i] * x[i + 1] < 0
+    )
+    assert rows[0]["zero_crossings"] == neg_then_pos
+
+
+def test_scene_cut_sad_and_threshold(ray_session):
+    """Hand-built 3-frame video: SAD computed per consecutive pair, cut
+    flag respects the threshold strictly (>)."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels import avi
+
+    f0 = np.zeros((3, 8, 8), dtype=np.uint8)
+    f1 = f0 + 2          # SAD = 2*192 = 384
+    f2 = f1.copy()
+    f2[0, 0, 0] = 255    # SAD = 253
+    frames = np.stack([f0, f1, f2])
+    payload = avi.encode_avi(frames, fps=5.0)
+    ds = rd.from_items([{"media_id": "v0", "payload": payload}])
+    rows = sorted(
+        multimodal.scene_cut_stage(ds, threshold=300).take_all(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [(r["frame_index"], r["sad"], r["is_cut"]) for r in rows] == [
+        (1, 384, 1),
+        (2, 253, 0),
+    ]
+
+
+def test_scene_cut_foreign_format_raises(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+
+    ds = rd.from_items([{"media_id": "v0", "payload": b"\x00\x01notavi"}])
+    with pytest.raises(Exception) as ei:
+        multimodal.scene_cut_stage(ds).take_all()
+    assert "NotImplementedError" in str(ei.typename) or "decoder" in str(
+        ei.value
+    )
