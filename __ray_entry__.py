@@ -2282,6 +2282,19 @@ def q_text_doc_freq(sf_dir: str):
     return text.doc_frequency(ds, min_df=2)
 
 
+def q_text_tfidf_search(sf_dir: str):
+    """Keyword relevance ranking (functions/text.tfidf_search): top-25
+    docs by the integer-exact tf-idf surrogate
+    score = sum_t tf * ((N*1000) // df(t)) over a fixed 3-term query.
+    Plan: one tiny df aggregate over the query vocabulary (broadcast),
+    streaming scorer with score>0 pushdown, combiner top-k — no full
+    sort.  Oracle ranks with a SQL window over the same integer score."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.tfidf_search(ds, terms=("merge", "window", "hash"), k=25)
+
+
 def q_text_rarest_term(sf_dir: str):
     """Most distinctive token per document (functions/text.rarest_term):
     distinct (doc, token) explode -> native hash join to the df table ->
@@ -2748,6 +2761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_chunk": q_text_chunk,
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
+        "text_tfidf_search": q_text_tfidf_search,
         "events_asof_orders": q_events_asof_orders,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
@@ -4221,6 +4235,36 @@ SELECT token,
        CAST(COUNT(*) AS BIGINT) AS tf,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
 FROM u GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        "text_tfidf_search": r"""
+WITH u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+'))
+           AS token
+  FROM documents
+),
+q AS (SELECT unnest(['merge', 'window', 'hash']) AS token),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+df AS (
+  SELECT u.token, COUNT(DISTINCT u.doc_id) AS df
+  FROM u JOIN q ON q.token = u.token GROUP BY u.token
+),
+tf AS (
+  SELECT u.doc_id, u.token, COUNT(*) AS tf
+  FROM u JOIN q ON q.token = u.token GROUP BY u.doc_id, u.token
+),
+s AS (
+  SELECT tf.doc_id,
+         SUM(tf.tf * ((n.nd * 1000) // df.df)) AS score
+  FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+  GROUP BY tf.doc_id
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM s WHERE score > 0
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score FROM r WHERE rk <= 25
 """,
         "text_rarest_term": r"""
 WITH u AS (

@@ -622,3 +622,95 @@ def chunk_batch(batch: pa.Table, col: str = "text", id_col: str = "doc_id",
             "chunk_md5": pa.array(md5s, pa.string()),
         }
     )
+
+
+def tfidf_search(ds, terms, k: int = 25, scale: int = 1000,
+                 col: str = "text", id_col: str = "doc_id"):
+    """Keyword relevance ranking — top-k documents for a fixed query
+    term set under an integer-exact tf-idf surrogate:
+
+        score(d) = sum_t  tf(d, t) * ((N * scale) // df(t))
+
+    (idf as an integer rational so the ranking is bit-reproducible and
+    SQL-mirrorable; floor division matches DuckDB ``//``.  Monotone in
+    the usual tf * N/df weighting.)  Ties break to the smallest doc id.
+
+    100-TB shape: ONE tiny aggregate computes df over the fixed query
+    vocabulary (per-batch partials -> groupby Sum -> a <= len(terms)-row
+    table collected and closed over — a legitimate small-side
+    broadcast); scoring is a streaming map with a score > 0 pushdown
+    (docs without any query term never shuffle); the global top-k runs
+    through the combiner top-k (agg.topk_per_group) so each batch ships
+    at most k candidate rows to the single final group.
+    """
+    from ray.data.aggregate import Sum
+
+    from .agg import topk_per_group
+
+    terms = sorted(set(terms))
+    term_arr = pa.array(terms, pa.string())
+    n_docs = ds.count()
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, flat, parents, nonempty = _tokenize(batch[col])
+        m = pc.is_in(flat, value_set=term_arr).to_numpy(
+            zero_copy_only=False
+        ) & nonempty
+        if not m.any():
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64())}
+            )
+        toks = flat.filter(pa.array(m))
+        code = pc.index_in(toks, value_set=term_arr).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        uniq = np.unique(parents[m] * len(terms) + code)
+        cnt = np.bincount(uniq % len(terms), minlength=len(terms))
+        present = cnt > 0
+        return pa.table(
+            {
+                "token": term_arr.filter(pa.array(present)),
+                "df": pa.array(cnt[present], pa.int64()),
+            }
+        )
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    weights = np.zeros(len(terms), dtype=np.int64)
+    for r in df_rows:
+        weights[terms.index(r["token"])] = (n_docs * scale) // r["df"]
+
+    def score(batch: pa.Table) -> pa.Table:
+        _, flat, parents, nonempty = _tokenize(batch[col])
+        m = pc.is_in(flat, value_set=term_arr).to_numpy(
+            zero_copy_only=False
+        ) & nonempty
+        scores = np.zeros(batch.num_rows, dtype=np.int64)
+        if m.any():
+            code = pc.index_in(
+                flat.filter(pa.array(m)), value_set=term_arr
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            key = parents[m] * len(terms) + code
+            tf = np.bincount(key, minlength=batch.num_rows * len(terms))
+            tf = tf.reshape(batch.num_rows, len(terms))
+            scores = tf @ weights
+        keep = scores > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(keep)),
+                "score": pa.array(scores[keep], pa.int64()),
+                "_g": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    top = topk_per_group(scored, group_col="_g", order_col="score", k=k,
+                         descending=True, tiebreak_col=id_col)
+    return top.select_columns([id_col, "score"])

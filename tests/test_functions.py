@@ -1048,3 +1048,35 @@ def test_scene_cut_foreign_format_raises(ray_session):
     assert "NotImplementedError" in str(ei.typename) or "decoder" in str(
         ei.value
     )
+
+
+def test_tfidf_search_scoring_and_ties(ray_session):
+    """Integer tf-idf surrogate: hand-built corpus where rare-term docs
+    outrank common-term docs; ties break to the smaller doc_id."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import text
+
+    docs = [
+        {"doc_id": 0, "text": "apple apple banana"},   # tf(a)=2, tf(b)=1
+        {"doc_id": 1, "text": "apple cherry"},          # tf(a)=1
+        {"doc_id": 2, "text": "banana banana banana"},  # tf(b)=3
+        {"doc_id": 3, "text": "cherry only here"},      # no query terms
+        {"doc_id": 4, "text": "apple cherry"},          # tie with doc 1
+    ]
+    ds = rd.from_items(docs)
+    out = sorted(
+        text.tfidf_search(ds, terms=("apple", "banana"), k=3).take_all(),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )
+    # N=5; df(apple)=3 -> w=1666; df(banana)=2 -> w=2500
+    # doc0: 2*1666 + 1*2500 = 5832; doc2: 3*2500 = 7500; doc1/4: 1666
+    assert [(r["doc_id"], r["score"]) for r in out] == [
+        (2, 7500), (0, 5832), (1, 1666),
+    ]
+    # k larger than hits: doc 3 (score 0) never appears; tie 1-vs-4 -> 1 first
+    all_rows = sorted(
+        text.tfidf_search(ds, terms=("apple", "banana"), k=10).take_all(),
+        key=lambda r: (-r["score"], r["doc_id"]),
+    )
+    assert [r["doc_id"] for r in all_rows] == [2, 0, 1, 4]
