@@ -2589,6 +2589,20 @@ def q_ann_topk_ivf_exhaustive(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_events_approx_distinct(sf_dir: str):
+    """HyperLogLog register table for COUNT(DISTINCT user_id)
+    (functions/sketch.hll_registers, p=12): per-batch partial maxima
+    (<= 4096 rows leave a batch of ANY size) merged by one
+    groupby(register) Max.  The md5-based hash makes the whole sketch a
+    deterministic function of the distinct key set, so DuckDB replays
+    every register's max rank exactly — the float estimate stays out of
+    the gate (pytest bounds it against the exact count instead)."""
+    from rioxarray_ray.functions import sketch
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return sketch.hll_registers(ds, "user_id", p=12)
+
+
 def q_events_topk_per_user(sf_dir: str):
     """Top-3 events per user by value (functions/agg.topk_per_group):
     the generic window row_number()<=k shape as a COMBINER plan — each
@@ -2765,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
+        "events_approx_distinct": q_events_approx_distinct,
         "events_window": q_events_window,
         "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
@@ -4553,6 +4568,18 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, event_id, value FROM r WHERE rk <= 3
+""",
+        "events_approx_distinct": """
+WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events),
+h AS (SELECT md5_number_upper(s) AS hv FROM u),
+rr AS (SELECT CAST(hv % 4096 AS BIGINT) AS register, hv // 4096 AS w FROM h),
+rho AS (
+  SELECT register,
+         CASE WHEN w = 0 THEN 53
+              ELSE CAST(53 - length(bin(w)) AS BIGINT) END AS rho
+  FROM rr
+)
+SELECT register, CAST(MAX(rho) AS BIGINT) AS rho FROM rho GROUP BY register
 """,
         "events_window": """
 SELECT user_id, date_trunc('hour', ts) AS win,

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -1080,3 +1081,56 @@ def test_tfidf_search_scoring_and_ties(ray_session):
         key=lambda r: (-r["score"], r["doc_id"]),
     )
     assert [r["doc_id"] for r in all_rows] == [2, 0, 1, 4]
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hll_registers_match_single_process_and_merge(ray_session):
+    """Distributed register table == single-pass sketch over the same
+    values regardless of partitioning (merge-by-max correctness), and
+    the estimate lands within 5 sigma of the true cardinality."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import sketch
+
+    n_distinct = 20000
+    vals = np.arange(n_distinct, dtype=np.int64) * 7919  # distinct keys
+    dup = np.concatenate([vals, vals[::3], vals[::7]])   # repeats
+    ds = rd.from_arrow(pa.table({"k": pa.array(dup)})).repartition(16)
+    rows = sketch.hll_registers(ds, "k", p=12).take_all()
+
+    ref = sketch.hll_partial(pa.chunked_array(
+        [pa.array(dup)]).combine_chunks(), 12)
+    ref_map = dict(zip(ref["register"].to_pylist(), ref["rho"].to_pylist()))
+    got_map = {r["register"]: r["rho"] for r in rows}
+    assert got_map == ref_map
+
+    est = sketch.hll_estimate(rows, p=12)
+    sigma = 1.04 / np.sqrt(4096) * n_distinct
+    assert abs(est - n_distinct) < 5 * sigma
+
+
+def test_hll_rho_rule():
+    """rho = leading zeros of the (64-p)-bit suffix + 1, pinned on
+    hand-picked hashes via the md5 convention."""
+    import hashlib
+
+    from rioxarray_ray.functions import sketch
+
+    t = sketch.hll_partial(pa.array(["123"]), 12)
+    hv = int.from_bytes(hashlib.md5(b"123").digest()[:8], "little")
+    assert t["register"][0].as_py() == hv % 4096
+    w = hv >> 12
+    assert t["rho"][0].as_py() == 52 - w.bit_length() + 1
+
+
+def test_hll_estimate_small_range_correction():
+    from rioxarray_ray.functions import sketch
+
+    # 3 occupied registers out of 4096 -> linear counting regime
+    rows = [{"register": i, "rho": 1} for i in (5, 99, 2000)]
+    est = sketch.hll_estimate(rows, p=12)
+    assert 2.5 < est < 3.5
