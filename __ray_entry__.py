@@ -506,6 +506,47 @@ def q_geo_change_crosstab(sf_dir: str):
     )
 
 
+def q_geo_temporal_trend(sf_dir: str):
+    """Per-pixel temporal least-squares slope across overlapping scenes
+    (stages/merge.temporal_trend — the xarray polyfit(dim='time', deg=1)
+    recipe over reproject_match-aligned scenes), gated EXACTLY on the
+    integer OLS numerator/denominator: DuckDB groups the regenerated
+    pixel spec by global pixel identity, rebuilds n/st/st2/sy/sty per
+    pixel, and the position-weighted checksums must match bit-for-bit.
+    doc_id < 64 bounds the regeneration (all scenes in one grid row
+    band, so overlaps are purely horizontal)."""
+    from rioxarray_ray.stages import merge as mstage
+
+    tiles = _tiles_4326(sf_dir)
+    small = _keep_idx(tiles, lambda idx: idx < 64)
+    trend = mstage.temporal_trend(
+        small, origin=(-60.0, 40.0), res=5e-3, comp_px=64
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {
+            "ctx": [], "cty": [], "band": [],
+            "n_ok": [], "num_wsum": [], "den_wsum": [],
+        }
+        for row in batch.to_pylist():
+            num = np.asarray(row["num"], dtype=np.int64)
+            den = np.asarray(row["den"], dtype=np.int64)
+            ok = den != 0
+            if not ok.any():
+                continue
+            p = np.arange(num.size, dtype=np.int64)
+            wt = 1 + (p % 97)
+            out["ctx"].append(int(row["ctx"]))
+            out["cty"].append(int(row["cty"]))
+            out["band"].append(int(row["band"]))
+            out["n_ok"].append(int(ok.sum()))
+            out["num_wsum"].append(int((num[ok] * wt[ok]).sum()))
+            out["den_wsum"].append(int((den[ok] * wt[ok]).sum()))
+        return pa.table({k: pa.array(v, pa.int64()) for k, v in out.items()})
+
+    return trend.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_geo_point_sample(sf_dir: str):
     """Raster value extraction at vector point locations (the reference's
     ``rds.sel(x, y, method="nearest")`` recipe), oracle-gated EXACTLY:
@@ -2714,6 +2755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_focal_mean": q_geo_focal_mean,
         "geo_terrain": q_geo_terrain,
         "geo_histogram": q_geo_histogram,
+        "geo_temporal_trend": q_geo_temporal_trend,
         "geo_band_math": q_geo_band_math,
         "geo_overviews": q_geo_overviews,
         "geo_knn": q_geo_knn,
@@ -3236,6 +3278,36 @@ WHERE LEAST(cw, tw - ci) >= 1 AND LEAST(rh, th - ri) >= 1
 """,
         "geo_pip_rect": _PIP_RECT_SQL,
         "geo_pip_shuffle": _PIP_RECT_SQL,
+        "geo_temporal_trend": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT idx, (idx % 64) * w AS gx0, ((idx // 64) % 64) * h AS gy0 FROM img
+),
+gpx AS (
+  SELECT p.idx AS t, p.b AS band, i.gx0 + p.c AS gx, i.gy0 + p.r AS gy, p.px
+  FROM allpx p JOIN imj i ON i.idx = p.idx
+),
+cell AS (
+  SELECT band, gx, gy,
+         COUNT(*) AS n, SUM(t) AS st, SUM(t * t) AS st2,
+         SUM(px) AS sy, SUM(t * px) AS sty
+  FROM gpx GROUP BY band, gx, gy
+  HAVING COUNT(*) >= 2
+     AND COUNT(*) * SUM(t * t) - SUM(t) * SUM(t) <> 0
+),
+nd2 AS (
+  SELECT band, gx // 64 AS ctx, gy // 64 AS cty,
+         (gy % 64) * 64 + (gx % 64) AS p,
+         n * sty - st * sy AS num, n * st2 - st * st AS den
+  FROM cell
+)
+SELECT CAST(ctx AS BIGINT) AS ctx, CAST(cty AS BIGINT) AS cty,
+       CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_ok,
+       CAST(SUM(num * (1 + p % 97)) AS BIGINT) AS num_wsum,
+       CAST(SUM(den * (1 + p % 97)) AS BIGINT) AS den_wsum
+FROM nd2 GROUP BY ctx, cty, band
+""",
         "geo_histogram": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")}
 SELECT image_id,

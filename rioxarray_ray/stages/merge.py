@@ -531,6 +531,97 @@ def change_crosstab(
     ).aggregate(Sum("n", alias_name="n"))
 
 
+def temporal_trend(
+    tiles_ds,
+    origin: tuple[float, float],
+    res: float,
+    comp_px: int = 64,
+    time_of=None,
+    **map_kwargs,
+):
+    """Per-pixel TEMPORAL TREND (least-squares slope over time) across
+    overlapping scenes on a shared grid — the NDVI-trend / land-change
+    recipe: ``xarray.concat([...], dim="time").polyfit(dim="time",
+    deg=1)`` over rioxarray-opened scenes aligned with
+    ``reproject_match`` (the reference's documented multi-scene
+    alignment path; polyfit itself is xarray's).
+
+    Integer-exact formulation (what makes the SQL gate possible): with
+    integer pixel values y and integer times t, the OLS slope is the
+    rational  num / den  where per pixel over its n contributing scenes
+
+        num = n * sum(t*y) - sum(t) * sum(y)
+        den = n * sum(t^2) - sum(t)^2
+
+    — both int64-exact, computed vectorized per composite tile.  Pixels
+    with n < 2 scenes or den == 0 (all scenes at one time) are invalid.
+
+    Same split/shuffle plan as :func:`composite_median` (input moves
+    exactly once; reducer memory = overlap_factor x one tile).
+    ``time_of(image_id) -> int`` supplies scene times (default: the
+    digits in the corpus image id).
+
+    Returns one row per (ctx, cty, band): ``num``/``den`` int64 payloads,
+    ``n_scenes`` int32 payload, and ``slope`` float64 (NaN invalid).
+    """
+    split = _grid_split_fn(origin, res, comp_px)
+    if time_of is None:
+        def time_of(image_id: str) -> int:
+            return int("".join(ch for ch in image_id if ch.isdigit()))
+
+    def reduce(group: pa.Table) -> pa.Table:
+        n_rows = group.num_rows
+        acc = np.full((n_rows, comp_px, comp_px), np.nan, dtype=np.float64)
+        x0 = group["x0"].to_numpy(zero_copy_only=False)
+        y0 = group["y0"].to_numpy(zero_copy_only=False)
+        bw = group["bw"].to_numpy(zero_copy_only=False)
+        bh = group["bh"].to_numpy(zero_copy_only=False)
+        flat = group["vals"].combine_chunks()
+        for i in range(n_rows):
+            block = np.asarray(flat[i].values).reshape(int(bh[i]), int(bw[i]))
+            acc[i, y0[i] : y0[i] + bh[i], x0[i] : x0[i] + bw[i]] = block
+        t = np.asarray(
+            [time_of(s) for s in group["image_id"].to_pylist()],
+            dtype=np.int64,
+        )[:, None, None]
+        valid = ~np.isnan(acc)
+        y = np.where(valid, acc, 0.0).astype(np.int64)
+        n = valid.sum(axis=0).astype(np.int64)
+        st = (t * valid).sum(axis=0)
+        st2 = (t * t * valid).sum(axis=0)
+        sy = y.sum(axis=0)
+        sty = (t * y).sum(axis=0)
+        num = n * sty - st * sy
+        den = n * st2 - st * st
+        ok = (n >= 2) & (den != 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = np.where(ok, num / np.where(den == 0, 1, den), np.nan)
+        num = np.where(ok, num, 0)
+        den = np.where(ok, den, 0)
+        return pa.Table.from_pydict(
+            {
+                "ctx": pa.array([int(group["ctx"][0].as_py())], pa.int64()),
+                "cty": pa.array([int(group["cty"][0].as_py())], pa.int64()),
+                "band": pa.array([int(group["band"][0].as_py())], pa.int32()),
+                "w": pa.array([comp_px], pa.int32()),
+                "h": pa.array([comp_px], pa.int32()),
+                "num": pa.array([num.ravel()], pa.list_(pa.int64())),
+                "den": pa.array([den.ravel()], pa.list_(pa.int64())),
+                "n_scenes": pa.array(
+                    [n.ravel().astype(np.int32)], pa.list_(pa.int32())
+                ),
+                "slope": pa.array([slope.ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    blocks = tiles_ds.map_batches(split, **kwargs)
+    return blocks.groupby(["ctx", "cty", "band"]).map_groups(
+        reduce, batch_format="pyarrow"
+    )
+
+
 def composite_to_rasters(comp_ds, origin: tuple[float, float], res: float,
                          crs: str = "EPSG:4326", **map_kwargs):
     """Lift :func:`composite_median` rows into RASTER_SCHEMA rows so the

@@ -2006,3 +2006,59 @@ def test_overviews_stage_rejects_misaligned_level(rds):
     with pytest.raises(Exception) as ei:
         stats.overviews_stage(rds["tiles"], levels=(7,)).take_all()
     assert "divide" in str(ei.value) or "multiple" in str(ei.value)
+
+
+def test_temporal_trend_matches_polyfit(rds):
+    """Distributed per-pixel OLS slope == np.polyfit(deg=1) at every
+    overlapping pixel (scene time = corpus id); single-scene and
+    constant-time pixels are invalid."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import merge as mstage
+
+    ids = [i for i in range(16) if i % 7 != 6]  # skip projected scenes
+    tiles = rds["tiles"].filter(
+        lambda r: int(r["image_id"][3:]) < 16
+        and int(r["image_id"][3:]) % 7 != 6
+    )
+    rows = mstage.temporal_trend(
+        tiles, origin=(-60.0, 40.0), res=5e-3, comp_px=64
+    ).take_all()
+    assert rows
+
+    # brute-force gather: (band, gx, gy) -> [(t, y)]
+    gather: dict = {}
+    for idx in ids:
+        ras = corpus.raster_for(idx)
+        meta = corpus.geo_meta_for(idx)
+        t = tuple(meta["transform"])
+        gx0 = round((t[2] - (-60.0)) / 5e-3)
+        gy0 = round((40.0 - t[5]) / 5e-3)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        for b in range(ras.pixels.shape[0]):
+            rr, cc = np.nonzero(vm[b])
+            for r_, c_ in zip(rr.tolist(), cc.tolist()):
+                gather.setdefault((b, gx0 + c_, gy0 + r_), []).append(
+                    (idx, int(ras.pixels[b, r_, c_]))
+                )
+
+    checked_valid = checked_invalid = 0
+    for row in rows:
+        ctx, cty, b = row["ctx"], row["cty"], row["band"]
+        num = np.asarray(row["num"]); den = np.asarray(row["den"])
+        slope = np.asarray(row["slope"])
+        for p in range(4096):
+            gy = cty * 64 + p // 64
+            gx = ctx * 64 + p % 64
+            pts = gather.get((b, gx, gy), [])
+            ts = np.array([q[0] for q in pts], dtype=np.float64)
+            ys = np.array([q[1] for q in pts], dtype=np.float64)
+            if len(pts) >= 2 and np.ptp(ts) > 0:
+                ref = np.polyfit(ts, ys, 1)[0]
+                assert den[p] > 0
+                assert abs(num[p] / den[p] - ref) < 1e-8
+                assert abs(slope[p] - ref) < 1e-8
+                checked_valid += 1
+            else:
+                assert den[p] == 0 and num[p] == 0 and np.isnan(slope[p])
+                checked_invalid += 1
+    assert checked_valid > 100 and checked_invalid > 100
