@@ -611,6 +611,35 @@ class RasterDataset:
             self.ds, origin, res, comp_px=comp_px, bucket=bucket, **kwargs
         )
 
+    def temporal_trend(self, origin, res, comp_px: int = 64, **kwargs):
+        """Per-pixel least-squares slope over scene time (polyfit deg 1)."""
+        return merge_stage_mod.temporal_trend(
+            self.ds, origin, res, comp_px=comp_px, **kwargs
+        )
+
+    def histogram(self, bucket: int = 16, **kwargs):
+        """Per-image valid-pixel value histogram (floor(px/bucket))."""
+        from .stages import stats as stats_stage_mod
+
+        return stats_stage_mod.histogram_stage(self.ds, bucket=bucket,
+                                               **kwargs)
+
+    def normalized_difference(self, band_a: int = 1, band_b: int = 0,
+                              **kwargs):
+        """NDVI-style (A-B)/(A+B) between two bands of every tile."""
+        from .stages import stats as stats_stage_mod
+
+        return stats_stage_mod.normalized_difference_stage(
+            self.ds, band_a=band_a, band_b=band_b, **kwargs
+        )
+
+    def overviews(self, levels=(2, 4, 8), **kwargs):
+        """Reduced-resolution pyramid (per-block floor-mean of valid px)."""
+        from .stages import stats as stats_stage_mod
+
+        return stats_stage_mod.overviews_stage(self.ds, levels=levels,
+                                               **kwargs)
+
     # ---- consumption ----------------------------------------------------
     def bounds_table(self):
         """Per-row footprint bounds (metadata aggregate source)."""

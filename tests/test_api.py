@@ -412,3 +412,17 @@ def test_accessor_analysis_wrappers(ray_session):
     points = [g for g in corpus.geometry_table(40) if g["kind"] == "point"]
     samp = flat.sample_points(points)
     assert samp.count() >= 0
+
+
+def test_accessor_stats_ops(ray_session):
+    """The new analysis ops hang off the tiled accessor like the rest."""
+    from rioxarray_ray import api
+
+    tiles = api.open_corpus(8).tile(64)
+    assert tiles.histogram(bucket=32).count() > 0
+    assert tiles.overviews(levels=(2,)).count() > 0
+    geo = tiles.ds.filter(lambda r: int(r["image_id"][3:]) % 7 != 6)
+    from rioxarray_ray.api import RasterDataset
+    assert RasterDataset(geo).temporal_trend(
+        origin=(-60.0, 40.0), res=5e-3
+    ).count() > 0
