@@ -2323,6 +2323,37 @@ def q_text_doc_freq(sf_dir: str):
     return text.doc_frequency(ds, min_df=2)
 
 
+def q_text_decontaminate_bloom(sf_dir: str):
+    """Bloom-filter decontamination (functions/text.bloom_build +
+    decontaminate_bloom_stage) — the scale path of text_decontaminate
+    for when the benchmark gram set exceeds exact-broadcast size: a
+    2^20-bit md5-keyed Bloom filter built distributively (distinct bit
+    positions reduce; only the packed bitset crosses to ray.put),
+    membership = all k=3 positions set.  DETERMINISTIC false positives
+    (zero false negatives), so DuckDB replays every flag including the
+    FPs — counts here are per DISTINCT (doc, gram) pair."""
+    import ray
+
+    from rioxarray_ray.functions import text
+
+    M, K = 1 << 20, 3
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        mask = pa.array(
+            batch["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+        )
+        sub = batch.filter(mask)
+        grams, _ = text._gram_windows(sub["text"], 5)
+        return pa.table({"g": pc.unique(grams)})
+
+    grams_ds = ds.map_batches(bench_grams, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    bloom = text.bloom_build(grams_ds, m_bits=M, k=K)
+    ref = ray.put(bloom)
+    return text.decontaminate_bloom_stage(ds, ref, m_bits=M, k=K, n=5)
+
+
 def q_text_tfidf_search(sf_dir: str):
     """Keyword relevance ranking (functions/text.tfidf_search): top-25
     docs by the integer-exact tf-idf surrogate
@@ -2814,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_repetition": q_text_repetition,
         "text_redact": q_text_redact,
         "text_decontaminate": q_text_decontaminate,
+        "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "text_chunk": q_text_chunk,
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
@@ -4241,6 +4273,44 @@ FROM chunks
         # grams rebuilt with the shared [a-z']+ token rule; the benchmark
         # side (doc_id % 50 = 0) is deduplicated before the LEFT JOIN so
         # each corpus gram occurrence is counted once, matching pc.is_in
+        "text_decontaminate_bloom": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS ts
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(1, len(ts) - 4)) AS i
+        FROM toks)
+),
+dg AS (SELECT DISTINCT doc_id, g FROM grams),
+bg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+ks AS (SELECT unnest([0, 1, 2]) AS i),
+bp AS (
+  SELECT DISTINCT md5_number_upper(g || ':' || i) % 1048576 AS p
+  FROM bg CROSS JOIN ks
+),
+dpos AS (
+  SELECT doc_id, g, i, md5_number_upper(g || ':' || i) % 1048576 AS p
+  FROM dg CROSS JOIN ks
+),
+hits AS (
+  SELECT doc_id, g
+  FROM dpos JOIN bp ON bp.p = dpos.p
+  GROUP BY doc_id, g HAVING COUNT(DISTINCT i) = 3
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+h AS (SELECT doc_id, COUNT(*) AS n_bloom_hits FROM hits GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+       CAST(COALESCE(h.n_bloom_hits, 0) > 0 AS BIGINT) AS flagged
+FROM documents d
+LEFT JOIN counts c USING (doc_id)
+LEFT JOIN h USING (doc_id)
+""",
         "text_decontaminate": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -150,6 +150,11 @@ def run_bench() -> dict:
         "geo_histogram",
         "geo_band_math",
         "geo_overviews",
+        "geo_temporal_trend",
+        "multimodal_audio_features",
+        "multimodal_scene_cut",
+        "text_tfidf_search",
+        "events_approx_distinct",
         "dedup_exact",
         "dedup_minhash",
         "embedding_near_dup",

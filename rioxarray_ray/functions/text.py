@@ -714,3 +714,128 @@ def tfidf_search(ds, terms, k: int = 25, scale: int = 1000,
     top = topk_per_group(scored, group_col="_g", order_col="score", k=k,
                          descending=True, tiebreak_col=id_col)
     return top.select_columns([id_col, "score"])
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (the benchmark-set-too-big-to-broadcast path)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(strs, m_bits: int, k: int) -> np.ndarray:
+    """(len, k) bit positions for each string: position_i =
+    md5(utf8(s) || ':' || i) % m_bits — the shared md5 convention
+    (md5_number_upper), so DuckDB can replay the whole filter."""
+    import hashlib
+
+    from ._arrowbytes import utf8_views
+
+    if isinstance(strs, pa.ChunkedArray):
+        strs = strs.combine_chunks()
+    out = np.empty((len(strs), k), dtype=np.uint64)
+    salts = [f":{i}".encode() for i in range(k)]
+    for j, v in enumerate(utf8_views(strs)):
+        b = bytes(v)
+        for i in range(k):
+            out[j, i] = (
+                int.from_bytes(hashlib.md5(b + salts[i]).digest()[:8],
+                               "little")
+                % m_bits
+            )
+    return out
+
+
+def bloom_build(grams_ds, m_bits: int = 1 << 20, k: int = 3,
+                col: str = "g") -> bytes:
+    """Packed Bloom bitset over a gram Dataset: per-batch DISTINCT bit
+    positions (<= m_bits rows leave any batch), ONE distinct-position
+    reduce, then the driver packs bits.  m_bits/8 bytes broadcast once
+    via ray.put — at 10^9 benchmark grams with m = 2^33 that is 1 GiB,
+    shippable where the exact gram list is not."""
+    def partial(batch: pa.Table) -> pa.Table:
+        pos = bloom_positions(batch[col], m_bits, k)
+        return pa.table(
+            {"p": pa.array(np.unique(pos.ravel()).astype(np.int64))}
+        )
+
+    pos_rows = (
+        grams_ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+        .unique("p")
+    )
+    bits = np.zeros(m_bits // 8 + 1, dtype=np.uint8)
+    p = np.asarray(pos_rows, dtype=np.int64)
+    # bitwise_or.at, NOT bits[idx] |= ...: fancy-index in-place ops drop
+    # all but one update when two bit positions share a byte
+    np.bitwise_or.at(
+        bits, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8)
+    )
+    return bits.tobytes()
+
+
+class BloomDecontaminator:
+    """Actor-pool Bloom decontamination: flags documents whose any
+    n-token gram tests positive in the benchmark Bloom filter.  Scale
+    path of :class:`Decontaminator` — a SUPERSET of the exact flags
+    (deterministic false positives at rate ~(1-e^{-kn/m})^k, zero false
+    negatives), for when the benchmark gram set exceeds exact-broadcast
+    size.  The bitset rides the object store once per actor."""
+
+    def __init__(self, bloom_ref, m_bits: int, k: int, n: int = 5,
+                 col: str = "text"):
+        import ray
+
+        raw = ray.get(bloom_ref) if hasattr(bloom_ref, "hex") else bloom_ref
+        self.bits = np.frombuffer(raw, dtype=np.uint8)
+        self.m_bits = m_bits
+        self.k = k
+        self.n = n
+        self.col = col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, gpar = _gram_windows(batch[self.col], self.n)
+        nrows = batch.num_rows
+        if len(grams):
+            uniq = pc.unique(grams)
+            upos = bloom_positions(uniq, self.m_bits, self.k)
+            uhit = (
+                (self.bits[upos >> np.uint64(3)]
+                 >> (upos & np.uint64(7)).astype(np.uint8))
+                & np.uint8(1)
+            ).all(axis=1)
+            # distinct (doc, gram) pairs: dedupe occurrences
+            gi = pc.index_in(grams, value_set=uniq).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            key = gpar * len(uniq) + gi
+            first = np.unique(key, return_index=True)[1]
+            pair_doc = gpar[first]
+            pair_hit = uhit[gi[first]]
+            n_hits = np.bincount(pair_doc[pair_hit], minlength=nrows)
+            n_grams = np.bincount(pair_doc, minlength=nrows)
+        else:
+            n_hits = np.zeros(nrows, dtype=np.int64)
+            n_grams = np.zeros(nrows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n_grams.astype(np.int64)),
+                "n_bloom_hits": pa.array(n_hits.astype(np.int64)),
+                "flagged": pa.array((n_hits > 0).astype(np.int64)),
+            }
+        )
+
+
+def decontaminate_bloom_stage(ds, bloom_ref, m_bits: int, k: int,
+                              n: int = 5, col: str = "text",
+                              concurrency=(1, 4), **map_kwargs):
+    """Bloom-filter decontamination over a corpus Dataset (actor pool:
+    bitset resolved once per actor in __init__)."""
+    return ds.map_batches(
+        BloomDecontaminator,
+        fn_constructor_kwargs=dict(bloom_ref=bloom_ref, m_bits=m_bits,
+                                   k=k, n=n, col=col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        **map_kwargs,
+    )

@@ -1134,3 +1134,76 @@ def test_hll_estimate_small_range_correction():
     rows = [{"register": i, "rho": 1} for i in (5, 99, 2000)]
     est = sketch.hll_estimate(rows, p=12)
     assert 2.5 < est < 3.5
+
+
+def test_bloom_decontaminate_superset_of_exact(ray_session):
+    """Bloom flags are a SUPERSET of exact gram-overlap flags (zero false
+    negatives), and with a huge filter they coincide exactly."""
+    import ray
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from rioxarray_ray.functions import text
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta"},
+        {"doc_id": 1, "text": "one two three four five six seven"},
+        {"doc_id": 2, "text": "alpha beta gamma delta epsilon other tail"},
+        {"doc_id": 3, "text": "totally unrelated words in this document"},
+    ]
+    ds = rd.from_items(docs)
+    bench = rd.from_items([docs[0]])
+
+    def gpart(batch):
+        grams, _ = text._gram_windows(batch["text"], 5)
+        return pa.table({"g": pc.unique(grams)})
+
+    grams_ds = bench.map_batches(gpart, batch_format="pyarrow")
+    M, K = 1 << 16, 3
+    bloom = text.bloom_build(grams_ds, m_bits=M, k=K)
+    ref = ray.put(bloom)
+    rows = {
+        r["doc_id"]: r
+        for r in text.decontaminate_bloom_stage(
+            ds, ref, m_bits=M, k=K, n=5
+        ).take_all()
+    }
+    # docs 0 and 2 share 5-grams with the benchmark; 1 and 3 do not
+    # (false positives possible in principle, but 3 grams in a 64k-bit
+    # filter make them vanishingly unlikely — and determinism means this
+    # assertion can never flake)
+    assert rows[0]["flagged"] == 1 and rows[0]["n_bloom_hits"] == 3
+    assert rows[2]["flagged"] == 1 and rows[2]["n_bloom_hits"] == 1
+    assert rows[1]["flagged"] == 0 and rows[3]["flagged"] == 0
+    assert rows[1]["n_grams"] == 3 and rows[0]["n_grams"] == 3
+
+
+def test_bloom_build_sets_all_bits_per_byte():
+    """Regression: two positions in one byte must BOTH set (bitwise_or.at,
+    not fancy-index |=)."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import text
+
+    # find two strings whose single-hash (k=1) positions share a byte
+    import numpy as np
+
+    strs = [f"s{i}" for i in range(256)]
+    pos = text.bloom_positions(pa.array(strs), 1 << 10, 1).ravel()
+    byte = pos >> 3
+    seen = {}
+    pair = None
+    for s, p, b in zip(strs, pos.tolist(), byte.tolist()):
+        if b in seen and seen[b][1] != p:
+            pair = (seen[b][0], s)
+            break
+        seen[b] = (s, p)
+    assert pair, "no byte collision in sample — widen the sample"
+    ds = rd.from_items([{"g": pair[0]}, {"g": pair[1]}])
+    bloom = np.frombuffer(
+        text.bloom_build(ds, m_bits=1 << 10, k=1), dtype=np.uint8
+    )
+    for s in pair:
+        p = int(text.bloom_positions(pa.array([s]), 1 << 10, 1)[0, 0])
+        assert (bloom[p >> 3] >> (p & 7)) & 1 == 1
