@@ -2675,6 +2675,19 @@ def q_events_approx_distinct(sf_dir: str):
     return sketch.hll_registers(ds, "user_id", p=12)
 
 
+def q_events_cms(sf_dir: str):
+    """Count-Min sketch of per-user event frequencies
+    (functions/sketch.cms_build, width 1024 x depth 3): per-batch
+    partial cell counts merged by one (row, col) groupby Sum — the
+    approximate-frequency companion of the HLL gate.  Deterministic
+    given the md5 hash convention, so DuckDB rebuilds every occupied
+    cell exactly; point-query bounds are pytest-verified."""
+    from rioxarray_ray.functions import sketch
+
+    ds = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return sketch.cms_build(ds, "user_id", width=1024, depth=3)
+
+
 def q_events_topk_per_user(sf_dir: str):
     """Top-3 events per user by value (functions/agg.topk_per_group):
     the generic window row_number()<=k shape as a COMBINER plan — each
@@ -2854,6 +2867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
         "events_approx_distinct": q_events_approx_distinct,
+        "events_cms": q_events_cms,
         "events_window": q_events_window,
         "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
@@ -4710,6 +4724,21 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, event_id, value FROM r WHERE rk <= 3
+""",
+        "events_cms": """
+WITH vc AS (
+  SELECT CAST(user_id AS VARCHAR) AS s, COUNT(*) AS cnt
+  FROM events GROUP BY user_id
+),
+ks AS (SELECT unnest([0, 1, 2]) AS i),
+cells AS (
+  SELECT i, md5_number_upper(s || ':' || i) % 1024 AS c, SUM(cnt) AS n
+  FROM vc CROSS JOIN ks
+  GROUP BY i, md5_number_upper(s || ':' || i) % 1024
+)
+SELECT CAST(i AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+       CAST(n AS BIGINT) AS n
+FROM cells
 """,
         "events_approx_distinct": """
 WITH u AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS s FROM events),

@@ -154,7 +154,9 @@ def run_bench() -> dict:
         "multimodal_audio_features",
         "multimodal_scene_cut",
         "text_tfidf_search",
+        "text_decontaminate_bloom",
         "events_approx_distinct",
+        "events_cms",
         "dedup_exact",
         "dedup_minhash",
         "embedding_near_dup",

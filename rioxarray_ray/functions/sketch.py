@@ -1,4 +1,4 @@
-"""Distributed cardinality sketching (HyperLogLog).
+"""Distributed sketching: HyperLogLog cardinality + Count-Min frequency.
 
 The classic web-scale "how many distinct users/URLs/docs" primitive
 (Flajolet et al. 2007, "HyperLogLog: the analysis of a near-optimal
@@ -119,3 +119,85 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     """End-to-end approximate COUNT(DISTINCT col): ~1.04/sqrt(2^p)
     relative standard error (p=12 -> ~1.6%)."""
     return hll_estimate(hll_registers(ds, col, p).take_all(), p)
+
+
+def cms_partial(batch_col, width: int, depth: int) -> pa.Table:
+    """(row, col, n) Count-Min partial counts for one batch's values:
+    value occurrences fold into at most width*depth cells regardless of
+    batch size.  Hash_i(v) = md5(utf8(v) || ':' || i) % width — the
+    Bloom/HLL md5 convention, SQL-replayable."""
+    import hashlib
+
+    from ._arrowbytes import utf8_views
+
+    col = batch_col
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    s = pc.cast(col, pa.string())
+    enc = pc.dictionary_encode(pc.fill_null(s, ""))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.bincount(codes, minlength=len(enc.dictionary))
+    salts = [f":{i}".encode() for i in range(depth)]
+    cells = np.zeros((depth, width), dtype=np.int64)
+    for j, v in enumerate(utf8_views(enc.dictionary)):
+        b = bytes(v)
+        for i in range(depth):
+            c = (
+                int.from_bytes(hashlib.md5(b + salts[i]).digest()[:8],
+                               "little")
+                % width
+            )
+            cells[i, c] += counts[j]
+    rr, cc = np.nonzero(cells)
+    return pa.table(
+        {
+            "row": pa.array(rr.astype(np.int64)),
+            "col": pa.array(cc.astype(np.int64)),
+            "n": pa.array(cells[rr, cc]),
+        }
+    )
+
+
+def cms_build(ds, col: str, width: int = 2048, depth: int = 4):
+    """Distributed Count-Min sketch (Cormode & Muthukrishnan 2005 —
+    public paper) for approximate frequency queries: per-batch partial
+    cell counts (<= width*depth rows leave any batch), merged by ONE
+    groupby((row, col)) Sum.  Returns the occupied-cell Dataset; the
+    sketch is a deterministic function of the value multiset, so SQL can
+    replay it exactly."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return cms_partial(batch[col], width, depth)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["row", "col"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def cms_query(cell_rows, values, width: int = 2048, depth: int = 4):
+    """Point frequency estimates (upper bounds; overcount <= eps*N with
+    prob 1-delta, eps=e/width, delta=e^-depth) from a built sketch."""
+    import hashlib
+
+    cells = np.zeros((depth, width), dtype=np.int64)
+    for r in cell_rows:
+        cells[r["row"], r["col"]] = r["n"]
+    out = {}
+    for v in values:
+        b = str(v).encode()
+        est = min(
+            cells[i][
+                int.from_bytes(
+                    hashlib.md5(b + f":{i}".encode()).digest()[:8], "little"
+                )
+                % width
+            ]
+            for i in range(depth)
+        )
+        out[v] = int(est)
+    return out

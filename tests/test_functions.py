@@ -1207,3 +1207,29 @@ def test_bloom_build_sets_all_bits_per_byte():
     for s in pair:
         p = int(text.bloom_positions(pa.array([s]), 1 << 10, 1)[0, 0])
         assert (bloom[p >> 3] >> (p & 7)) & 1 == 1
+
+
+def test_cms_upper_bound_and_partition_invariance(ray_session):
+    """CMS estimates are exact-or-over (never under), partition-invariant,
+    and exact when the sketch is wide enough to avoid collisions."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import sketch
+
+    rng_vals = [f"k{i % 37}" for i in range(1000)]  # 37 keys, ~27 each
+    exact = {}
+    for v in rng_vals:
+        exact[v] = exact.get(v, 0) + 1
+    ds = rd.from_items([{"v": v} for v in rng_vals]).repartition(8)
+    cells = sketch.cms_build(ds, "v", width=512, depth=3).take_all()
+    ests = sketch.cms_query(cells, list(exact), width=512, depth=3)
+    for v, n in exact.items():
+        assert ests[v] >= n  # never undercounts
+    # 37 keys in 512 columns x3 rows: min over rows is exact w.h.p.;
+    # deterministic hash means this can't flake
+    assert sum(ests[v] == exact[v] for v in exact) == len(exact)
+    # total mass per row equals the input size
+    per_row = {}
+    for c in cells:
+        per_row[c["row"]] = per_row.get(c["row"], 0) + c["n"]
+    assert set(per_row.values()) == {1000}
