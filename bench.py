@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "geo_band_math",
         "geo_overviews",
         "geo_temporal_trend",
+        "geo_contour_edges",
         "multimodal_audio_features",
         "multimodal_scene_cut",
         "text_tfidf_search",

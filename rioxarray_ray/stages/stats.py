@@ -236,3 +236,78 @@ def overviews_stage(tiles_ds, levels=(2, 4, 8), **map_kwargs):
     return tiles_ds.map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
     )
+
+
+CONTOUR_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("band", pa.int32()),
+        ("n_h", pa.int64()),
+        ("n_v", pa.int64()),
+        ("wsum_h", pa.int64()),
+        ("wsum_v", pa.int64()),
+        # boundary segment endpoints in tile-local pixel coords: each
+        # horizontal edge separates (r, c) | (r, c+1), stored as (r, c);
+        # vertical edges separate (r, c) / (r+1, c)
+        ("edges_h", pa.list_(pa.int32())),
+        ("edges_v", pa.list_(pa.int32())),
+    ]
+)
+
+
+def contour_edges_stage(tiles_ds, threshold: float, **map_kwargs):
+    """Iso-contour boundary extraction at a threshold — the raster->
+    vector step (GDAL ``gdal_contour`` / ``polygonize`` family; rioxarray
+    users run these via the GDAL utilities on opened rasters).  An edge
+    exists between two ADJACENT VALID pixels whose (value >= threshold)
+    classification differs; nodata pixels never contribute.
+
+    Per-tile and zero-shuffle: edges are counted within each tile's own
+    window (cross-tile boundaries belong to the halo'd variant — cut
+    tiles with ``halo=1`` and intersect, same recipe as focal_mean).
+    Output rows carry the boundary segment coordinates (tile-local
+    (r, c) pairs) plus position-weighted checksums so the gate catches
+    a misplaced edge, not just a miscount.  Tiles with no edge on any
+    band emit nothing.
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {name: [] for name in CONTOUR_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            vm = valid_mask(pixels, _row_nodata(row))
+            mk = pixels >= threshold
+            for b in range(pixels.shape[0]):
+                both_h = vm[b, :, :-1] & vm[b, :, 1:]
+                dif_h = both_h & (mk[b, :, :-1] != mk[b, :, 1:])
+                both_v = vm[b, :-1, :] & vm[b, 1:, :]
+                dif_v = both_v & (mk[b, :-1, :] != mk[b, 1:, :])
+                if not (dif_h.any() or dif_v.any()):
+                    continue
+                hr, hc = np.nonzero(dif_h)
+                vr, vc = np.nonzero(dif_v)
+                wt_h = 1 + (hr.astype(np.int64) * 64 + hc) % 97
+                wt_v = 1 + (vr.astype(np.int64) * 64 + vc) % 97
+                out["image_id"].append(row["image_id"])
+                out["tile_row"].append(row["tile_row"])
+                out["tile_col"].append(row["tile_col"])
+                out["band"].append(b)
+                out["n_h"].append(int(dif_h.sum()))
+                out["n_v"].append(int(dif_v.sum()))
+                out["wsum_h"].append(int(wt_h.sum()))
+                out["wsum_v"].append(int(wt_v.sum()))
+                out["edges_h"].append(
+                    np.stack([hr, hc], axis=1).ravel().astype(np.int32)
+                )
+                out["edges_v"].append(
+                    np.stack([vr, vc], axis=1).ravel().astype(np.int32)
+                )
+        return pa.Table.from_pydict(out, schema=CONTOUR_SCHEMA)
+
+    return tiles_ds.map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )

@@ -2062,3 +2062,49 @@ def test_temporal_trend_matches_polyfit(rds):
                 assert den[p] == 0 and num[p] == 0 and np.isnan(slope[p])
                 checked_invalid += 1
     assert checked_valid > 100 and checked_invalid > 100
+
+
+def test_contour_edges_match_bruteforce(rds):
+    """Edge coordinates (not just counts) equal a whole-image numpy
+    extraction restricted to each tile window; edges never touch
+    nodata pixels."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats
+
+    T = 120.0
+    rows = stats.contour_edges_stage(rds["tiles"], threshold=T).take_all()
+    assert rows
+
+    by_key = {}
+    for r in rows:
+        by_key[(r["image_id"], r["tile_row"], r["tile_col"], r["band"])] = r
+
+    for idx in (0, 1, 2, 3, 5):
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        mk = ras.pixels >= T
+        H, W = ras.pixels.shape[1:]
+        for b in range(ras.pixels.shape[0]):
+            for tr in range((H + 63) // 64):
+                for tc in range((W + 63) // 64):
+                    sl = np.s_[tr * 64 : min((tr + 1) * 64, H),
+                               tc * 64 : min((tc + 1) * 64, W)]
+                    v = vm[b][sl]; k = mk[b][sl]
+                    dif_h = v[:, :-1] & v[:, 1:] & (k[:, :-1] != k[:, 1:])
+                    dif_v = v[:-1, :] & v[1:, :] & (k[:-1, :] != k[1:, :])
+                    key = (corpus.image_id(idx), tr, tc, b)
+                    if not (dif_h.any() or dif_v.any()):
+                        assert key not in by_key
+                        continue
+                    got = by_key[key]
+                    hr, hc = np.nonzero(dif_h)
+                    vr, vc = np.nonzero(dif_v)
+                    np.testing.assert_array_equal(
+                        np.asarray(got["edges_h"]).reshape(-1, 2),
+                        np.stack([hr, hc], axis=1),
+                    )
+                    np.testing.assert_array_equal(
+                        np.asarray(got["edges_v"]).reshape(-1, 2),
+                        np.stack([vr, vc], axis=1),
+                    )
+                    assert got["n_h"] == len(hr) and got["n_v"] == len(vr)
