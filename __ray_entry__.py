@@ -2384,6 +2384,22 @@ def q_text_decontaminate_bloom(sf_dir: str):
     return text.decontaminate_bloom_stage(ds, ref, m_bits=M, k=K, n=5)
 
 
+def q_text_weighted_sample(sf_dir: str):
+    """Corpus mixing (functions/sample.weighted_sample): per-source
+    keep-rates in one deterministic pass — the data-mixture step of a
+    pre-training pipeline.  Membership = the hash_sample md5 rule per
+    group, so DuckDB replays every kept row; sources outside the rate
+    table fall back to the default rate (exercised: src4 absent)."""
+    from rioxarray_ray.functions import sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet",
+                  columns=["doc_id", "source", "n_chars"])
+    rates = {"src0": 1000, "src1": 600, "src2": 300, "src3": 50}
+    return sample.weighted_sample(ds, rates, group_col="source",
+                                  key_col="doc_id", seed=7,
+                                  default_permille=150)
+
+
 def q_text_tfidf_search(sf_dir: str):
     """Keyword relevance ranking (functions/text.tfidf_search): top-25
     docs by the integer-exact tf-idf surrogate
@@ -2894,6 +2910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
         "text_tfidf_search": q_text_tfidf_search,
+        "text_weighted_sample": q_text_weighted_sample,
         "events_asof_orders": q_events_asof_orders,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
@@ -4475,6 +4492,17 @@ SELECT token,
        CAST(COUNT(*) AS BIGINT) AS tf,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
 FROM u GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        "text_weighted_sample": r"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         md5_number_upper('7:' || CAST(doc_id AS VARCHAR)) % 1000 AS hv,
+         CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 600
+                     WHEN 'src2' THEN 300 WHEN 'src3' THEN 50
+                     ELSE 150 END AS rate
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM r WHERE hv < rate
 """,
         "text_tfidf_search": r"""
 WITH u AS (

@@ -156,6 +156,7 @@ def run_bench() -> dict:
         "multimodal_scene_cut",
         "text_tfidf_search",
         "text_decontaminate_bloom",
+        "text_weighted_sample",
         "events_approx_distinct",
         "events_cms",
         "dedup_exact",

@@ -160,3 +160,53 @@ def stratified_sample(ds, group_col: str, n_per_group: int,
     part = ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True)
     return part.groupby(group_col).map_groups(final, batch_format="pyarrow")
+
+
+def weighted_sample(ds, rates_permille: dict, group_col: str = "source",
+                    key_col: str = "doc_id", seed: int = 0,
+                    default_permille: int = 0):
+    """Corpus MIXING: per-group sampling rates in one deterministic pass
+    ("2x web, 0.5x forums" — the data-mixture step of a pre-training
+    pipeline, e.g. the Pile / LLaMA mixture tables; rates here are
+    keep-rates in permille per ``group_col`` value).
+
+    Membership reuses the hash_sample rule (md5(seed:key) % 1000 <
+    rate[group]), so it is partitioning- and cluster-size-independent,
+    stable under reruns, and composable with hash_sample (a doc kept at
+    300 permille is a subset of the same doc kept at 600).  Groups
+    absent from ``rates_permille`` fall back to ``default_permille``.
+    Pure per-batch filter — no shuffle, no driver state beyond the
+    small rate table.
+    """
+    for g, r in rates_permille.items():
+        if not 0 <= int(r) <= 1000:
+            raise ValueError(f"rate for {g!r} must be in [0, 1000], got {r}")
+
+    items = sorted(rates_permille.items())
+    groups = pa.array([str(g) for g, _ in items], pa.string())
+    rates = np.array([int(r) for _, r in items], dtype=np.int64)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        found = pc.index_in(
+            pc.cast(batch[group_col], pa.string()), value_set=groups
+        )
+        miss = pc.is_null(found).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(found, 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        row_rate = np.where(miss, default_permille, rates[idx])
+        from ._arrowbytes import utf8_views
+
+        n = batch.num_rows
+        pref = pa.array([f"{seed}:"] * n, pa.string())
+        salted = pc.binary_join_element_wise(
+            pref, pc.cast(batch[key_col], pa.string()), ""
+        )
+        hv = np.empty(n, dtype=np.int64)
+        for i, v in enumerate(utf8_views(salted)):
+            hv[i] = int.from_bytes(
+                hashlib.md5(v).digest()[:8], "little"
+            ) % 1000
+        return batch.filter(pa.array(hv < row_rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -1233,3 +1233,35 @@ def test_cms_upper_bound_and_partition_invariance(ray_session):
     for c in cells:
         per_row[c["row"]] = per_row.get(c["row"], 0) + c["n"]
     assert set(per_row.values()) == {1000}
+
+
+def test_weighted_sample_rates_and_nesting(ray_session):
+    """Per-group keep rates honored (+-tolerance), absent groups use the
+    default, and a lower-rate sample is a SUBSET of a higher-rate one
+    (same seed) — the property that makes mixtures re-tunable without
+    reshuffling data."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import sample
+
+    rows = [
+        {"doc_id": i, "source": f"s{i % 3}" if i % 5 else "odd"}
+        for i in range(3000)
+    ]
+    ds = rd.from_items(rows)
+    hi = {"s0": 900, "s1": 500, "s2": 100}
+    lo = {"s0": 450, "s1": 250, "s2": 50}
+    kept_hi = sample.weighted_sample(ds, hi, key_col="doc_id", seed=3,
+                                     default_permille=0).take_all()
+    kept_lo = sample.weighted_sample(ds, lo, key_col="doc_id", seed=3,
+                                     default_permille=0).take_all()
+    ids_hi = {r["doc_id"] for r in kept_hi}
+    ids_lo = {r["doc_id"] for r in kept_lo}
+    assert ids_lo < ids_hi  # strict subset (nesting)
+    assert not any(r["source"] == "odd" for r in kept_hi)  # default 0
+    per = {}
+    for r in kept_hi:
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    n_per_src = 3000 * 4 // 5 // 3  # 800 per s0/s1/s2
+    for src, rate in hi.items():
+        assert abs(per.get(src, 0) / n_per_src - rate / 1000) < 0.08
