@@ -2734,6 +2734,20 @@ def q_events_cms(sf_dir: str):
     return sketch.cms_build(ds, "user_id", width=1024, depth=3)
 
 
+def q_events_funnel(sf_dir: str):
+    """Funnel analysis signup -> click -> purchase
+    (functions/events.funnel): per user, first-touch step times with
+    MIN-based semantics (t_k = min ts of step k at/after t_{k-1}) — a
+    pure function of the event multiset, so ties and arrival order
+    cannot change it and DuckDB replays it exactly.  One groupby(user)
+    co-shuffle, vectorized per group."""
+    from rioxarray_ray.functions import events
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type"])
+    return events.funnel(ds)
+
+
 def q_events_topk_per_user(sf_dir: str):
     """Top-3 events per user by value (functions/agg.topk_per_group):
     the generic window row_number()<=k shape as a COMBINER plan — each
@@ -2916,6 +2930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_topk_per_user": q_events_topk_per_user,
         "events_approx_distinct": q_events_approx_distinct,
         "events_cms": q_events_cms,
+        "events_funnel": q_events_funnel,
         "events_window": q_events_window,
         "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
@@ -4821,6 +4836,35 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, event_id, value FROM r WHERE rk <= 3
+""",
+        "events_funnel": """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON s2.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN s3.t IS NOT NULL THEN 3
+                 WHEN s2.t IS NOT NULL THEN 2
+                 WHEN s1.t IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS step_reached,
+       CAST(COALESCE(epoch_us(s1.t), -1) AS BIGINT) AS t1,
+       CAST(COALESCE(epoch_us(s2.t), -1) AS BIGINT) AS t2,
+       CAST(COALESCE(epoch_us(s3.t), -1) AS BIGINT) AS t3
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
 """,
         "events_cms": """
 WITH vc AS (

@@ -159,6 +159,7 @@ def run_bench() -> dict:
         "text_weighted_sample",
         "events_approx_distinct",
         "events_cms",
+        "events_funnel",
         "dedup_exact",
         "dedup_minhash",
         "embedding_near_dup",

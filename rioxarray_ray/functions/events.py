@@ -218,3 +218,46 @@ def sessionize_scalable(ds, gap_minutes: int = 30, bucket_hours: int = 24):
     return summaries.groupby("user_id").map_groups(
         merge_user, batch_format="pyarrow"
     )
+
+
+def funnel(ds, steps=("signup", "click", "purchase"),
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type"):
+    """Funnel analysis: per user, how far through an ordered step
+    sequence did they get, first-touch semantics — t_k = MIN ts of a
+    step-k event at or after t_{k-1}.  MIN-based, so the result is a
+    pure function of the event multiset (ties and arrival order can't
+    change it — what makes the SQL gate exact).
+
+    100-TB shape: ONE groupby(user) co-shuffle (the sessionize
+    assumption: a user's history fits a task — salted two-phase variant
+    applies the same way if not); per-group work is vectorized numpy.
+    Returns (user_id, step_reached, t1..tk as epoch micros, -1 where
+    unreached).
+    """
+    steps = tuple(steps)
+    k = len(steps)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = _ts_ns(group[ts_col]) // 1000  # epoch micros
+        et = group[type_col].to_numpy(zero_copy_only=False)
+        out_t = np.full(k, -1, dtype=np.int64)
+        lo = None
+        for i, step in enumerate(steps):
+            m = et == step
+            if lo is not None:
+                m = m & (ts >= lo)
+            if not m.any():
+                break
+            lo = ts[m].min()
+            out_t[i] = lo
+        reached = int((out_t >= 0).sum())
+        cols = {
+            user_col: _uid_column(group, 1),
+            "step_reached": pa.array([reached], pa.int64()),
+        }
+        for i in range(k):
+            cols[f"t{i + 1}"] = pa.array([out_t[i]], pa.int64())
+        return pa.Table.from_pydict(cols)
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")

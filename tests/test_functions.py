@@ -1265,3 +1265,48 @@ def test_weighted_sample_rates_and_nesting(ray_session):
     n_per_src = 3000 * 4 // 5 // 3  # 800 per s0/s1/s2
     for src, rate in hi.items():
         assert abs(per.get(src, 0) / n_per_src - rate / 1000) < 0.08
+
+
+def test_funnel_step_semantics(ray_session):
+    """First-touch funnel: step times are MIN at/after the previous
+    step; out-of-order steps don't count; all branch depths covered."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from rioxarray_ray.functions import events
+
+    def t(m):
+        return dt.datetime(2026, 1, 1, 0, m)
+
+    rows = [
+        # u1: full funnel in order
+        {"user_id": 1, "ts": t(0), "event_type": "signup"},
+        {"user_id": 1, "ts": t(5), "event_type": "click"},
+        {"user_id": 1, "ts": t(9), "event_type": "purchase"},
+        # u2: purchase BEFORE click -> stops at step 2
+        {"user_id": 2, "ts": t(0), "event_type": "signup"},
+        {"user_id": 2, "ts": t(3), "event_type": "purchase"},
+        {"user_id": 2, "ts": t(7), "event_type": "click"},
+        # u3: click before signup doesn't count -> step 1 only
+        {"user_id": 3, "ts": t(0), "event_type": "click"},
+        {"user_id": 3, "ts": t(2), "event_type": "signup"},
+        # u4: never signed up -> step 0
+        {"user_id": 4, "ts": t(1), "event_type": "view"},
+        # u5: same-timestamp signup+click both count (>= semantics)
+        {"user_id": 5, "ts": t(4), "event_type": "signup"},
+        {"user_id": 5, "ts": t(4), "event_type": "click"},
+        {"user_id": 5, "ts": t(4), "event_type": "purchase"},
+    ]
+    got = {
+        r["user_id"]: r
+        for r in events.funnel(rd.from_items(rows)).take_all()
+    }
+    us = lambda m: int(t(m).timestamp() * 1_000_000)  # noqa: E731
+    assert got[1]["step_reached"] == 3 and got[1]["t3"] == us(9)
+    assert got[2]["step_reached"] == 2
+    assert got[2]["t2"] == us(7) and got[2]["t3"] == -1
+    assert got[3]["step_reached"] == 1 and got[3]["t2"] == -1
+    assert got[4]["step_reached"] == 0 and got[4]["t1"] == -1
+    assert got[5]["step_reached"] == 3
+    assert got[5]["t1"] == got[5]["t2"] == got[5]["t3"] == us(4)
