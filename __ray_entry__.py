@@ -2384,6 +2384,48 @@ def q_text_decontaminate_bloom(sf_dir: str):
     return text.decontaminate_bloom_stage(ds, ref, m_bits=M, k=K, n=5)
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization
+    (functions/ann.quantize_embeddings — the 4x ANN memory scale path),
+    exploded to one row per coordinate so the gate checks EVERY code:
+    DuckDB replays scale = list_max(|x|) and round_even(x/scale*127)
+    from the same float32 values."""
+    from rioxarray_ray.functions import ann
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    qds = ann.quantize_embeddings(ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        qcol = batch["q"]
+        if isinstance(qcol, pa.ChunkedArray):
+            qcol = qcol.combine_chunks()
+        flat = pc.list_flatten(qcol).to_numpy(zero_copy_only=False)
+        parents = pc.list_parent_indices(qcol).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offs = np.zeros(len(parents), dtype=np.int64)
+        if len(parents):
+            # dim index = position within the row's list
+            starts = np.nonzero(np.diff(parents, prepend=-1))[0]
+            offs = np.arange(len(parents)) - starts[
+                np.searchsorted(starts, np.arange(len(parents)),
+                                side="right") - 1
+            ]
+        vid = batch["vec_id"].take(pa.array(parents, pa.int64()))
+        sc = batch["scale"].take(pa.array(parents, pa.int64()))
+        return pa.table(
+            {
+                "vec_id": vid,
+                "dim": pa.array(offs, pa.int64()),
+                "qv": pa.array(flat.astype(np.int64), pa.int64()),
+                "scale": sc,
+            }
+        )
+
+    return qds.map_batches(explode, batch_format="pyarrow")
+
+
 def q_text_weighted_sample(sf_dir: str):
     """Corpus mixing (functions/sample.weighted_sample): per-source
     keep-rates in one deterministic pass — the data-mixture step of a
@@ -2925,6 +2967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_rarest_term": q_text_rarest_term,
         "text_tfidf_search": q_text_tfidf_search,
         "text_weighted_sample": q_text_weighted_sample,
+        "embedding_quantize": q_embedding_quantize,
         "events_asof_orders": q_events_asof_orders,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
@@ -4507,6 +4550,25 @@ SELECT token,
        CAST(COUNT(*) AS BIGINT) AS tf,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
 FROM u GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        "embedding_quantize": r"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> ABS(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, scale, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM s
+)
+SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+       CAST(CASE WHEN scale = 0 THEN 0
+                 ELSE round_even((CAST(embedding[i] AS DOUBLE) / scale)
+                                 * 127, 0) END AS BIGINT) AS qv,
+       CAST(scale AS DOUBLE) AS scale
+FROM e
 """,
         "text_weighted_sample": r"""
 WITH r AS (

@@ -171,6 +171,7 @@ def run_bench() -> dict:
         "text_decontaminate",
         "text_chunk",
         "embedding_kmedians",
+        "embedding_quantize",
         "text_doc_freq",
         "events_topk_per_user",
         "events_window",

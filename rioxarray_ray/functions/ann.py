@@ -441,3 +441,52 @@ def ivf_topk(ds, queries_ds, k: int = 10, n_centroids: int = 16,
     return partials.groupby("query_id").map_groups(
         _topk_reduce_arrow(k), batch_format="pyarrow"
     )
+
+
+def quantize_embeddings(ds, col: str = "embedding",
+                        id_col: str = "vec_id"):
+    """Symmetric per-vector int8 quantization — the ANN memory scale
+    path (4x smaller vectors for IVF/brute-force scans; standard
+    max-abs/127 scheme):
+
+        scale = max(|x|)   (float64 of the stored float32 values)
+        q_i   = round_even(x_i / scale * 127)  in [-127, 127]
+
+    The chain is IEEE-pinned (one division, one multiply, banker's
+    rounding) so DuckDB replays every coordinate; all-zero vectors get
+    scale 0 and all-zero codes.  Pure map_batches, no shuffle; output
+    is ~1/4 the input bytes plus one float per vector.
+    """
+    def run(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        colv = batch[col]
+        if isinstance(colv, pa.ChunkedArray):
+            colv = colv.combine_chunks()
+        if colv.null_count:
+            raise ValueError(f"{colv.null_count} null embedding rows")
+        flat = pc.list_flatten(colv).to_numpy(zero_copy_only=False)
+        n = len(colv)
+        if n == 0:
+            return pa.table(
+                {id_col: batch[id_col], "q": pa.array([], pa.list_(pa.int8())),
+                 "scale": pa.array([], pa.float64())}
+            )
+        d = len(flat) // n
+        if d * n != len(flat):
+            raise ValueError("ragged embedding lists")
+        x = flat.astype(np.float64).reshape(n, d)
+        scale = np.abs(x).max(axis=1)
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.rint(x / safe[:, None] * 127.0)
+        q[scale == 0.0] = 0.0
+        q = q.astype(np.int8)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "q": pa.array(list(q), pa.list_(pa.int8())),
+                "scale": pa.array(scale, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)

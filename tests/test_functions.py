@@ -1310,3 +1310,38 @@ def test_funnel_step_semantics(ray_session):
     assert got[4]["step_reached"] == 0 and got[4]["t1"] == -1
     assert got[5]["step_reached"] == 3
     assert got[5]["t1"] == got[5]["t2"] == got[5]["t3"] == us(4)
+
+
+def test_quantize_embeddings_roundtrip_and_edge_cases(ray_session):
+    """int8 codes: |q| <= 127, dequantized error <= scale/254 per
+    coordinate, zero vectors -> scale 0 + zero codes, max coordinate
+    hits exactly +-127."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import ann
+
+    vecs = [
+        {"vec_id": 0, "embedding": [0.5, -1.0, 0.25, 0.0]},
+        {"vec_id": 1, "embedding": [0.0, 0.0, 0.0, 0.0]},
+        {"vec_id": 2, "embedding": [3.0, 1.5, -0.75, 2.9]},
+    ]
+    rows = {r["vec_id"]: r
+            for r in ann.quantize_embeddings(
+                rd.from_items(vecs)).take_all()}
+    q0 = np.asarray(rows[0]["q"])
+    assert rows[0]["scale"] == 1.0
+    np.testing.assert_array_equal(q0, [64, -127, 32, 0])  # rint(.5*127)=64
+    assert rows[1]["scale"] == 0.0
+    np.testing.assert_array_equal(np.asarray(rows[1]["q"]), [0, 0, 0, 0])
+    q2 = np.asarray(rows[2]["q"])
+    assert q2.max() == 127 and rows[2]["scale"] == 3.0
+    # dequantization error bound
+    for r in vecs:
+        got = rows[r["vec_id"]]
+        sc = got["scale"]
+        if sc == 0:
+            continue
+        deq = np.asarray(got["q"], dtype=np.float64) * sc / 127.0
+        np.testing.assert_allclose(
+            deq, np.asarray(r["embedding"]), atol=sc / 254 + 1e-12
+        )
