@@ -577,6 +577,64 @@ def q_geo_contour_edges(sf_dir: str):
     return edges.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_multimodal_augment(sf_dir: str):
+    """Deterministic vision augmentation (functions/multimodal
+    .augment_stage: hflip / vflip / rot90-clockwise), gated on
+    position-weighted checksums of the TRANSFORMED arrays — DuckDB maps
+    every valid source pixel to its post-permutation position, so a
+    wrong axis, a wrong rotation direction, or a nodata pixel left
+    behind each breaks the hash.  doc_id < 64."""
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages.schema import pixel_views
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 64)
+    aug = multimodal.augment_stage(small, concurrency=4)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {
+            "image_id": [], "tile_row": [], "tile_col": [], "band": [],
+            "op": [], "n_valid": [], "wsum": [],
+        }
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            nod = row["nodata"]
+            if nod != nod:
+                nod = (
+                    None if np.dtype(row["dtype"]).kind in "iu"
+                    else float("nan")
+                )
+            vm = valid_mask(pixels, nod)
+            w = pixels.shape[2]
+            for b in range(pixels.shape[0]):
+                rr, cc = np.nonzero(vm[b])
+                if not len(rr):
+                    continue
+                pos = rr.astype(np.int64) * w + cc
+                wt = 1 + pos % 97
+                vals = pixels[b][vm[b]].astype(np.int64)
+                out["image_id"].append(row["image_id"])
+                out["tile_row"].append(int(row["tile_row"]))
+                out["tile_col"].append(int(row["tile_col"]))
+                out["band"].append(b)
+                out["op"].append(row["op"])
+                out["n_valid"].append(int(len(rr)))
+                out["wsum"].append(int((vals * wt).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "tile_row": pa.array(out["tile_row"], pa.int64()),
+                "tile_col": pa.array(out["tile_col"], pa.int64()),
+                "band": pa.array(out["band"], pa.int64()),
+                "op": pa.array(out["op"], pa.string()),
+                "n_valid": pa.array(out["n_valid"], pa.int64()),
+                "wsum": pa.array(out["wsum"], pa.int64()),
+            }
+        )
+
+    return aug.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_geo_point_sample(sf_dir: str):
     """Raster value extraction at vector point locations (the reference's
     ``rds.sel(x, y, method="nearest")`` recipe), oracle-gated EXACTLY:
@@ -2924,6 +2982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_avi": q_multimodal_avi,
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_scene_cut": q_multimodal_scene_cut,
+        "multimodal_augment": q_multimodal_augment,
         "geo_open_geotiff": q_geo_open_geotiff,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_bmp": q_multimodal_bmp,
@@ -4221,6 +4280,30 @@ LATERAL (
          AS frame_sum
   FROM generate_series(0, 191) t(i)
 ) s
+""",
+        "multimodal_augment": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+base AS (
+  SELECT p.image_id, p.b, p.r // 64 AS tr, p.c // 64 AS tc,
+         p.r % 64 AS lr, p.c % 64 AS lc,
+         LEAST(64, i.h - 64 * (p.r // 64)) AS th,
+         LEAST(64, i.w - 64 * (p.c // 64)) AS tw,
+         p.px
+  FROM allpx p JOIN img i ON i.idx = p.idx
+),
+ops AS (SELECT unnest(['hflip', 'vflip', 'rot90']) AS op)
+SELECT image_id,
+       CAST(tr AS BIGINT) AS tile_row,
+       CAST(tc AS BIGINT) AS tile_col,
+       CAST(b AS BIGINT) AS band,
+       op,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(px * (1 + (CASE op
+              WHEN 'hflip' THEN lr * tw + (tw - 1 - lc)
+              WHEN 'vflip' THEN (th - 1 - lr) * tw + lc
+              ELSE lc * th + (th - 1 - lr) END) % 97)) AS BIGINT) AS wsum
+FROM base CROSS JOIN ops
+GROUP BY image_id, tr, tc, b, op
 """,
         "multimodal_audio_features": """
 WITH d AS (

@@ -154,6 +154,7 @@ def run_bench() -> dict:
         "geo_contour_edges",
         "multimodal_audio_features",
         "multimodal_scene_cut",
+        "multimodal_augment",
         "text_tfidf_search",
         "text_decontaminate_bloom",
         "text_weighted_sample",

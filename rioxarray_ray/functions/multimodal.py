@@ -475,3 +475,80 @@ def scene_cut_stage(ds, threshold: int = 400, concurrency=(1, 2)):
         )
 
     return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+AUGMENT_OPS = ("hflip", "vflip", "rot90")
+
+
+def augment_tile(pixels: np.ndarray, op: str) -> np.ndarray:
+    """Deterministic spatial augmentation of a (bands, h, w) array:
+    horizontal / vertical mirror, or 90-degree CLOCKWISE rotation
+    (new[r', c'] = old[h-1-c', r'] — i.e. old (r, c) lands at
+    (c, h-1-r))."""
+    if op == "hflip":
+        return pixels[:, :, ::-1]
+    if op == "vflip":
+        return pixels[:, ::-1, :]
+    if op == "rot90":
+        return np.rot90(pixels, k=-1, axes=(1, 2))
+    raise ValueError(f"unknown augment op {op!r} (one of {AUGMENT_OPS})")
+
+
+def augment_stage(tiles_ds, ops=AUGMENT_OPS, **map_kwargs):
+    """Training-data image augmentation: emit one transformed copy of
+    every tile per op (the standard vision-pipeline flip/rotate set;
+    deterministic, not sampled — samplers compose via weighted_sample
+    upstream).  Pixels AND nodata move together (the validity mask is
+    re-derived from the transformed array downstream), so augmented
+    tiles chain into any pixel stage.
+
+    Geo note: mirrored/rotated rasters are ML tensors, not georeferenced
+    scenes — the affine transform is intentionally NOT emitted (the
+    reference's georeferencing contract cannot survive a mirror).
+
+    100-TB shape: pure flat-map, output = len(ops) x input, streams.
+    """
+    from ..stages.schema import pixel_views, pixels_to_bytes
+
+    ops = tuple(ops)
+    for op in ops:
+        if op not in AUGMENT_OPS:
+            raise ValueError(f"unknown augment op {op!r}")
+
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            k: []
+            for k in ("image_id", "tile_row", "tile_col", "band_count",
+                      "h", "w", "dtype", "nodata", "op", "pixels")
+        }
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            for op in ops:
+                aug = augment_tile(pixels, op)
+                out["image_id"].append(row["image_id"])
+                out["tile_row"].append(row["tile_row"])
+                out["tile_col"].append(row["tile_col"])
+                out["band_count"].append(aug.shape[0])
+                out["h"].append(aug.shape[1])
+                out["w"].append(aug.shape[2])
+                out["dtype"].append(row["dtype"])
+                out["nodata"].append(row["nodata"])
+                out["op"].append(op)
+                out["pixels"].append(pixels_to_bytes(aug))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "tile_row": pa.array(out["tile_row"], pa.int32()),
+                "tile_col": pa.array(out["tile_col"], pa.int32()),
+                "band_count": pa.array(out["band_count"], pa.int32()),
+                "h": pa.array(out["h"], pa.int32()),
+                "w": pa.array(out["w"], pa.int32()),
+                "dtype": pa.array(out["dtype"], pa.string()),
+                "nodata": pa.array(out["nodata"], pa.float64()),
+                "op": pa.array(out["op"], pa.string()),
+                "pixels": pa.array(out["pixels"], pa.binary()),
+            }
+        )
+
+    return tiles_ds.map_batches(run, batch_format="pyarrow",
+                                zero_copy_batch=True, **map_kwargs)

@@ -1345,3 +1345,53 @@ def test_quantize_embeddings_roundtrip_and_edge_cases(ray_session):
         np.testing.assert_allclose(
             deq, np.asarray(r["embedding"]), atol=sc / 254 + 1e-12
         )
+
+
+def test_augment_tile_permutation_rules():
+    """Involution / cycle properties + the explicit rot90-cw index map
+    (old (r, c) -> new (c, h-1-r))."""
+    from rioxarray_ray.functions import multimodal
+
+    rng = np.arange(2 * 3 * 4).reshape(2, 3, 4)
+    h = multimodal.augment_tile
+    np.testing.assert_array_equal(h(h(rng, "hflip"), "hflip"), rng)
+    np.testing.assert_array_equal(h(h(rng, "vflip"), "vflip"), rng)
+    r1 = h(rng, "rot90")
+    assert r1.shape == (2, 4, 3)
+    r4 = h(h(h(r1, "rot90"), "rot90"), "rot90")
+    np.testing.assert_array_equal(r4, rng)
+    for r in range(3):
+        for c in range(4):
+            assert r1[0, c, 3 - 1 - r] == rng[0, r, c]
+    with pytest.raises(ValueError):
+        h(rng, "transpose")
+
+
+def test_augment_stage_moves_nodata_with_pixels(ray_session):
+    """Augmented tiles keep dtype/nodata; the mask transforms with the
+    data (valid count invariant per op)."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.sources import corpus
+    from rioxarray_ray.stages import decode, tile
+    from rioxarray_ray.stages.schema import pixel_views
+
+    ds = rd.from_arrow(corpus.corpus_table([3]))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64)
+    aug = multimodal.augment_stage(tiles)
+    import pyarrow as pa_
+    batches = list(aug.iter_batches(batch_format="pyarrow",
+                                    batch_size=None))
+    n_by_op: dict = {}
+    for batch in batches:
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            nod = row["nodata"]
+            if nod != nod:
+                nod = None if np.dtype(row["dtype"]).kind in "iu" else nod
+            vm = valid_mask(px, nod)
+            n_by_op[row["op"]] = n_by_op.get(row["op"], 0) + int(vm.sum())
+    assert len(n_by_op) == 3
+    assert len(set(n_by_op.values())) == 1  # same valid mass per op
