@@ -635,6 +635,37 @@ def q_multimodal_augment(sf_dir: str):
     return aug.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_multimodal_patchify(sf_dir: str):
+    """ViT patch extraction (functions/multimodal.patchify_stage,
+    16x16): per-patch integer moment statistics over valid pixels —
+    DuckDB regroups the regenerated pixel spec into the same global
+    patch blocks and rebuilds n/sum/sumsq/min/max exactly.
+    doc_id < 64."""
+    from rioxarray_ray.functions import multimodal
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 64)
+    patches = multimodal.patchify_stage(small, patch=8, concurrency=4)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "image_id": batch["image_id"],
+                "tile_row": pc.cast(batch["tile_row"], pa.int64()),
+                "tile_col": pc.cast(batch["tile_col"], pa.int64()),
+                "band": pc.cast(batch["band"], pa.int64()),
+                "patch_row": pc.cast(batch["patch_row"], pa.int64()),
+                "patch_col": pc.cast(batch["patch_col"], pa.int64()),
+                "n_valid": batch["n_valid"],
+                "psum": batch["psum"],
+                "psumsq": batch["psumsq"],
+                "pmin": batch["pmin"],
+                "pmax": batch["pmax"],
+            }
+        )
+
+    return patches.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_geo_point_sample(sf_dir: str):
     """Raster value extraction at vector point locations (the reference's
     ``rds.sel(x, y, method="nearest")`` recipe), oracle-gated EXACTLY:
@@ -2983,6 +3014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_audio_features": q_multimodal_audio_features,
         "multimodal_scene_cut": q_multimodal_scene_cut,
         "multimodal_augment": q_multimodal_augment,
+        "multimodal_patchify": q_multimodal_patchify,
         "geo_open_geotiff": q_geo_open_geotiff,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_bmp": q_multimodal_bmp,
@@ -4280,6 +4312,22 @@ LATERAL (
          AS frame_sum
   FROM generate_series(0, 191) t(i)
 ) s
+""",
+        "multimodal_patchify": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")}
+SELECT image_id,
+       CAST(r // 64 AS BIGINT) AS tile_row,
+       CAST(c // 64 AS BIGINT) AS tile_col,
+       CAST(b AS BIGINT) AS band,
+       CAST((r % 64) // 8 AS BIGINT) AS patch_row,
+       CAST((c % 64) // 8 AS BIGINT) AS patch_col,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(px) AS BIGINT) AS psum,
+       CAST(SUM(px * px) AS BIGINT) AS psumsq,
+       CAST(MIN(px) AS BIGINT) AS pmin,
+       CAST(MAX(px) AS BIGINT) AS pmax
+FROM allpx
+GROUP BY image_id, r // 64, c // 64, b, (r % 64) // 8, (c % 64) // 8
 """,
         "multimodal_augment": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},

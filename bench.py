@@ -155,6 +155,7 @@ def run_bench() -> dict:
         "multimodal_audio_features",
         "multimodal_scene_cut",
         "multimodal_augment",
+        "multimodal_patchify",
         "text_tfidf_search",
         "text_decontaminate_bloom",
         "text_weighted_sample",

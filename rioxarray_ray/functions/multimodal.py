@@ -552,3 +552,93 @@ def augment_stage(tiles_ds, ops=AUGMENT_OPS, **map_kwargs):
 
     return tiles_ds.map_batches(run, batch_format="pyarrow",
                                 zero_copy_batch=True, **map_kwargs)
+
+
+def patchify_stage(tiles_ds, patch: int = 16, **map_kwargs):
+    """ViT-style patch extraction: split every tile into non-overlapping
+    ``patch`` x ``patch`` patches and emit, per (tile, band, patch):
+    the flattened patch values (the model-input token) plus the integer
+    moment statistics (n_valid, sum, sum of squares, min, max) that a
+    normalization pass needs — computed over VALID pixels only.
+
+    Zero-shuffle for the same reason as overviews_stage: the 64-cut
+    tile grid divides the patch size, so per-tile patches ARE per-image
+    patches; misaligned tiles raise.  All-nodata patches are skipped.
+
+    100-TB shape: flat-map; the stats relation is ~(hw/patch^2) rows per
+    tile and the payload column equals input volume — both stream.
+    """
+    from ..kernels.nodata import valid_mask
+    from ..stages.schema import pixel_views
+
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            k: []
+            for k in ("image_id", "tile_row", "tile_col", "band",
+                      "patch_row", "patch_col", "n_valid", "psum",
+                      "psumsq", "pmin", "pmax", "values")
+        }
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            h, w = pixels.shape[1], pixels.shape[2]
+            if h % patch or w % patch:
+                raise ValueError(
+                    f"patch {patch} does not divide tile {h}x{w} of "
+                    f"{row['image_id']} — cut tiles at a multiple"
+                )
+            nod = row["nodata"]
+            if nod != nod:
+                nod = (
+                    None if np.dtype(row["dtype"]).kind in "iu"
+                    else float("nan")
+                )
+            vm = valid_mask(pixels, nod)
+            ph, pw = h // patch, w // patch
+            v = pixels.astype(np.int64)
+            vz = np.where(vm, v, 0)
+            blk = vz.reshape(-1, ph, patch, pw, patch)
+            mblk = vm.reshape(-1, ph, patch, pw, patch)
+            n = mblk.sum(axis=(2, 4))
+            s = blk.sum(axis=(2, 4))
+            s2 = (blk * blk).sum(axis=(2, 4))
+            big = np.iinfo(np.int64).max
+            vmin = np.where(mblk, v.reshape(blk.shape), big).min(axis=(2, 4))
+            vmax = np.where(mblk, v.reshape(blk.shape), -big).max(axis=(2, 4))
+            for b in range(pixels.shape[0]):
+                prr, pcc = np.nonzero(n[b])
+                for pr, pc_ in zip(prr.tolist(), pcc.tolist()):
+                    out["image_id"].append(row["image_id"])
+                    out["tile_row"].append(row["tile_row"])
+                    out["tile_col"].append(row["tile_col"])
+                    out["band"].append(b)
+                    out["patch_row"].append(pr)
+                    out["patch_col"].append(pc_)
+                    out["n_valid"].append(int(n[b, pr, pc_]))
+                    out["psum"].append(int(s[b, pr, pc_]))
+                    out["psumsq"].append(int(s2[b, pr, pc_]))
+                    out["pmin"].append(int(vmin[b, pr, pc_]))
+                    out["pmax"].append(int(vmax[b, pr, pc_]))
+                    out["values"].append(
+                        v[b,
+                          pr * patch : (pr + 1) * patch,
+                          pc_ * patch : (pc_ + 1) * patch].ravel()
+                    )
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "tile_row": pa.array(out["tile_row"], pa.int32()),
+                "tile_col": pa.array(out["tile_col"], pa.int32()),
+                "band": pa.array(out["band"], pa.int32()),
+                "patch_row": pa.array(out["patch_row"], pa.int32()),
+                "patch_col": pa.array(out["patch_col"], pa.int32()),
+                "n_valid": pa.array(out["n_valid"], pa.int64()),
+                "psum": pa.array(out["psum"], pa.int64()),
+                "psumsq": pa.array(out["psumsq"], pa.int64()),
+                "pmin": pa.array(out["pmin"], pa.int64()),
+                "pmax": pa.array(out["pmax"], pa.int64()),
+                "values": pa.array(out["values"], pa.list_(pa.int64())),
+            }
+        )
+
+    return tiles_ds.map_batches(run, batch_format="pyarrow",
+                                zero_copy_batch=True, **map_kwargs)

@@ -1395,3 +1395,51 @@ def test_augment_stage_moves_nodata_with_pixels(ray_session):
             n_by_op[row["op"]] = n_by_op.get(row["op"], 0) + int(vm.sum())
     assert len(n_by_op) == 3
     assert len(set(n_by_op.values())) == 1  # same valid mass per op
+
+
+def test_patchify_values_and_stats(ray_session):
+    """Patch tokens and moment stats equal direct numpy slicing; the
+    all-nodata patch is skipped; misaligned patch size raises."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.sources import corpus
+    from rioxarray_ray.stages import decode, tile
+
+    ds = rd.from_arrow(corpus.corpus_table([3]))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64)
+    rows = multimodal.patchify_stage(tiles, patch=8).take_all()
+    assert rows
+
+    ras = corpus.raster_for(3)
+    vm = valid_mask(ras.pixels, ras.nodata)
+    v = ras.pixels.astype(np.int64)
+    seen = 0
+    for r in rows:
+        b = r["band"]
+        r0 = r["tile_row"] * 64 + r["patch_row"] * 8
+        c0 = r["tile_col"] * 64 + r["patch_col"] * 8
+        blk = v[b, r0 : r0 + 8, c0 : c0 + 8]
+        m = vm[b, r0 : r0 + 8, c0 : c0 + 8]
+        assert r["n_valid"] == int(m.sum()) > 0
+        assert r["psum"] == int(blk[m].sum())
+        assert r["psumsq"] == int((blk[m] ** 2).sum())
+        assert r["pmin"] == int(blk[m].min())
+        assert r["pmax"] == int(blk[m].max())
+        np.testing.assert_array_equal(
+            np.asarray(r["values"]).reshape(8, 8), blk
+        )
+        seen += 1
+    # every patch with >= 1 valid pixel appears exactly once
+    n_expected = 0
+    for b in range(v.shape[0]):
+        for pr in range(v.shape[1] // 8):
+            for pc_ in range(v.shape[2] // 8):
+                if vm[b, pr * 8 : pr * 8 + 8, pc_ * 8 : pc_ * 8 + 8].any():
+                    n_expected += 1
+    assert seen == n_expected
+
+    with pytest.raises(Exception) as ei:
+        multimodal.patchify_stage(tiles, patch=48).take_all()
+    assert "divide" in str(ei.value)
