@@ -2879,6 +2879,20 @@ def q_events_funnel(sf_dir: str):
     return events.funnel(ds)
 
 
+def q_events_retention(sf_dir: str):
+    """Cohort retention triangle (functions/events.retention): users
+    cohorted by the day-bucket of their first signup; n_users active k
+    days after their anchor.  Slim-relation plan: distinct
+    (user, bucket) via a keyed groupby combiner, hash join to the
+    anchor table, one (cohort, k) count.  Day buckets are positive
+    epoch-micro floor divisions on both sides."""
+    from rioxarray_ray.functions import events
+
+    ds = _read_pq(f"{sf_dir}/events.parquet",
+                  columns=["user_id", "ts", "event_type"])
+    return events.retention(ds, anchor_type="signup", bucket_hours=24)
+
+
 def q_events_topk_per_user(sf_dir: str):
     """Top-3 events per user by value (functions/agg.topk_per_group):
     the generic window row_number()<=k shape as a COMBINER plan — each
@@ -3065,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_approx_distinct": q_events_approx_distinct,
         "events_cms": q_events_cms,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "events_window": q_events_window,
         "events_window_hopping": q_events_window_hopping,
         "events_sessionize": q_events_sessionize,
@@ -5029,6 +5044,23 @@ WITH r AS (
   FROM events
 )
 SELECT user_id, event_id, value FROM r WHERE rk <= 3
+""",
+        "events_retention": """
+WITH a AS (
+  SELECT user_id, epoch_us(MIN(ts)) // 86400000000 AS cohort,
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS bucket
+  FROM events
+),
+r AS (
+  SELECT a.cohort, act.bucket - a.cohort AS k
+  FROM act JOIN a USING (user_id)
+  WHERE act.bucket >= a.cohort
+)
+SELECT cohort, k, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM r GROUP BY cohort, k
 """,
         "events_funnel": """
 WITH u AS (SELECT DISTINCT user_id FROM events),

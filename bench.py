@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "events_approx_distinct",
         "events_cms",
         "events_funnel",
+        "events_retention",
         "dedup_exact",
         "dedup_minhash",
         "embedding_near_dup",

@@ -261,3 +261,89 @@ def funnel(ds, steps=("signup", "click", "purchase"),
         return pa.Table.from_pydict(cols)
 
     return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def retention(ds, anchor_type: str = "signup", bucket_hours: int = 24,
+              user_col: str = "user_id", ts_col: str = "ts",
+              type_col: str = "event_type"):
+    """Cohort retention: users cohorted by the time-bucket of their
+    FIRST ``anchor_type`` event; for every later activity bucket, count
+    how many cohort members were active ``k`` buckets after their
+    anchor.  Returns (cohort, k, n_users) — the classic retention
+    triangle, integer-exact.
+
+    Plan (two small shuffles, both over slim relations):
+    1. anchors: groupby(user) MIN ts of anchor events -> (user, cohort)
+       — count rows == users, not events;
+    2. activity: per-batch (user, bucket) dedup (combiner) then a keyed
+       groupby makes it globally DISTINCT; hash-join to anchors on user
+       (no broadcast of the unbounded user set); k = bucket -
+       anchor_bucket >= 0; ONE groupby((cohort, k)) count finishes the
+       triangle (rows are unique per user by construction).
+    """
+    from ray.data.aggregate import Min
+
+    bucket_us = bucket_hours * 3_600_000_000
+
+    def to_anchor(batch: pa.Table) -> pa.Table:
+        et = batch[type_col].to_numpy(zero_copy_only=False)
+        keep = pa.array(et == anchor_type)
+        sub = batch.filter(keep)
+        ts = _ts_ns(sub[ts_col]) // 1000
+        return pa.table(
+            {user_col: sub[user_col],
+             "anchor_us": pa.array(ts, pa.int64())}
+        )
+
+    from ..sources.io import coerce_empty_blocks
+
+    anchors = coerce_empty_blocks(
+        ds.map_batches(to_anchor, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(user_col)
+        .aggregate(Min("anchor_us", alias_name="anchor_us"))
+    )
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ts = _ts_ns(batch[ts_col]) // 1000
+        b = ts // bucket_us
+        uid = batch[user_col].to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([uid, b], axis=1), axis=0)
+        return pa.table(
+            {user_col: pa.array(uniq[:, 0], pa.int64()),
+             "bucket": pa.array(uniq[:, 1], pa.int64())}
+        )
+
+    activity = coerce_empty_blocks(
+        ds.map_batches(to_buckets, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([user_col, "bucket"])
+        .count()
+        .drop_columns(["count()"])
+    )
+    joined = activity.join(anchors, "inner", 8, on=(user_col,))
+
+    def relate(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        a = batch["anchor_us"].to_numpy(zero_copy_only=False) // bucket_us
+        k = b - a
+        keep = k >= 0
+        return pa.table(
+            {"cohort": pa.array(a[keep], pa.int64()),
+             "k": pa.array(k[keep], pa.int64())}
+        )
+
+    # (cohort, k) rows are globally unique per user here — activity was
+    # made DISTINCT by the (user, bucket) groupby and the anchor join is
+    # 1:1 per user — so one count() finishes the triangle.
+    rel = joined.map_batches(relate, batch_format="pyarrow")
+    return rel.groupby(["cohort", "k"]).count().map_batches(
+        lambda t: pa.table(
+            {
+                "cohort": t["cohort"],
+                "k": t["k"],
+                "n_users": pc.cast(t["count()"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )

@@ -66,3 +66,20 @@ def read_parquet_clean(path, **read_kwargs):
     return rd.read_parquet(path, **read_kwargs).map_batches(
         strip_schema_metadata, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def coerce_empty_blocks(ds, num_blocks: int = 4):
+    """Flush the zero-column empty blocks a hash aggregate emits.
+
+    Ray's hash-shuffle aggregator emits one block per internal partition
+    and the EMPTY ones have NO columns (``rows=0 cols=[]``).  Any
+    downstream ``Dataset.join`` with num_partitions > 1 then fails with
+    ``ArrowInvalid: No match or multiple matches for key field ...`` —
+    and a map_batches repair CANNOT work because Ray skips the UDF on
+    empty blocks entirely.  ``repartition`` is the reliable fix: it
+    coalesces blocks, dropping the schemaless empties.  Use on any small
+    aggregate output that feeds a join.  (The aggregate outputs this is
+    used on are small by construction — combiner partials — so the extra
+    exchange is noise.)
+    """
+    return ds.repartition(num_blocks)

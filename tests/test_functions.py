@@ -1443,3 +1443,40 @@ def test_patchify_values_and_stats(ray_session):
     with pytest.raises(Exception) as ei:
         multimodal.patchify_stage(tiles, patch=48).take_all()
     assert "divide" in str(ei.value)
+
+
+def test_retention_triangle_semantics(ray_session):
+    """Hand-built cohorts: first-signup anchors, day-bucket activity,
+    pre-anchor activity excluded; partition-invariant."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from rioxarray_ray.functions import events
+
+    def e(u, day, typ):
+        return {"user_id": u,
+                "ts": dt.datetime(2026, 1, 1 + day, 12, 0),
+                "event_type": typ}
+
+    rows = [
+        e(1, 0, "signup"), e(1, 0, "click"), e(1, 2, "view"),
+        e(2, 0, "signup"), e(2, 1, "click"),
+        e(3, 1, "signup"), e(3, 1, "view"), e(3, 3, "click"),
+        e(4, 2, "view"),                       # never signed up: excluded
+        e(5, 3, "signup"), e(5, 1, "click"),   # pre-anchor activity: k<0 dropped
+    ]
+    got = {
+        (r["cohort"], r["k"]): r["n_users"]
+        for r in events.retention(rd.from_items(rows).repartition(5),
+                                  bucket_hours=24).take_all()
+    }
+    d0 = int(dt.datetime(2026, 1, 1, 12).timestamp() * 1e6) // 86_400_000_000
+    # cohort d0: users 1,2 -> k0: both, k1: user2, k2: user1
+    assert got[(d0, 0)] == 2 and got[(d0, 1)] == 1 and got[(d0, 2)] == 1
+    # cohort d0+1: user3 -> k0 and k2
+    assert got[(d0 + 1, 0)] == 1 and got[(d0 + 1, 2)] == 1
+    # user5 cohort d0+3, only k0 (pre-anchor click dropped)
+    assert got[(d0 + 3, 0)] == 1
+    assert sum(v for (c, k), v in got.items() if k < 0) == 0
+    assert len(got) == 6
