@@ -2515,6 +2515,38 @@ def q_embedding_quantize(sf_dir: str):
     return qds.map_batches(explode, batch_format="pyarrow")
 
 
+def q_ann_topk_int8(sf_dir: str):
+    """Quantized maximum-inner-product top-k (functions/ann
+    .topk_int8_dot): corpus codes quantized in-stream, integer dot
+    products, combiner top-k — the memory-bound quantized-ANN scan,
+    int64-exact so DuckDB replays rank and score bit-for-bit (unlike
+    float cosine rescaling).  Same query set as ann_topk."""
+    from rioxarray_ray.functions import ann
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet")
+    qdf = (
+        _read_pq(f"{sf_dir}/embeddings.parquet")
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 50 == 0)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    qtab = ann.quantize_embeddings_table(
+        pa.Table.from_pandas(qdf[["vec_id", "embedding"]])
+    )
+    qcodes = np.asarray(
+        [np.asarray(v, dtype=np.int64) for v in qtab["q"].to_pylist()]
+    )
+    out = ann.topk_int8_dot(
+        ds, qtab["vec_id"].to_numpy(zero_copy_only=False), qcodes, k=_ANN_K
+    )
+    return out.select_columns(["query_id", "vec_id", "rank", "dot"])
+
+
 def q_text_weighted_sample(sf_dir: str):
     """Corpus mixing (functions/sample.weighted_sample): per-source
     keep-rates in one deterministic pass — the data-mixture step of a
@@ -3073,6 +3105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_search": q_text_tfidf_search,
         "text_weighted_sample": q_text_weighted_sample,
         "embedding_quantize": q_embedding_quantize,
+        "ann_topk_int8": q_ann_topk_int8,
         "events_asof_orders": q_events_asof_orders,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
@@ -4696,6 +4729,40 @@ SELECT token,
        CAST(COUNT(*) AS BIGINT) AS tf,
        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
 FROM u GROUP BY token HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+        "ann_topk_int8": r"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> ABS(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+e AS (
+  SELECT vec_id, scale, embedding,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM s
+),
+qc AS (
+  SELECT vec_id, i,
+         CAST(CASE WHEN scale = 0 THEN 0
+                   ELSE round_even((CAST(embedding[i] AS DOUBLE) / scale)
+                                   * 127, 0) END AS BIGINT) AS q
+  FROM e
+),
+dots AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, SUM(a.q * b.q) AS dot
+  FROM qc a JOIN qc b ON b.i = a.i
+  WHERE a.vec_id % 50 = 0
+  GROUP BY a.vec_id, b.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dot DESC, vec_id ASC) AS rk
+  FROM dots
+)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank,
+       CAST(dot AS BIGINT) AS dot
+FROM r WHERE rk <= 10
 """,
         "embedding_quantize": r"""
 WITH s AS (

@@ -175,6 +175,7 @@ def run_bench() -> dict:
         "text_chunk",
         "embedding_kmedians",
         "embedding_quantize",
+        "ann_topk_int8",
         "text_doc_freq",
         "events_topk_per_user",
         "events_window",

@@ -490,3 +490,91 @@ def quantize_embeddings(ds, col: str = "embedding",
         )
 
     return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topk_int8_dot(ds, query_ids, query_codes, k: int = 10,
+                  col: str = "embedding", id_col: str = "vec_id",
+                  concurrency=(1, 4)):
+    """Quantized maximum-inner-product top-k: corpus vectors quantize to
+    int8 in-stream (quantize_embeddings codes), queries arrive
+    pre-quantized, and similarity is the INTEGER dot product of the
+    codes — the memory-bound regime of quantized ANN (4x less bandwidth
+    than float32 scans; scores are int64-exact, so ranking is
+    bit-reproducible and SQL-replayable, unlike rescaled cosine).
+    Ties break to the smaller corpus id.
+
+    100-TB shape: the (q x d int8) query matrix broadcasts once via the
+    closure; per batch ONE integer matmul + argpartition; only k rows
+    per (query, batch) leave, merged by the combiner top-k.
+    """
+    from .agg import topk_per_group
+
+    qc = np.ascontiguousarray(query_codes, dtype=np.int64)
+    qids = np.asarray(query_ids)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        qt = quantize_embeddings_table(batch, col=col, id_col=id_col)
+        codes = np.asarray(
+            pc.list_flatten(qt["q"]).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        ).reshape(len(qt), -1)
+        dots = codes @ qc.T  # (n, q) int64
+        n = len(qt)
+        kk = min(k, n)
+        out_q, out_v, out_d = [], [], []
+        ids = qt[id_col].to_numpy(zero_copy_only=False)
+        for j in range(qc.shape[0]):
+            dj = dots[:, j]
+            part = np.argpartition(-dj, kk - 1)[:kk]
+            out_q.extend([qids[j]] * kk)
+            out_v.extend(ids[part].tolist())
+            out_d.extend(dj[part].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                id_col: pa.array(out_v),
+                "dot": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    top = topk_per_group(partials, group_col="query_id", order_col="dot",
+                         k=k, descending=True, tiebreak_col=id_col)
+
+    def add_rank(group: pa.Table) -> pa.Table:
+        d = group["dot"].to_numpy(zero_copy_only=False)
+        v = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -d))
+        ranks = np.empty(len(order), dtype=np.int64)
+        ranks[order] = np.arange(1, len(order) + 1)
+        return group.append_column("rank", pa.array(ranks, pa.int64()))
+
+    return top.groupby("query_id").map_groups(add_rank,
+                                              batch_format="pyarrow")
+
+
+def quantize_embeddings_table(batch: pa.Table, col: str = "embedding",
+                              id_col: str = "vec_id") -> pa.Table:
+    """In-memory version of quantize_embeddings for one Arrow batch."""
+    import pyarrow.compute as pc
+
+    colv = batch[col]
+    if isinstance(colv, pa.ChunkedArray):
+        colv = colv.combine_chunks()
+    flat = pc.list_flatten(colv).to_numpy(zero_copy_only=False)
+    n = len(colv)
+    d = len(flat) // max(n, 1)
+    x = flat.astype(np.float64).reshape(n, d)
+    scale = np.abs(x).max(axis=1) if n else np.zeros(0)
+    safe = np.where(scale == 0.0, 1.0, scale)
+    q = np.rint(x / safe[:, None] * 127.0).astype(np.int8)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "q": pa.array(list(q), pa.list_(pa.int8())),
+            "scale": pa.array(scale, pa.float64()),
+        }
+    )

@@ -1480,3 +1480,44 @@ def test_retention_triangle_semantics(ray_session):
     assert got[(d0 + 3, 0)] == 1
     assert sum(v for (c, k), v in got.items() if k < 0) == 0
     assert len(got) == 6
+
+
+def test_topk_int8_recall_vs_exact(ray_session):
+    """Quantized MIPS recall vs exact float cosine on unit-norm-ish
+    vectors: >= 8/10 overlap per query (int8 on 64 dims loses little),
+    and the dot scores equal direct integer math."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import ann
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 64
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    items = [{"vec_id": i, "embedding": x[i].tolist()} for i in range(n)]
+    ds = rd.from_items(items).repartition(8)
+    qsel = [0, 100, 250]
+    qtab = ann.quantize_embeddings_table(
+        __import__("pyarrow").Table.from_pylist(
+            [items[i] for i in qsel]
+        )
+    )
+    qcodes = np.asarray([np.asarray(v, np.int64)
+                         for v in qtab["q"].to_pylist()])
+    rows = ann.topk_int8_dot(ds, np.asarray(qsel), qcodes, k=10).take_all()
+
+    # direct integer reference
+    xs = np.abs(x.astype(np.float64)).max(axis=1)
+    codes = np.rint(x.astype(np.float64) / xs[:, None] * 127).astype(np.int64)
+    # the codes are max-abs-normalized, so the float reference metric
+    # is the dot of x/scale vectors (not L2 cosine)
+    xf = x.astype(np.float64) / xs[:, None]
+    cos = xf @ xf.T
+    for qi, q in enumerate(qsel):
+        got = sorted([r for r in rows if r["query_id"] == q],
+                     key=lambda r: r["rank"])
+        assert len(got) == 10
+        for r in got:
+            assert r["dot"] == int(codes[q] @ codes[r["vec_id"]])
+        exact10 = set(np.argsort(-cos[q])[:10].tolist())
+        overlap = len(exact10 & {r["vec_id"] for r in got})
+        assert overlap >= 9, (q, overlap)
