@@ -666,6 +666,48 @@ def q_multimodal_patchify(sf_dir: str):
     return patches.map_batches(finalize, batch_format="pyarrow")
 
 
+def q_geo_contour_edges_global(sf_dir: str):
+    """GLOBAL iso-contour extraction: tiles cut with halo=1, each tile
+    owns exactly the edges whose first pixel lies in its core, so seam
+    edges appear once and the union equals the whole-image edge set —
+    still zero-shuffle.  The oracle drops the tile-locality condition
+    and assigns each edge to its first pixel's 64-grid tile; any
+    double-counted or dropped seam edge breaks rows AND hash."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages import tile as tstage
+
+    n = _ndocs(sf_dir)
+    ds = fpipe.read_corpus(n, override_num_blocks=max(n // 64, 8))
+    halo_tiles = tstage.tile_stage(
+        dstage.decode_stage(ds), tile_size=_TILE, cell_res=_CELL_RES,
+        halo=1,
+    )
+    small = _keep_idx(
+        halo_tiles, lambda idx: (idx < 64) & (idx % 7 != 6)
+    )
+    edges = sstage.contour_edges_stage(
+        small, threshold=120.0, global_edges=True, concurrency=4
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "image_id": batch["image_id"],
+                "tile_row": pc.cast(batch["tile_row"], pa.int64()),
+                "tile_col": pc.cast(batch["tile_col"], pa.int64()),
+                "band": pc.cast(batch["band"], pa.int64()),
+                "n_h": batch["n_h"],
+                "n_v": batch["n_v"],
+                "wsum_h": batch["wsum_h"],
+                "wsum_v": batch["wsum_v"],
+            }
+        )
+
+    return edges.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_geo_point_sample(sf_dir: str):
     """Raster value extraction at vector point locations (the reference's
     ``rds.sel(x, y, method="nearest")`` recipe), oracle-gated EXACTLY:
@@ -3038,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_histogram": q_geo_histogram,
         "geo_temporal_trend": q_geo_temporal_trend,
         "geo_contour_edges": q_geo_contour_edges,
+        "geo_contour_edges_global": q_geo_contour_edges_global,
         "geo_band_math": q_geo_band_math,
         "geo_overviews": q_geo_overviews,
         "geo_knn": q_geo_knn,
@@ -3569,6 +3612,44 @@ WHERE LEAST(cw, tw - ci) >= 1 AND LEAST(rh, th - ri) >= 1
 """,
         "geo_pip_rect": _PIP_RECT_SQL,
         "geo_pip_shuffle": _PIP_RECT_SQL,
+        "geo_contour_edges_global": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+m AS (
+  SELECT idx, image_id, b, r, c,
+         CASE WHEN px >= 120 THEN 1 ELSE 0 END AS mk
+  FROM allpx
+),
+hh AS (
+  SELECT a.image_id, a.b AS band, a.r // 64 AS tile_row,
+         a.c // 64 AS tile_col,
+         1 + ((a.r % 64) * 64 + (a.c % 64)) % 97 AS wt
+  FROM m a JOIN m n ON n.idx = a.idx AND n.b = a.b
+                   AND n.r = a.r AND n.c = a.c + 1
+  WHERE a.mk <> n.mk
+),
+vv AS (
+  SELECT a.image_id, a.b AS band, a.r // 64 AS tile_row,
+         a.c // 64 AS tile_col,
+         1 + ((a.r % 64) * 64 + (a.c % 64)) % 97 AS wt
+  FROM m a JOIN m n ON n.idx = a.idx AND n.b = a.b
+                   AND n.r = a.r + 1 AND n.c = a.c
+  WHERE a.mk <> n.mk
+),
+uni AS (
+  SELECT *, 'h' AS kind FROM hh
+  UNION ALL
+  SELECT *, 'v' AS kind FROM vv
+)
+SELECT image_id,
+       CAST(tile_row AS BIGINT) AS tile_row,
+       CAST(tile_col AS BIGINT) AS tile_col,
+       CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) FILTER (kind = 'h') AS BIGINT) AS n_h,
+       CAST(COUNT(*) FILTER (kind = 'v') AS BIGINT) AS n_v,
+       CAST(COALESCE(SUM(wt) FILTER (kind = 'h'), 0) AS BIGINT) AS wsum_h,
+       CAST(COALESCE(SUM(wt) FILTER (kind = 'v'), 0) AS BIGINT) AS wsum_v
+FROM uni GROUP BY image_id, tile_row, tile_col, band
+""",
         "geo_contour_edges": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
 m AS (

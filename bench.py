@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "geo_overviews",
         "geo_temporal_trend",
         "geo_contour_edges",
+        "geo_contour_edges_global",
         "multimodal_audio_features",
         "multimodal_scene_cut",
         "multimodal_augment",

@@ -257,20 +257,28 @@ CONTOUR_SCHEMA = pa.schema(
 )
 
 
-def contour_edges_stage(tiles_ds, threshold: float, **map_kwargs):
+def contour_edges_stage(tiles_ds, threshold: float,
+                        global_edges: bool = False, **map_kwargs):
     """Iso-contour boundary extraction at a threshold — the raster->
     vector step (GDAL ``gdal_contour`` / ``polygonize`` family; rioxarray
     users run these via the GDAL utilities on opened rasters).  An edge
     exists between two ADJACENT VALID pixels whose (value >= threshold)
     classification differs; nodata pixels never contribute.
 
-    Per-tile and zero-shuffle: edges are counted within each tile's own
-    window (cross-tile boundaries belong to the halo'd variant — cut
-    tiles with ``halo=1`` and intersect, same recipe as focal_mean).
-    Output rows carry the boundary segment coordinates (tile-local
-    (r, c) pairs) plus position-weighted checksums so the gate catches
-    a misplaced edge, not just a miscount.  Tiles with no edge on any
-    band emit nothing.
+    Zero-shuffle either way:
+
+    - ``global_edges=False``: edges within each tile's own window only
+      (cross-tile seam edges omitted).
+    - ``global_edges=True``: tiles must be cut WITH ``halo >= 1``
+      (stages/tile.py, the focal_mean recipe); each tile emits exactly
+      the edges whose FIRST pixel lies in its core region, so seam
+      edges appear once globally (ownership rule) and the union over
+      tiles equals the whole-image edge set.  Thin margins raise.
+
+    Output rows carry the boundary segment coordinates (core-local
+    (r, c) of the first pixel) plus position-weighted checksums so the
+    gate catches a misplaced edge, not just a miscount.  Tiles with no
+    edge on any band emit nothing.
     """
     from ..kernels.nodata import valid_mask
     from .schema import pixel_views
@@ -281,15 +289,40 @@ def contour_edges_stage(tiles_ds, threshold: float, **map_kwargs):
         for row, pixels in zip(meta, pixel_views(batch)):
             vm = valid_mask(pixels, _row_nodata(row))
             mk = pixels >= threshold
+            cr, cc = row["core_roff"], row["core_coff"]
+            ch, cw = row["core_h"], row["core_w"]
+            if global_edges:
+                for off, name in ((cr, "row"), (cc, "col")):
+                    if off < 1 and row[f"win_{name}_off"] != off:
+                        raise ValueError(
+                            "global_edges needs tiles cut with halo >= 1 "
+                            f"(got a {off}-px {name} margin)"
+                        )
             for b in range(pixels.shape[0]):
                 both_h = vm[b, :, :-1] & vm[b, :, 1:]
                 dif_h = both_h & (mk[b, :, :-1] != mk[b, :, 1:])
                 both_v = vm[b, :-1, :] & vm[b, 1:, :]
                 dif_v = both_v & (mk[b, :-1, :] != mk[b, 1:, :])
+                if global_edges:
+                    own_h = np.zeros_like(dif_h)
+                    own_h[cr : cr + ch, cc : cc + cw - 0] = True
+                    # first pixel of an h-edge is at (r, c), c < W-1;
+                    # ownership = first pixel in core
+                    dif_h = dif_h & own_h[:, : dif_h.shape[1]]
+                    own_v = np.zeros_like(dif_v)
+                    own_v[cr : cr + ch - 0, cc : cc + cw] = True
+                    dif_v = dif_v & own_v[: dif_v.shape[0], :]
+                else:
+                    # restrict to the core window on non-halo tiles too
+                    # (no-op when core == window)
+                    pass
                 if not (dif_h.any() or dif_v.any()):
                     continue
                 hr, hc = np.nonzero(dif_h)
                 vr, vc = np.nonzero(dif_v)
+                if global_edges:
+                    hr, hc = hr - cr, hc - cc
+                    vr, vc = vr - cr, vc - cc
                 wt_h = 1 + (hr.astype(np.int64) * 64 + hc) % 97
                 wt_v = 1 + (vr.astype(np.int64) * 64 + vc) % 97
                 out["image_id"].append(row["image_id"])

@@ -2108,3 +2108,50 @@ def test_contour_edges_match_bruteforce(rds):
                         np.stack([vr, vc], axis=1),
                     )
                     assert got["n_h"] == len(hr) and got["n_v"] == len(vr)
+
+
+def test_contour_edges_global_union_equals_whole_image(ray_session):
+    """halo=1 + ownership rule: the union over tiles equals whole-image
+    edge extraction EXACTLY (seam edges once, none dropped)."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import decode, stats, tile
+
+    T = 120.0
+    ids = [0, 2, 3]
+    ds = rd.from_arrow(corpus.corpus_table(ids))
+    halo_tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64,
+                                 halo=1)
+    rows = stats.contour_edges_stage(halo_tiles, threshold=T,
+                                     global_edges=True).take_all()
+
+    for idx in ids:
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        mk = ras.pixels >= T
+        for b in range(ras.pixels.shape[0]):
+            dif_h = vm[b, :, :-1] & vm[b, :, 1:] & (
+                mk[b, :, :-1] != mk[b, :, 1:]
+            )
+            dif_v = vm[b, :-1, :] & vm[b, 1:, :] & (
+                mk[b, :-1, :] != mk[b, 1:, :]
+            )
+            got_h, got_v = set(), set()
+            for r in rows:
+                if r["image_id"] != corpus.image_id(idx) or r["band"] != b:
+                    continue
+                eh = np.asarray(r["edges_h"]).reshape(-1, 2)
+                ev_ = np.asarray(r["edges_v"]).reshape(-1, 2)
+                for lr, lc in eh.tolist():
+                    g = (r["tile_row"] * 64 + lr, r["tile_col"] * 64 + lc)
+                    assert g not in got_h  # seam edges appear ONCE
+                    got_h.add(g)
+                for lr, lc in ev_.tolist():
+                    g = (r["tile_row"] * 64 + lr, r["tile_col"] * 64 + lc)
+                    assert g not in got_v
+                    got_v.add(g)
+            want_h = set(zip(*np.nonzero(dif_h)))
+            want_v = set(zip(*np.nonzero(dif_v)))
+            assert got_h == want_h
+            assert got_v == want_v
