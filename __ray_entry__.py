@@ -3036,6 +3036,143 @@ def q_agg_pricing(sf_dir: str):
     )
 
 
+_RECLASS_BINS = (-500, 0, 250, 500, 800, 1200, 2000)
+_RECLASS_VALUES = (10, 20, 30, 40, 50, 60, 70, 80)
+
+
+def q_geo_reclassify(sf_dir: str):
+    """Range reclassification (land-cover-style class remap,
+    stages/stats.reclassify_stage: searchsorted over strictly-increasing
+    edges, nodata -> fill, zero shuffle), projected to per-(tile, band,
+    class) counts + position-weighted sums so a single misclassified or
+    misplaced pixel breaks the hash.  EXACT SQL oracle: DuckDB
+    regenerates the pixel spec and replays the same CASE ladder.
+    doc_id < 96 bounds the SQL regeneration."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 96)
+    rc = sstage.reclassify_stage(
+        small, _RECLASS_BINS, _RECLASS_VALUES, fill=-9999, concurrency=4
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.stages.schema import pixel_views
+
+        out: dict[str, list] = {
+            "image_id": [], "tile_row": [], "tile_col": [],
+            "band": [], "cls": [], "n": [], "wsum": [],
+        }
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            h, w = px.shape[1], px.shape[2]
+            rr, cc = np.meshgrid(
+                np.arange(h, dtype=np.int64),
+                np.arange(w, dtype=np.int64),
+                indexing="ij",
+            )
+            wt = 1 + (rr * 64 + cc) % 97
+            for b in range(px.shape[0]):
+                band = px[b]
+                ok = band != -9999
+                if not ok.any():
+                    continue
+                for cls in np.unique(band[ok]).tolist():
+                    m = band == cls
+                    out["image_id"].append(r["image_id"])
+                    out["tile_row"].append(int(r["tile_row"]))
+                    out["tile_col"].append(int(r["tile_col"]))
+                    out["band"].append(b)
+                    out["cls"].append(int(cls))
+                    out["n"].append(int(m.sum()))
+                    out["wsum"].append(int(wt[m].sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "tile_row": pa.array(out["tile_row"], pa.int64()),
+                "tile_col": pa.array(out["tile_col"], pa.int64()),
+                "band": pa.array(out["band"], pa.int64()),
+                "cls": pa.array(out["cls"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+                "wsum": pa.array(out["wsum"], pa.int64()),
+            }
+        )
+
+    return rc.map_batches(summarize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def _burn_values(geom_rows):
+    import hashlib
+
+    return [
+        1 + hashlib.sha256(g["geom_id"].encode()).digest()[4] % 250
+        for g in geom_rows
+    ]
+
+
+def q_geo_rasterize(sf_dir: str):
+    """Vector->raster value burn (stages/clip.rasterize_stage: broadcast
+    (geometry, value) table painted in input order, later shapes win —
+    rasterio.features.rasterize MergeAlg.replace contract) over rect +
+    concave-star geometries, projected to per-tile burned-pixel counts,
+    value sums and position-weighted value sums.  EXACT SQL oracle:
+    DuckDB places the same rects (pixel-aligned modular arithmetic) and
+    star vertices (sha-derived radii), ray-casts pixel centers, picks
+    the max-geom_id winner per pixel and derives the same sha-byte burn
+    values."""
+    from rioxarray_ray.stages import clip as cstage
+
+    tiles = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 128)
+    polys = [g for g in _geoms() if g["kind"] in ("rect", "concave")]
+    burned = cstage.rasterize_stage(
+        tiles,
+        [g["geometry"] for g in polys],
+        _burn_values(polys),
+        fill=0,
+        concurrency=4,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.stages.schema import pixel_views
+
+        out: dict[str, list] = {
+            "image_id": [], "tile_row": [], "tile_col": [],
+            "n_burned": [], "vsum": [], "wsum": [],
+        }
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            band = px[0].astype(np.int64)
+            m = band != 0
+            if not m.any():
+                continue
+            h, w = band.shape
+            rr, cc = np.meshgrid(
+                np.arange(h, dtype=np.int64),
+                np.arange(w, dtype=np.int64),
+                indexing="ij",
+            )
+            wt = 1 + (rr * 64 + cc) % 97
+            out["image_id"].append(r["image_id"])
+            out["tile_row"].append(int(r["tile_row"]))
+            out["tile_col"].append(int(r["tile_col"]))
+            out["n_burned"].append(int(m.sum()))
+            out["vsum"].append(int(band[m].sum()))
+            out["wsum"].append(int((band[m] * wt[m]).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "tile_row": pa.array(out["tile_row"], pa.int64()),
+                "tile_col": pa.array(out["tile_col"], pa.int64()),
+                "n_burned": pa.array(out["n_burned"], pa.int64()),
+                "vsum": pa.array(out["vsum"], pa.int64()),
+                "wsum": pa.array(out["wsum"], pa.int64()),
+            }
+        )
+
+    return burned.map_batches(summarize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # contract functions
 # --------------------------------------------------------------------------
@@ -3092,6 +3229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tiled_halo_warp": q_geo_tiled_halo_warp,
         "geo_tiled_halo_warp_nearest": q_geo_tiled_halo_warp_nearest,
         "geo_clip_geometry": q_geo_clip_geometry,
+        "geo_reclassify": q_geo_reclassify,
+        "geo_rasterize": q_geo_rasterize,
         "geo_merge": q_geo_merge,
         "geo_interpolate_na": q_geo_interpolate_na,
         "geo_interpolate_na_plane": q_geo_interpolate_na_plane,
@@ -3944,6 +4083,134 @@ LEFT JOIN allpx a
   ON a.idx = h.idx AND a.b = b.b AND a.r = h.r AND a.c = h.c
 """,
         "geo_clip_geometry": _CLIP_GEOM_SQL,
+        "geo_reclassify": f"""
+WITH {_allpx_cte("doc_id < 96 AND doc_id % 7 <> 6")},
+cl AS (
+  SELECT image_id, b, r // 64 AS tile_row, c // 64 AS tile_col,
+         CASE WHEN px < -500 THEN 10 WHEN px < 0 THEN 20
+              WHEN px < 250 THEN 30 WHEN px < 500 THEN 40
+              WHEN px < 800 THEN 50 WHEN px < 1200 THEN 60
+              WHEN px < 2000 THEN 70 ELSE 80 END AS cls,
+         1 + ((r % 64) * 64 + (c % 64)) % 97 AS wt
+  FROM allpx
+)
+SELECT image_id,
+       CAST(tile_row AS BIGINT) AS tile_row,
+       CAST(tile_col AS BIGINT) AS tile_col,
+       CAST(b AS BIGINT) AS band,
+       CAST(cls AS BIGINT) AS cls,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(wt) AS BIGINT) AS wsum
+FROM cl GROUP BY image_id, tile_row, tile_col, b, cls
+""",
+        "geo_rasterize": f"""
+WITH {_TILES_CTE},
+{_GEOMS_CTE.strip().lstrip()},
+gval AS (
+  SELECT geom_id,
+         1 + CAST(('0x' || substr(sha256(geom_id), 9, 2)) AS INT) % 250 AS val
+  FROM geoms_placed WHERE kind IN ('rect', 'concave')
+),
+rb AS (
+  SELECT geom_id,
+         -6e1 + gx * 5e-3 AS minx,
+         (-6e1 + gx * 5e-3) + wpx * 5e-3 AS maxx,
+         (4e1 - gy * 5e-3) - hpx * 5e-3 AS miny,
+         4e1 - gy * 5e-3 AS maxy
+  FROM rects
+),
+rpairs AS (
+  SELECT t.image_id, t.tile_row, t.tile_col, t.th, t.tw,
+         t.tile_left, t.tile_top, g.geom_id, g.minx, g.maxx, g.miny, g.maxy
+  FROM tiles t JOIN rb g
+    ON g.minx <= (5e-3 * t.tw + t.tile_left) AND g.maxx >= t.tile_left
+   AND g.miny <= t.tile_top AND g.maxy >= ((-5e-3) * t.th + t.tile_top)
+  WHERE t.idx < 128
+),
+cov_rect AS (
+  SELECT p.image_id, p.tile_row, p.tile_col, r.r, c.c, p.geom_id
+  FROM rpairs p,
+       LATERAL (SELECT unnest(range(0, p.th)) AS r) r,
+       LATERAL (SELECT unnest(range(0, p.tw)) AS c) c
+  WHERE (5e-3 * (CAST(c.c AS DOUBLE) + 5e-1)) + p.tile_left
+          BETWEEN p.minx AND p.maxx
+    AND ((-5e-3) * (CAST(r.r AS DOUBLE) + 5e-1)) + p.tile_top
+          BETWEEN p.miny AND p.maxy
+),
+stars AS (
+  SELECT k, geom_id, gx, gy FROM geoms_placed WHERE kind = 'concave'
+),
+sv AS (
+  SELECT s.geom_id, i.i,
+         (-6e1 + s.gx * 5e-3)
+           + (CASE WHEN i.i % 2 = 0
+                THEN 5e-2 + (CAST(('0x' || substr(sha256(s.geom_id), 5, 2)) AS INT) / 2.55e2) * 2.5e-1
+                ELSE 2e-2 + (CAST(('0x' || substr(sha256(s.geom_id), 7, 2)) AS INT) / 2.55e2) * 5e-2 END)
+             * cos(CAST(i.i AS DOUBLE) * ((2*pi()) / 1e1)) AS vx,
+         (4e1 - s.gy * 5e-3)
+           + (CASE WHEN i.i % 2 = 0
+                THEN 5e-2 + (CAST(('0x' || substr(sha256(s.geom_id), 5, 2)) AS INT) / 2.55e2) * 2.5e-1
+                ELSE 2e-2 + (CAST(('0x' || substr(sha256(s.geom_id), 7, 2)) AS INT) / 2.55e2) * 5e-2 END)
+             * sin(CAST(i.i AS DOUBLE) * ((2*pi()) / 1e1)) AS vy
+  FROM stars s, LATERAL (SELECT unnest(range(0, 10)) AS i) i
+),
+gbox AS (
+  SELECT geom_id, MIN(vx) AS minx, MAX(vx) AS maxx,
+         MIN(vy) AS miny, MAX(vy) AS maxy
+  FROM sv GROUP BY geom_id
+),
+edges AS (
+  SELECT a.geom_id, a.vx AS ex1, a.vy AS ey1, b.vx AS ex2, b.vy AS ey2
+  FROM sv a JOIN sv b ON a.geom_id = b.geom_id AND b.i = (a.i + 1) % 10
+),
+spairs AS (
+  SELECT t.image_id, t.tile_row, t.tile_col, t.th, t.tw,
+         t.tile_left, t.tile_top, g.geom_id, g.minx, g.maxx, g.miny, g.maxy
+  FROM tiles t JOIN gbox g
+    ON g.minx <= (5e-3 * t.tw + t.tile_left) AND g.maxx >= t.tile_left
+   AND g.miny <= t.tile_top AND g.maxy >= ((-5e-3) * t.th + t.tile_top)
+  WHERE t.idx < 128
+),
+spx AS (
+  SELECT p.*, r.r, c.c,
+         (5e-3 * (CAST(c.c AS DOUBLE) + 5e-1)) + p.tile_left AS px,
+         ((-5e-3) * (CAST(r.r AS DOUBLE) + 5e-1)) + p.tile_top AS py
+  FROM spairs p,
+       LATERAL (SELECT unnest(range(0, p.th)) AS r) r,
+       LATERAL (SELECT unnest(range(0, p.tw)) AS c) c
+  WHERE (5e-3 * (CAST(c.c AS DOUBLE) + 5e-1)) + p.tile_left
+          BETWEEN p.minx AND p.maxx
+    AND ((-5e-3) * (CAST(r.r AS DOUBLE) + 5e-1)) + p.tile_top
+          BETWEEN p.miny AND p.maxy
+),
+cov_star AS (
+  SELECT pp.image_id, pp.tile_row, pp.tile_col, pp.r, pp.c, pp.geom_id
+  FROM spx pp JOIN edges e ON pp.geom_id = e.geom_id
+  GROUP BY pp.image_id, pp.tile_row, pp.tile_col, pp.r, pp.c, pp.geom_id
+  HAVING SUM(CASE WHEN ((e.ey1 > pp.py) <> (e.ey2 > pp.py))
+                   AND pp.px < (((e.ex2 - e.ex1) * (pp.py - e.ey1) / (e.ey2 - e.ey1)) + e.ex1)
+              THEN 1 ELSE 0 END) % 2 = 1
+),
+covered AS (
+  SELECT * FROM cov_rect UNION ALL SELECT * FROM cov_star
+),
+winner AS (
+  SELECT image_id, tile_row, tile_col, r, c, MAX(geom_id) AS geom_id
+  FROM covered GROUP BY image_id, tile_row, tile_col, r, c
+),
+burned AS (
+  SELECT w.image_id, w.tile_row, w.tile_col, v.val,
+         1 + (w.r * 64 + w.c) % 97 AS wt
+  FROM winner w JOIN gval v ON w.geom_id = v.geom_id
+)
+SELECT image_id,
+       CAST(tile_row AS BIGINT) AS tile_row,
+       CAST(tile_col AS BIGINT) AS tile_col,
+       CAST(COUNT(*) AS BIGINT) AS n_burned,
+       CAST(SUM(val) AS BIGINT) AS vsum,
+       CAST(SUM(val * wt) AS BIGINT) AS wsum
+FROM burned GROUP BY image_id, tile_row, tile_col
+""",
         "geo_knn": f"""
 WITH {_TILES_CTE},
 {_GEOMS_CTE.strip().lstrip()},

@@ -225,3 +225,38 @@ class BBoxIndex:
             & (self.maxy >= bottom)
         )
         return np.nonzero(hit)[0]
+
+
+def rasterize_values(
+    geom_value_pairs,
+    out_shape: tuple[int, int],
+    transform,
+    fill: int = 0,
+    all_touched: bool = False,
+    merge: str = "replace",
+) -> np.ndarray:
+    """Value-burn rasterize (rasterio.features.rasterize contract, the
+    vector->raster inverse of geometry_mask): paint ``(geom, value)``
+    pairs in INPUT ORDER onto an int32 canvas initialised to ``fill``.
+
+    ``merge="replace"`` = rasterio MergeAlg.replace (later shapes
+    overwrite earlier ones where they overlap); ``merge="add"`` =
+    MergeAlg.add (values accumulate).  Reference behavior anchor:
+    rioxarray users burn cutlines/zones via rasterio.features.rasterize
+    and wrap the result with the accessor
+    (/root/reference/docs/examples/convert_to_raster.ipynb workflow);
+    the mask path of the same kernel is geometry_mask
+    (/root/reference/rioxarray/raster_array.py clip -> _spatial_utils).
+    """
+    if merge not in ("replace", "add"):
+        raise ValueError(f"merge must be 'replace' or 'add', got {merge!r}")
+    out = np.full(out_shape, np.int32(fill), dtype=np.int32)
+    for geom, val in geom_value_pairs:
+        mask = rasterize(
+            [geom], out_shape, transform, all_touched=all_touched
+        )
+        if merge == "replace":
+            out[mask] = np.int32(val)
+        else:
+            out[mask] += np.int32(val)
+    return out

@@ -351,3 +351,87 @@ def clip_stage(
         concurrency=concurrency,
         **kwargs,
     )
+
+
+class RasterizeActor:
+    """Vector->raster burn worker holding the broadcast (geometry, value)
+    table + bbox index (same broadcast shape as ClipActor: parse/index
+    once per actor in __init__, paint per batch in __call__)."""
+
+    def __init__(self, geometries, values, geom_crs=None, fill: int = 0,
+                 all_touched: bool = False, merge: str = "replace"):
+        if len(values) != len(geometries):
+            raise ValueError("need one burn value per geometry")
+        self.geoms = [geom_mod.parse_geometry(g) for g in geometries]
+        self.values = [int(v) for v in values]
+        self.geom_crs = (
+            crs_mod.from_user_input(geom_crs) if geom_crs is not None else None
+        )
+        self.fill = int(fill)
+        self.all_touched = all_touched
+        self.merge = merge
+        self.index = geom_mod.BBoxIndex(self.geoms)
+        self._proj_cache: dict[str, tuple] = {}
+
+    _geoms_for_crs = ClipActor._geoms_for_crs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        n = len(meta)
+        builder = BinaryBuilder(
+            reserve=4 * sum(r["h"] * r["w"] for r in meta)
+        )
+        for i, pixels in enumerate(pixel_views(batch)):
+            row = meta[i]
+            geoms, index = self._geoms_for_crs(row["crs"])
+            r = raster_from_view(pixels, row)
+            shape = (int(row["h"]), int(row["w"]))
+            cand = index.query(*r.bounds())
+            # paint order = geometry INPUT order (rasterio contract:
+            # later shapes win under merge="replace")
+            cand = np.sort(cand)
+            burned = geom_mod.rasterize_values(
+                [(geoms[j], self.values[j]) for j in cand],
+                out_shape=shape,
+                transform=r.transform,
+                fill=self.fill,
+                all_touched=self.all_touched,
+                merge=self.merge,
+            )
+            builder.append(burned)
+        return rebuild_table(
+            batch,
+            {
+                "band_count": pa.array([1] * n, pa.int32()),
+                "dtype": pa.array(["int32"] * n, pa.string()),
+                "nodata": pa.array([float(self.fill)] * n, pa.float64()),
+            },
+            builder,
+        )
+
+
+def rasterize_stage(ds, geometries, values, geom_crs=None, fill: int = 0,
+                    all_touched: bool = False, merge: str = "replace",
+                    concurrency=(1, 4), **map_kwargs):
+    """Burn a vector (geometry, value) table into every tile's grid —
+    the rasterio.features.rasterize recipe recast as a broadcast
+    actor-pool map_batches (zero shuffle; the vector side rides the
+    actor, tiles stream through).  Output tiles are single-band int32
+    with ``nodata=fill``.
+
+    100-TB note: the vector side is assumed broadcastable (same contract
+    as clip/PIP-broadcast).  A non-broadcastable vector side composes
+    with the salted-cell co-shuffle plan of stages/join.pip_join_shuffle
+    instead — partition geometries by cell, burn per (cell, tile) group.
+    """
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return ds.map_batches(
+        RasterizeActor,
+        fn_constructor_kwargs=dict(
+            geometries=geometries, values=values, geom_crs=geom_crs,
+            fill=fill, all_touched=all_touched, merge=merge,
+        ),
+        concurrency=concurrency,
+        **kwargs,
+    )

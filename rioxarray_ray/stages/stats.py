@@ -344,3 +344,60 @@ def contour_edges_stage(tiles_ds, threshold: float,
     return tiles_ds.map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
     )
+
+
+def reclassify_stage(tiles_ds, bins, values, fill: int = -9999,
+                     **map_kwargs):
+    """Range reclassification (class remap) of pixel values — the
+    land-cover-remap recipe rioxarray users run as
+    ``xr.where`` chains / ``np.digitize`` over an opened raster
+    (georeferencing survives because the op is per-pixel and preserves
+    dims/coords, same contract as band math).  GDAL analogue:
+    ``gdal_calc`` class tables / ``gdaldem color-relief`` binning.
+
+    ``len(values) == len(bins) + 1``; a pixel maps to
+    ``values[np.searchsorted(bins, px, side="right")]`` — i.e.
+    ``px < bins[0] -> values[0]``, ``bins[i-1] <= px < bins[i] ->
+    values[i]``, ``px >= bins[-1] -> values[-1]``.  Invalid (nodata)
+    pixels map to ``fill`` and the output rows carry ``nodata=fill`` so
+    downstream stages keep masking them.
+
+    Ray-Data recast: embarrassingly parallel ``map_batches``, zero
+    shuffle, output volume = 4 bytes/pixel (int32).  The class table is
+    a few dozen scalars captured in the closure; a million-entry lookup
+    table would instead be ``ray.put`` once and read inside an
+    actor-pool ``__init__`` (same broadcast pattern as the PIP join's
+    geometry index).
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import TILE_SCHEMA, pixel_views, pixels_to_bytes
+
+    edges = np.asarray(bins, dtype=np.int64)
+    if edges.ndim != 1 or not np.all(np.diff(edges) > 0):
+        raise ValueError("bins must be strictly increasing 1-D edges")
+    table = np.asarray(values, dtype=np.int32)
+    if table.shape != (edges.size + 1,):
+        raise ValueError("need len(values) == len(bins) + 1")
+
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {name: [] for name in TILE_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            vm = valid_mask(pixels, _row_nodata(row))
+            cls = table[np.searchsorted(edges, pixels.astype(np.int64),
+                                        side="right")]
+            burned = np.where(vm, cls, np.int32(fill)).astype(np.int32)
+            for name in TILE_SCHEMA.names:
+                if name == "pixels":
+                    out[name].append(pixels_to_bytes(burned))
+                elif name == "dtype":
+                    out[name].append("int32")
+                elif name == "nodata":
+                    out[name].append(float(fill))
+                else:
+                    out[name].append(row[name])
+        return pa.Table.from_pydict(out, schema=TILE_SCHEMA)
+
+    return tiles_ds.map_batches(
+        run, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )

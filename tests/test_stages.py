@@ -2155,3 +2155,84 @@ def test_contour_edges_global_union_equals_whole_image(ray_session):
             want_v = set(zip(*np.nonzero(dif_v)))
             assert got_h == want_h
             assert got_v == want_v
+
+
+def test_reclassify_stage_matches_digitize(rds):
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    bins = (-500, 0, 250, 500, 800, 1200, 2000)
+    values = (10, 20, 30, 40, 50, 60, 70, 80)
+    out = sstage.reclassify_stage(rds["tiles"], bins, values, fill=-9999)
+
+    src = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            key = (r["image_id"], r["tile_row"], r["tile_col"])
+            src[key] = (px.copy(), r["nodata"], r["dtype"])
+
+    n = 0
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            key = (r["image_id"], r["tile_row"], r["tile_col"])
+            spx, snod, sdt = src[key]
+            nod = None if snod != snod and np.dtype(sdt).kind in "iu" \
+                else snod
+            vm = valid_mask(spx, nod)
+            expect = np.asarray(values, np.int32)[
+                np.digitize(spx.astype(np.int64), np.asarray(bins))
+            ]
+            expect = np.where(vm, expect, np.int32(-9999))
+            assert px.dtype == np.int32
+            assert r["dtype"] == "int32" and r["nodata"] == -9999.0
+            np.testing.assert_array_equal(px, expect)
+            n += 1
+    assert n == len(src)
+
+
+def test_rasterize_stage_burn_semantics(ray_session):
+    import ray.data as rd
+
+    from rioxarray_ray.stages import clip as cstage
+    from rioxarray_ray.stages.schema import TILE_SCHEMA, pixel_views
+
+    # one 64x64 tile over [0, 0.64) x (39.36, 40.0] at RES=0.01
+    row = {
+        "image_id": "t0", "band_count": 1, "h": 64, "w": 64,
+        "dtype": "int16", "nodata": float("nan"), "crs": "EPSG:4326",
+        "transform": [0.01, 0.0, 0.0, 0.0, -0.01, 40.0],
+        "pixels": np.zeros((1, 64, 64), np.int16).tobytes(),
+        "caption": "", "phash": 0, "tile_row": 0, "tile_col": 0,
+        "cell": 0, "win_row_off": 0, "win_col_off": 0,
+        "core_roff": 0, "core_coff": 0, "core_h": 64, "core_w": 64,
+    }
+    ds = rd.from_arrow(pa.Table.from_pylist([row], schema=TILE_SCHEMA))
+
+    def rect(l, b, r_, t):
+        return {
+            "type": "Polygon",
+            "coordinates": [[[l, b], [r_, b], [r_, t], [l, t], [l, b]]],
+        }
+
+    # g0 covers cols 0..31, g1 overlaps cols 16..47: painted later -> wins
+    geoms = [rect(0.0, 39.36, 0.32, 40.0), rect(0.16, 39.36, 0.48, 40.0)]
+
+    burned = cstage.rasterize_stage(
+        ds, geoms, [7, 9], fill=0, concurrency=1
+    ).take_all()
+    assert len(burned) == 1
+    px = np.frombuffer(burned[0]["pixels"], np.int32).reshape(64, 64)
+    assert burned[0]["band_count"] == 1
+    assert (px[:, :16] == 7).all()
+    assert (px[:, 16:48] == 9).all()   # replace: later geometry wins
+    assert (px[:, 48:] == 0).all()
+
+    added = cstage.rasterize_stage(
+        ds, geoms, [7, 9], fill=0, merge="add", concurrency=1
+    ).take_all()
+    pxa = np.frombuffer(added[0]["pixels"], np.int32).reshape(64, 64)
+    assert (pxa[:, 16:32] == 16).all()  # add: overlap accumulates
+    assert (pxa[:, 32:48] == 9).all()
