@@ -3036,6 +3036,70 @@ def q_agg_pricing(sf_dir: str):
     )
 
 
+def q_events_interval_orders(sf_dir: str):
+    """Distributed INTERVAL join (functions/asof.interval_join): each
+    event joins EVERY order of the same user whose promo window
+    [start, start + len) contains the event ts — multi-match
+    point-in-interval semantics, ONE groupby(key) co-shuffle, candidate
+    windows bounded by the group max interval length (two searchsorteds
+    + vectorized pair expansion).  Windows are derived from the order
+    key by modular arithmetic into the event month (orders predate the
+    event stream by decades, so o_orderdate itself can't contain any
+    event ts): start = 2024-01-01 + (key*2654435761 mod 2592000) sec,
+    len = 300 + key mod 86400 sec.  The oracle is the literal SQL range
+    join over the same arithmetic."""
+    from rioxarray_ray.functions.asof import interval_join
+
+    events = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = _read_pq(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    epoch_2024 = 1_704_067_200_000_000  # epoch_us(2024-01-01)
+
+    def with_window(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        start = epoch_2024 + ((ok * 2654435761) % 2_592_000) * 1_000_000
+        end = start + (300 + ok % 86_400) * 1_000_000
+        batch = batch.append_column(
+            "o_start", pc.cast(pa.array(start, pa.int64()),
+                               pa.timestamp("us"))
+        )
+        return batch.append_column(
+            "o_end", pc.cast(pa.array(end, pa.int64()), pa.timestamp("us"))
+        )
+
+    orders = orders.map_batches(with_window, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    joined = interval_join(
+        events,
+        orders,
+        key=("user_id", "o_custkey"),
+        left_ts="ts",
+        right_start="o_start",
+        right_end="o_end",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "o_orderkey": batch["o_orderkey"],
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 _RECLASS_BINS = (-500, 0, 250, 500, 800, 1200, 2000)
 _RECLASS_VALUES = (10, 20, 30, 40, 50, 60, 70, 80)
 
@@ -3289,6 +3353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_int8": q_ann_topk_int8,
         "events_asof_orders": q_events_asof_orders,
+        "events_interval_orders": q_events_interval_orders,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
         "events_approx_distinct": q_events_approx_distinct,
@@ -4864,6 +4929,24 @@ WITH cand AS (
 )
 SELECT event_id, user_id, ts_us, o_orderkey, o_totalprice
 FROM cand WHERE rn = 1
+""",
+        "events_interval_orders": """
+WITH win AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         1704067200000000
+           + ((o_orderkey * 2654435761) % 2592000) * 1000000 AS start_us,
+         1704067200000000
+           + ((o_orderkey * 2654435761) % 2592000) * 1000000
+           + (300 + o_orderkey % 86400) * 1000000 AS end_us
+  FROM orders
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       w.o_orderkey, w.o_totalprice
+FROM events e
+JOIN win w
+  ON w.o_custkey = e.user_id
+ AND epoch_us(e.ts) >= w.start_us
+ AND epoch_us(e.ts) < w.end_us
 """,
         "text_sample": r"""
 SELECT doc_id,

@@ -1521,3 +1521,63 @@ def test_topk_int8_recall_vs_exact(ray_session):
         exact10 = set(np.argsort(-cos[q])[:10].tolist())
         overlap = len(exact10 & {r["vec_id"] for r in got})
         assert overlap >= 9, (q, overlap)
+
+
+def test_interval_join_multimatch_and_partition_invariance(ray_session):
+    """Every (left, right) pair with start <= ts < end per key, multi-
+    match; randomized brute-force oracle; identical across block counts."""
+    import numpy as np
+    import ray.data as rd
+
+    from rioxarray_ray.functions.asof import interval_join
+
+    rng = np.random.RandomState(7)
+    base = np.datetime64("2024-01-01", "us").astype("int64")
+    ev = [
+        {
+            "eid": i,
+            "k": int(rng.randint(0, 5)),
+            "ts": np.int64(base + rng.randint(0, 10_000)).astype(
+                "datetime64[us]"
+            ),
+        }
+        for i in range(80)
+    ]
+    iv = []
+    for j in range(40):
+        s = base + rng.randint(0, 10_000)
+        iv.append(
+            {
+                "rid": j,
+                "ck": int(rng.randint(0, 5)),
+                "start": np.int64(s).astype("datetime64[us]"),
+                "end": np.int64(s + rng.randint(1, 3_000)).astype(
+                    "datetime64[us]"
+                ),
+            }
+        )
+
+    expect = sorted(
+        (e["eid"], r["rid"])
+        for e in ev
+        for r in iv
+        if e["k"] == r["ck"] and r["start"] <= e["ts"] < r["end"]
+    )
+    assert expect, "fixture must produce matches"
+    multi = {}
+    for eid, _ in expect:
+        multi[eid] = multi.get(eid, 0) + 1
+    assert max(multi.values()) > 1, "fixture must exercise multi-match"
+
+    def run(nblocks):
+        out = interval_join(
+            rd.from_items(ev).repartition(nblocks),
+            rd.from_items(iv).repartition(nblocks),
+            key=("k", "ck"), left_ts="ts",
+            right_start="start", right_end="end",
+            left_cols=["eid"], right_cols=["rid"],
+        ).take_all()
+        return sorted((r["eid"], r["rid"]) for r in out)
+
+    assert run(1) == expect
+    assert run(6) == expect
