@@ -3036,6 +3036,31 @@ def q_agg_pricing(sf_dir: str):
     )
 
 
+def q_geo_cell_rollup(sf_dir: str):
+    """Hierarchical cell roll-up (stages/tile.cell_rollup_stage): tile
+    counts + covered-pixel counts aggregated to parent cells at levels
+    8/6/4 via kernels/cellindex.parent (h3 cell_to_parent analogue).
+    Partials combine per batch BEFORE the one (level, cell) groupby —
+    the shuffle moves cell-count rows, never tiles.  EXACT SQL oracle:
+    DuckDB recomputes the res-10 cell arithmetic and the right-shift
+    parent packing."""
+    from rioxarray_ray.stages import tile as tstage
+
+    roll = tstage.cell_rollup_stage(_tiles_4326(sf_dir), levels=(8, 6, 4))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "level": pc.cast(batch["level"], pa.int64()),
+                "cell": pc.cast(batch["cell"], pa.int64()),
+                "n_tiles": pc.cast(batch["n_tiles"], pa.int64()),
+                "px": pc.cast(batch["px"], pa.int64()),
+            }
+        )
+
+    return roll.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_events_interval_orders(sf_dir: str):
     """Distributed INTERVAL join (functions/asof.interval_join): each
     event joins EVERY order of the same user whose promo window
@@ -3354,6 +3379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_int8": q_ann_topk_int8,
         "events_asof_orders": q_events_asof_orders,
         "events_interval_orders": q_events_interval_orders,
+        "geo_cell_rollup": q_geo_cell_rollup,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
         "events_approx_distinct": q_events_approx_distinct,
@@ -4275,6 +4301,26 @@ SELECT image_id,
        CAST(SUM(val) AS BIGINT) AS vsum,
        CAST(SUM(val * wt) AS BIGINT) AS wsum
 FROM burned GROUP BY image_id, tile_row, tile_col
+""",
+        "geo_cell_rollup": f"""
+WITH {_TILES_CTE},
+base AS (
+  SELECT th, tw,
+         CAST(floor((9e1 - lat_c) / 1.8e2 * 1024) AS BIGINT) AS r10,
+         CAST(floor((lon_c + 1.8e2) / 3.6e2 * 1024) AS BIGINT) AS c10
+  FROM tiles_c
+),
+lv AS (
+  SELECT l.lv, b.th, b.tw,
+         l.lv * 4503599627370496
+           + (b.r10 // (1 << (10 - l.lv))) * 67108864
+           + (b.c10 // (1 << (10 - l.lv))) AS cell
+  FROM base b, (SELECT unnest([8, 6, 4]) AS lv) l
+)
+SELECT CAST(lv AS BIGINT) AS level, CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_tiles,
+       CAST(SUM(th * tw) AS BIGINT) AS px
+FROM lv GROUP BY lv, cell
 """,
         "geo_knn": f"""
 WITH {_TILES_CTE},

@@ -127,3 +127,65 @@ def tile_stage(ds, tile_size: int = 64, cell_res: int = CELL_RES, halo: int = 0,
         ),
         **kwargs,
     )
+
+
+def cell_rollup_stage(tiles_ds, levels=(8, 6, 4), **map_kwargs):
+    """Hierarchical cell roll-up — aggregate tile-level facts up the
+    H3-style parent hierarchy (the h3 ``cell_to_parent`` + groupby
+    pyramid every spatial-join pipeline runs for coverage maps and
+    level-of-detail dashboards; kernels/cellindex.parent is the
+    arithmetic).
+
+    Per (level, parent_cell): tile count and covered-pixel count.
+
+    100-TB shape: partials are combined INSIDE map_batches first (one
+    (level, cell, n, px) row per distinct parent cell per batch — the
+    combiner-before-shuffle pattern), then ONE groupby Sum over rows
+    whose cardinality is bounded by distinct parent cells x levels,
+    never by tiles.  Level fan-out costs len(levels) rows per distinct
+    cell per batch, not a dataset copy.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernels import cellindex
+
+    levels = tuple(int(lv) for lv in levels)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = batch["cell"].to_numpy(zero_copy_only=False)
+        th = batch["th"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            if "th" in batch.column_names else \
+            batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tw = batch["tw"].to_numpy(zero_copy_only=False).astype(np.int64) \
+            if "tw" in batch.column_names else \
+            batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        px = th * tw
+        out_cell, out_lv, out_n, out_px = [], [], [], []
+        for lv in levels:
+            par = cellindex.parent(cells, lv)
+            order = np.argsort(par, kind="stable")
+            ps = par[order]
+            uniq, starts = np.unique(ps, return_index=True)
+            n_per = np.diff(np.append(starts, ps.size))
+            px_sorted = px[order]
+            px_per = np.add.reduceat(px_sorted, starts)
+            out_cell.append(uniq)
+            out_lv.append(np.full(uniq.size, lv, np.int64))
+            out_n.append(n_per.astype(np.int64))
+            out_px.append(px_per.astype(np.int64))
+        return pa.table(
+            {
+                "level": pa.array(np.concatenate(out_lv), pa.int64()),
+                "cell": pa.array(np.concatenate(out_cell), pa.int64()),
+                "n_tiles": pa.array(np.concatenate(out_n), pa.int64()),
+                "px": pa.array(np.concatenate(out_px), pa.int64()),
+            }
+        )
+
+    partials = tiles_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )
+    return partials.groupby(["level", "cell"]).aggregate(
+        Sum("n_tiles", alias_name="n_tiles"),
+        Sum("px", alias_name="px"),
+    )

@@ -2236,3 +2236,27 @@ def test_rasterize_stage_burn_semantics(ray_session):
     pxa = np.frombuffer(added[0]["pixels"], np.int32).reshape(64, 64)
     assert (pxa[:, 16:32] == 16).all()  # add: overlap accumulates
     assert (pxa[:, 32:48] == 9).all()
+
+
+def test_cell_rollup_matches_bruteforce(rds):
+    from rioxarray_ray.kernels import cellindex
+    from rioxarray_ray.stages import tile as tstage
+
+    got = {
+        (r["level"], r["cell"]): (r["n_tiles"], r["px"])
+        for r in tstage.cell_rollup_stage(
+            rds["tiles"], levels=(8, 5)
+        ).take_all()
+    }
+
+    expect: dict = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        for r in batch.drop_columns(["pixels"]).to_pylist():
+            for lv in (8, 5):
+                key = (lv, int(cellindex.parent(r["cell"], lv)))
+                n, px = expect.get(key, (0, 0))
+                expect[key] = (n + 1, px + r["h"] * r["w"])
+    assert got == expect
+    for lv in (8, 5):
+        assert sum(n for (l, _), (n, _) in got.items() if l == lv) == \
+            rds["tiles"].count()
