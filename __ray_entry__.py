@@ -3036,6 +3036,23 @@ def q_agg_pricing(sf_dir: str):
     )
 
 
+def q_embedding_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic near-dup (functions/cluster.
+    semantic_dedup_pairs): k-medians clustering first, then
+    cosine>=tau pairs ONLY within each cluster — the approximate plan
+    that collapses all-pairs to within-cluster pairs.  EXACT SQL
+    oracle by composition: the kmedians oracle CTE reproduces the
+    cluster assignment bit-for-bit, then a literal within-cluster
+    cosine join."""
+    from rioxarray_ray.functions import cluster
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    return cluster.semantic_dedup_pairs(
+        ds, threshold=_NEAR_DUP_TAU, k=8, iters=2
+    )
+
+
 def q_geo_cell_rollup(sf_dir: str):
     """Hierarchical cell roll-up (stages/tile.cell_rollup_stage): tile
     counts + covered-pixel counts aggregated to parent cells at levels
@@ -3380,6 +3397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_orders": q_events_asof_orders,
         "events_interval_orders": q_events_interval_orders,
         "geo_cell_rollup": q_geo_cell_rollup,
+        "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
         "events_approx_distinct": q_events_approx_distinct,
@@ -5711,6 +5729,17 @@ FROM lineitem GROUP BY 1, 2
     # connected-components clustering over the SAME md5-LSH edge SQL the
     # dedup_minhash_md5 oracle replicates: recursive reachability CTE,
     # cluster id = min reachable doc id
+    sql["embedding_semantic_dedup"] = f"""
+WITH km AS ({sql["embedding_kmedians"]}),
+e AS (
+  SELECT e0.vec_id, e0.embedding, km.cluster
+  FROM embeddings e0 JOIN km ON e0.vec_id = km.vec_id
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster
+FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {_NEAR_DUP_TAU}e0
+"""
     sql["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({sql["dedup_minhash_md5"]}),
 edges AS (

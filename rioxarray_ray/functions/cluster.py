@@ -72,9 +72,13 @@ def kmedians(
     iters: int = 2,
     id_col: str = "vec_id",
     col: str = "embedding",
+    keep_vectors: bool = False,
 ):
     """Run ``iters`` assignment passes (with ``iters - 1`` median updates
-    in between) and return a Dataset of (id, cluster, l1_dist).
+    in between) and return a Dataset of (id, cluster, l1_dist)
+    (+ the original embedding column when ``keep_vectors`` — saves the
+    assignment->vector join for consumers that need both, e.g.
+    semantic_dedup_pairs: Arrow hash joins reject list payloads anyway).
 
     Initial centroids are the quantized vectors of the k smallest ids —
     deterministic and partitioning-independent, so the DuckDB oracle can
@@ -101,7 +105,8 @@ def kmedians(
         ]
     )
 
-    def assign_stage(cents: np.ndarray, with_vec: bool):
+    def assign_stage(cents: np.ndarray, with_vec: bool,
+                     with_embedding: bool = False):
         def fn(batch: pa.Table) -> pa.Table:
             w = _quantized_matrix(batch, col)
             a, dist = _assign(w, cents)
@@ -112,6 +117,8 @@ def kmedians(
             }
             if with_vec:
                 out["w"] = pa.array(list(w), pa.list_(pa.int64()))
+            if with_embedding:
+                out[col] = batch[col]
             return pa.table(out)
 
         return fn
@@ -149,7 +156,8 @@ def kmedians(
         centroids = new_c
 
     return ds.map_batches(
-        assign_stage(centroids, with_vec=False),
+        assign_stage(centroids, with_vec=False,
+                     with_embedding=keep_vectors),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
@@ -191,4 +199,79 @@ def signed_projection_batch(
             "out_dim": pa.array(ods, pa.int64()),
             "value": pa.array(y.reshape(-1), pa.int64()),
         }
+    )
+
+
+def semantic_dedup_pairs(
+    ds,
+    threshold: float,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    num_partitions: int = 8,
+):
+    """SemDeDup-style semantic near-dup search (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space first, then search
+    cosine>=threshold pairs ONLY within each cluster — the approximate
+    scale path that collapses all-pairs O(n^2) to sum_c O(n_c^2).
+
+    Pairs that straddle a cluster boundary are missed BY DESIGN (the
+    SemDeDup trade); ``functions/ann.blocked_cosine_pairs`` is the exact
+    sibling when the budget allows it.  With k=1 the two plans coincide
+    (pytest-pinned equivalence).
+
+    100-TB shape: k-medians assignment passes are vectorized
+    map_batches with a tiny broadcast centroid matrix; the final
+    assignment pass carries the embedding along (``keep_vectors`` —
+    no join, one fewer shuffle); the pair search is ONE
+    groupby(cluster).map_groups
+    with the same normalize+matmul+triu kernel as the exact plans.
+    Partition assumption (documented, same as kmedians' update): one
+    cluster's members fit one task — at web scale, raise k until they
+    do (SemDeDup runs k ~ sqrt(n)).
+    """
+    from .ann import _embedding_matrix, _normalize
+
+    joined = kmedians(
+        ds, k=k, iters=iters, id_col=id_col, col=col, keep_vectors=True
+    ).drop_columns(["l1_dist"])
+
+    def pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows < 2:
+            return empty
+        ids = group[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        vecs = _normalize(
+            _embedding_matrix(
+                group.select([col]).take(pa.array(order, pa.int64())), col
+            )
+        )
+        sims = vecs @ vecs.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sims[ia, ib] >= threshold
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[ia[keep]], pa.int64()),
+                "vec_b": pa.array(ids[ib[keep]], pa.int64()),
+                "cluster": pa.array(
+                    np.full(int(keep.sum()),
+                            int(group["cluster"][0].as_py()), np.int64)
+                ),
+            }
+        )
+
+    return joined.groupby("cluster").map_groups(
+        pairs, batch_format="pyarrow"
     )

@@ -1581,3 +1581,44 @@ def test_interval_join_multimatch_and_partition_invariance(ray_session):
 
     assert run(1) == expect
     assert run(6) == expect
+
+
+def test_semantic_dedup_k1_equals_exact_pairs(ray_session):
+    """With k=1 every vector lands in one cluster, so SemDeDup-style
+    within-cluster search must equal the exact block-pair plan; with
+    k>1 it returns a subset (the documented boundary-pair trade)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rioxarray_ray.functions.ann import blocked_cosine_pairs
+    from rioxarray_ray.functions.cluster import semantic_dedup_pairs
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(40, 16)
+    rows = []
+    for i in range(120):
+        v = base[i % 40] + rng.randn(16) * (0.05 if i % 3 else 1.0)
+        rows.append({"vec_id": i,
+                     "embedding": v.astype(np.float32).tolist()})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in blocked_cosine_pairs(ds, threshold=0.9,
+                                      n_blocks=4).take_all()
+    }
+    sem1 = {
+        (r["vec_a"], r["vec_b"])
+        for r in semantic_dedup_pairs(ds, threshold=0.9, k=1,
+                                      iters=2).take_all()
+    }
+    assert sem1 == exact and exact
+
+    sem8 = {
+        (r["vec_a"], r["vec_b"])
+        for r in semantic_dedup_pairs(ds, threshold=0.9, k=8,
+                                      iters=2).take_all()
+    }
+    assert sem8 <= exact
+    assert sem8, "clustered search must still find same-cluster dups"
