@@ -3036,6 +3036,51 @@ def q_agg_pricing(sf_dir: str):
     )
 
 
+def q_geo_zorder_layout(sf_dir: str):
+    """Z-order (Morton) layout sort — the space-filling-curve clustering
+    order for output files (Delta/Iceberg Z-ORDER analogue;
+    kernels/cellindex.morton bit-interleaves the res-10 cell row/col).
+    The real pipeline sorts tiles by this key before write_parquet so
+    spatially adjacent tiles land in the same file; the gate takes the
+    first 512 tiles of the global order (deterministic tie-break) and
+    checks every rank — Ray's range-partitioned ds.sort vs DuckDB's
+    row_number over the same interleave arithmetic."""
+    from rioxarray_ray.kernels import cellindex
+
+    tiles = _tiles_4326(sf_dir)
+
+    def with_z(batch: pa.Table) -> pa.Table:
+        z = cellindex.morton(
+            batch["cell"].to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "z": pa.array(z, pa.int64()),
+                "image_id": batch["image_id"],
+                "tile_row": pc.cast(batch["tile_row"], pa.int64()),
+                "tile_col": pc.cast(batch["tile_col"], pa.int64()),
+            }
+        )
+
+    ordered = (
+        tiles.map_batches(with_z, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .sort(["z", "image_id", "tile_row", "tile_col"])
+        .limit(512)
+        .repartition(1)
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.arange(1, batch.num_rows + 1), pa.int64())
+        )
+
+    # single 512-row block after limit+repartition(1): the arange rank
+    # is the global rank (batch_size=None => whole-block batches)
+    return ordered.map_batches(rank, batch_format="pyarrow",
+                               batch_size=None)
+
+
 def q_embedding_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic near-dup (functions/cluster.
     semantic_dedup_pairs): k-medians clustering first, then
@@ -3398,6 +3443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_orders": q_events_interval_orders,
         "geo_cell_rollup": q_geo_cell_rollup,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
+        "geo_zorder_layout": q_geo_zorder_layout,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
         "events_approx_distinct": q_events_approx_distinct,
@@ -4319,6 +4365,31 @@ SELECT image_id,
        CAST(SUM(val) AS BIGINT) AS vsum,
        CAST(SUM(val * wt) AS BIGINT) AS wsum
 FROM burned GROUP BY image_id, tile_row, tile_col
+""",
+        "geo_zorder_layout": f"""
+WITH {_TILES_CTE},
+base AS (
+  SELECT image_id, CAST(tile_row AS BIGINT) AS tile_row,
+         CAST(tile_col AS BIGINT) AS tile_col,
+         CAST(floor((9e1 - lat_c) / 1.8e2 * 1024) AS BIGINT) AS r10,
+         CAST(floor((lon_c + 1.8e2) / 3.6e2 * 1024) AS BIGINT) AS c10
+  FROM tiles_c
+),
+zed AS (
+  SELECT image_id, tile_row, tile_col,
+         {" + ".join(
+             f"(((r10 >> {i}) & 1) << {2 * i + 1})"
+             f" + (((c10 >> {i}) & 1) << {2 * i})"
+             for i in range(10)
+         )} AS z
+  FROM base
+)
+SELECT z, image_id, tile_row, tile_col,
+       CAST(row_number() OVER (
+         ORDER BY z, image_id, tile_row, tile_col
+       ) AS BIGINT) AS rank
+FROM zed
+ORDER BY rank LIMIT 512
 """,
         "geo_cell_rollup": f"""
 WITH {_TILES_CTE},

@@ -155,3 +155,26 @@ def cells_for_bbox(
         indexing="ij",
     )
     return pack(np.int64(res), rows.ravel(), cols.ravel())
+
+
+def _part1by1(x: np.ndarray) -> np.ndarray:
+    """Spread the low 16 bits of each int64 into even bit positions
+    (Morton encode helper, the standard magic-number dilation)."""
+    x = np.asarray(x, dtype=np.int64) & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def morton(cell_id) -> np.ndarray:
+    """Z-order (Morton) key of a cell: bit-interleave (row, col) so that
+    sorting by the key clusters spatially adjacent cells — the
+    space-filling-curve layout order used to cluster output files for
+    locality (Delta/Iceberg Z-ORDER analogue; res <= 16 fits int64).
+    Row bits land in the ODD positions, col bits in the EVEN ones."""
+    res, row, col = unpack(cell_id)
+    if np.any(res > 16):
+        raise ValueError("morton supports res <= 16 (32-bit key)")
+    return (_part1by1(row) << 1) | _part1by1(col)

@@ -1207,3 +1207,31 @@ def test_decode_cf_datetime_uint64_overflow_falls_to_float():
     small = np.array([5, 10], dtype=np.uint64)
     exact = cf.decode_cf_datetime(small, "seconds since 2000-01-01")
     assert exact[0] == np.datetime64("2000-01-01T00:00:05", "ns")
+
+
+def test_morton_interleave_and_locality():
+    import numpy as np
+
+    from rioxarray_ray.kernels import cellindex as ci
+
+    # closed-form bit interleave (row bits odd, col bits even)
+    rows = np.array([0, 1, 0, 5, 1023])
+    cols = np.array([0, 0, 1, 3, 1023])
+    cells = ci.pack(10, rows, cols)
+    z = ci.morton(cells)
+    expect = [
+        sum(((int(r) >> i) & 1) << (2 * i + 1) for i in range(10))
+        + sum(((int(c) >> i) & 1) << (2 * i) for i in range(10))
+        for r, c in zip(rows, cols)
+    ]
+    assert z.tolist() == expect
+
+    # locality: a 2x2 quad shares its z-prefix (consecutive block of 4)
+    quad = ci.pack(10, np.array([6, 6, 7, 7]), np.array([4, 5, 4, 5]))
+    zq = np.sort(ci.morton(quad))
+    assert zq[-1] - zq[0] == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ci.morton(ci.pack(17, np.array([0]), np.array([0])))
