@@ -3036,6 +3036,162 @@ def q_agg_pricing(sf_dir: str):
     )
 
 
+def q_geo_equalize(sf_dir: str):
+    """Per-image histogram equalization (stages/stats.equalize_stage):
+    image-global CDF remap, ONE groupby(image_id) co-shuffle, per-band
+    LUT via unique+cumsum, searchsorted apply.  Projected to per-(tile,
+    band) counts + eq-value sums + position-weighted sums.  EXACT SQL
+    oracle: DuckDB rebuilds cnt_le with a cumulative window over the
+    regenerated pixel spec and replays the same integer floor-div
+    remap.  doc_id < 64 bounds the regeneration."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 64)
+    eq = sstage.equalize_stage(small, levels=255, fill=-1)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.stages.schema import pixel_views
+
+        out: dict[str, list] = {
+            "image_id": [], "tile_row": [], "tile_col": [],
+            "band": [], "n": [], "esum": [], "ewsum": [],
+        }
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            h, w = px.shape[1], px.shape[2]
+            rr, cc = np.meshgrid(
+                np.arange(h, dtype=np.int64),
+                np.arange(w, dtype=np.int64),
+                indexing="ij",
+            )
+            wt = 1 + (rr * 64 + cc) % 97
+            for b in range(px.shape[0]):
+                band = px[b].astype(np.int64)
+                m = band != -1
+                if not m.any():
+                    continue
+                out["image_id"].append(r["image_id"])
+                out["tile_row"].append(int(r["tile_row"]))
+                out["tile_col"].append(int(r["tile_col"]))
+                out["band"].append(b)
+                out["n"].append(int(m.sum()))
+                out["esum"].append(int(band[m].sum()))
+                out["ewsum"].append(int((band[m] * wt[m]).sum()))
+        return pa.table(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "tile_row": pa.array(out["tile_row"], pa.int64()),
+                "tile_col": pa.array(out["tile_col"], pa.int64()),
+                "band": pa.array(out["band"], pa.int64()),
+                "n": pa.array(out["n"], pa.int64()),
+                "esum": pa.array(out["esum"], pa.int64()),
+                "ewsum": pa.array(out["ewsum"], pa.int64()),
+            }
+        )
+
+    return eq.map_batches(summarize, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_agg_revenue_nation(sf_dir: str):
+    """TPC-H-Q5-shaped multiway join: lineitem ⋈ orders ⋈ customer via
+    native hash joins (pruned columns only — no payload beyond the join
+    keys and the two revenue terms), then the 25-row nation table
+    BROADCAST as a plain dict inside map_batches (never shuffled), then
+    ONE groupby(nation) Sum.  Revenue is integer-exact:
+    cents(ep) * (100 - pct(discount)) summed as BIGINT, so the gate is
+    order-independent."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read_pq(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_project(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = np.rint(ep * 100).astype(np.int64) * (
+            100 - np.rint(dc * 100).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "revenue_u": pa.array(rev, pa.int64()),
+            }
+        )
+
+    li = li.map_batches(li_project, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    orders = _read_pq(f"{sf_dir}/orders.parquet",
+                      columns=["o_orderkey", "o_custkey"])
+    cust = _read_pq(f"{sf_dir}/customer.parquet",
+                    columns=["c_custkey", "c_nationkey"])
+    j = li.join(orders, "inner", 8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+    j = j.join(cust, "inner", 8,
+               on=("o_custkey",), right_on=("c_custkey",))
+
+    import pandas as pd
+
+    nation = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    n_name = dict(zip(nation["n_nationkey"].astype(int),
+                      nation["n_name"]))
+
+    def with_nation(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "nation": pa.array([n_name[int(k)] for k in nk],
+                                   pa.string()),
+                "revenue_u": batch["revenue_u"],
+            }
+        )
+
+    out = (
+        j.map_batches(with_nation, batch_format="pyarrow",
+                      zero_copy_batch=True)
+        .groupby("nation")
+        .aggregate(Sum("revenue_u", alias_name="revenue_u"),
+                   Count(alias_name="n_items"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "nation": batch["nation"],
+                "revenue_u": pc.cast(batch["revenue_u"], pa.int64()),
+                "n_items": pc.cast(batch["n_items"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def q_geo_band_stats(sf_dir: str):
+    """Corpus-wide per-band normalization statistics
+    (stages/stats.band_stats_stage): integer-exact n/sum/sum-of-squares
+    of valid pixels, combiner-before-shuffle (pixels never shuffle).
+    EXACT SQL oracle over the regenerated pixel spec; doc_id < 96
+    bounds the regeneration."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 96)
+    out = sstage.band_stats_stage(small, concurrency=4)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "band": pc.cast(batch["band"], pa.int64()),
+                "n": pc.cast(batch["n"], pa.int64()),
+                "s1": pc.cast(batch["s1"], pa.int64()),
+                "s2": pc.cast(batch["s2"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_geo_zorder_layout(sf_dir: str):
     """Z-order (Morton) layout sort — the space-filling-curve clustering
     order for output files (Delta/Iceberg Z-ORDER analogue;
@@ -3444,6 +3600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_cell_rollup": q_geo_cell_rollup,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "geo_zorder_layout": q_geo_zorder_layout,
+        "geo_band_stats": q_geo_band_stats,
+        "agg_revenue_nation": q_agg_revenue_nation,
+        "geo_equalize": q_geo_equalize,
         "text_length_quantiles": q_text_length_quantiles,
         "events_topk_per_user": q_events_topk_per_user,
         "events_approx_distinct": q_events_approx_distinct,
@@ -4365,6 +4524,43 @@ SELECT image_id,
        CAST(SUM(val) AS BIGINT) AS vsum,
        CAST(SUM(val * wt) AS BIGINT) AS wsum
 FROM burned GROUP BY image_id, tile_row, tile_col
+""",
+        "geo_equalize": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+ranked AS (
+  SELECT idx, image_id, b, r, c,
+         COUNT(*) OVER (PARTITION BY idx, b ORDER BY px
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cle,
+         COUNT(*) OVER (PARTITION BY idx, b) AS n
+  FROM allpx
+),
+withmin AS (
+  SELECT *, MIN(cle) OVER (PARTITION BY idx, b) AS cmin FROM ranked
+),
+eqpx AS (
+  SELECT image_id, b, r // 64 AS tile_row, c // 64 AS tile_col,
+         CASE WHEN n > cmin THEN ((cle - cmin) * 255) // (n - cmin)
+              ELSE 0 END AS eq,
+         1 + ((r % 64) * 64 + (c % 64)) % 97 AS wt
+  FROM withmin
+)
+SELECT image_id,
+       CAST(tile_row AS BIGINT) AS tile_row,
+       CAST(tile_col AS BIGINT) AS tile_col,
+       CAST(b AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(eq) AS BIGINT) AS esum,
+       CAST(SUM(eq * wt) AS BIGINT) AS ewsum
+FROM eqpx GROUP BY image_id, tile_row, tile_col, b
+""",
+        "geo_band_stats": f"""
+WITH {_allpx_cte("doc_id < 96 AND doc_id % 7 <> 6")}
+SELECT CAST(b AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(px) AS BIGINT) AS s1,
+       CAST(SUM(px * px) AS BIGINT) AS s2
+FROM allpx GROUP BY b
 """,
         "geo_zorder_layout": f"""
 WITH {_TILES_CTE},
@@ -5783,6 +5979,18 @@ SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
        count(*) AS n_events,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM s GROUP BY 1, 2
+""",
+        "agg_revenue_nation": """
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_u,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
 """,
         "agg_pricing": """
 SELECT l_returnflag, l_linestatus,

@@ -401,3 +401,126 @@ def reclassify_stage(tiles_ds, bins, values, fill: int = -9999,
     return tiles_ds.map_batches(
         run, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
     )
+
+
+def band_stats_stage(tiles_ds, **map_kwargs):
+    """Corpus-wide per-band pixel moments — the dataset-normalization
+    statistics every training pipeline computes before standardizing
+    inputs (mean/std per channel; torchvision Normalize's upstream
+    numbers).  Integer-exact: n, sum, sum-of-squares as BIGINT over
+    VALID pixels.
+
+    100-TB shape: per-batch partials (one row per band per batch) ->
+    ONE groupby(band) Sum over rows whose cardinality is bands x
+    batches — the canonical combiner-before-shuffle reduction; pixels
+    never shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc: dict[int, list[int]] = {}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            vm = valid_mask(pixels, _row_nodata(row))
+            for b in range(pixels.shape[0]):
+                v = pixels[b][vm[b]].astype(np.int64)
+                if v.size == 0:
+                    continue
+                ent = acc.setdefault(b, [0, 0, 0])
+                ent[0] += int(v.size)
+                ent[1] += int(v.sum())
+                ent[2] += int((v * v).sum())
+        return pa.table(
+            {
+                "band": pa.array(sorted(acc), pa.int64()),
+                "n": pa.array([acc[b][0] for b in sorted(acc)], pa.int64()),
+                "s1": pa.array([acc[b][1] for b in sorted(acc)], pa.int64()),
+                "s2": pa.array([acc[b][2] for b in sorted(acc)], pa.int64()),
+            }
+        )
+
+    partials = tiles_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, **map_kwargs
+    )
+    return partials.groupby("band").aggregate(
+        Sum("n", alias_name="n"),
+        Sum("s1", alias_name="s1"),
+        Sum("s2", alias_name="s2"),
+    )
+
+
+def equalize_stage(tiles_ds, levels: int = 255, fill: int = -1,
+                   **map_kwargs):
+    """Per-image histogram equalization — the classic CDF remap
+    (OpenCV ``equalizeHist`` / skimage ``equalize_hist`` contract,
+    integerized): for each (image, band),
+
+        eq(v) = floor((cnt_le(v) - cnt_min) * levels / (n - cnt_min))
+
+    where ``cnt_le`` counts valid pixels <= v in the WHOLE image band,
+    ``cnt_min`` is the count of the minimum value and ``n`` the valid
+    total; constant bands map to 0; nodata pixels map to ``fill``.
+
+    100-TB shape: equalization needs image-global order statistics, so
+    tiles co-shuffle to their image via ONE groupby(image_id) — the
+    same partition assumption as merge/overviews (one image's tiles fit
+    one task; images are bounded by sensor geometry).  The LUT is built
+    once per (image, band) via np.unique + cumsum and applied with one
+    searchsorted per tile — no per-pixel Python.
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import TILE_SCHEMA, pixel_views, pixels_to_bytes
+
+    def eq_group(group: pa.Table) -> pa.Table:
+        meta = group.drop_columns(["pixels"]).to_pylist()
+        views = list(pixel_views(group))
+        n_bands = views[0].shape[0] if views else 0
+        vms = [valid_mask(px, _row_nodata(row))
+               for row, px in zip(meta, views)]
+        luts: list[tuple[np.ndarray, np.ndarray]] = []
+        for b in range(n_bands):
+            allv = np.concatenate(
+                [px[b][vm[b]].ravel() for px, vm in zip(views, vms)]
+            ) if views else np.empty(0, np.int64)
+            if allv.size == 0:
+                luts.append((np.empty(0, np.int64),
+                             np.empty(0, np.int64)))
+                continue
+            vals, counts = np.unique(allv.astype(np.int64),
+                                     return_counts=True)
+            cle = np.cumsum(counts)
+            n = int(cle[-1])
+            cmin = int(counts[0])
+            if n > cmin:
+                eq = (cle - cmin) * levels // (n - cmin)
+            else:
+                eq = np.zeros_like(cle)
+            luts.append((vals, eq.astype(np.int64)))
+        out: dict[str, list] = {name: [] for name in TILE_SCHEMA.names}
+        for row, px, vm in zip(meta, views, vms):
+            burned = np.full(px.shape, np.int32(fill), np.int32)
+            for b in range(px.shape[0]):
+                vals, eq = luts[b]
+                if vals.size == 0:
+                    continue
+                m = vm[b]
+                burned[b][m] = eq[
+                    np.searchsorted(vals, px[b][m].astype(np.int64))
+                ].astype(np.int32)
+            for name in TILE_SCHEMA.names:
+                if name == "pixels":
+                    out[name].append(pixels_to_bytes(burned))
+                elif name == "dtype":
+                    out[name].append("int32")
+                elif name == "nodata":
+                    out[name].append(float(fill))
+                else:
+                    out[name].append(row[name])
+        return pa.Table.from_pydict(out, schema=TILE_SCHEMA)
+
+    return tiles_ds.groupby("image_id").map_groups(
+        eq_group, batch_format="pyarrow", **map_kwargs
+    )

@@ -2260,3 +2260,86 @@ def test_cell_rollup_matches_bruteforce(rds):
     for lv in (8, 5):
         assert sum(n for (l, _), (n, _) in got.items() if l == lv) == \
             rds["tiles"].count()
+
+
+def test_band_stats_matches_bruteforce(rds):
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    got = {
+        r["band"]: (r["n"], r["s1"], r["s2"])
+        for r in sstage.band_stats_stage(rds["tiles"]).take_all()
+    }
+    expect: dict = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            vm = valid_mask(px, nod)
+            for b in range(px.shape[0]):
+                v = px[b][vm[b]].astype(np.int64)
+                n, s1, s2 = expect.get(b, (0, 0, 0))
+                expect[b] = (n + v.size, s1 + int(v.sum()),
+                             s2 + int((v * v).sum()))
+    assert got == expect
+
+
+def test_equalize_stage_image_global_cdf(rds):
+    """Equalized values are the image-global CDF remap: recompute the
+    LUT from ALL tiles of each image and check tiles match it (i.e. the
+    stage used image-level, not tile-level, statistics)."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    eq = sstage.equalize_stage(rds["tiles"], levels=255, fill=-1)
+
+    src: dict = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            vm = valid_mask(px, nod)
+            ent = src.setdefault(row["image_id"], {})
+            ent.setdefault("tiles", {})[
+                (row["tile_row"], row["tile_col"])
+            ] = (px.copy(), vm)
+    luts: dict = {}
+    for iid, ent in src.items():
+        n_bands = next(iter(ent["tiles"].values()))[0].shape[0]
+        luts[iid] = []
+        for b in range(n_bands):
+            allv = np.concatenate(
+                [px[b][vm[b]].ravel()
+                 for px, vm in ent["tiles"].values()]
+            ).astype(np.int64)
+            vals, counts = np.unique(allv, return_counts=True)
+            cle = np.cumsum(counts)
+            n, cmin = int(cle[-1]), int(counts[0])
+            e = (cle - cmin) * 255 // (n - cmin) if n > cmin \
+                else np.zeros_like(cle)
+            luts[iid].append((vals, e))
+
+    checked = 0
+    for batch in eq.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            spx, svm = src[row["image_id"]]["tiles"][
+                (row["tile_row"], row["tile_col"])
+            ]
+            for b in range(px.shape[0]):
+                vals, e = luts[row["image_id"]][b]
+                m = svm[b]
+                expect = np.full(spx[b].shape, -1, np.int64)
+                expect[m] = e[np.searchsorted(vals,
+                                              spx[b][m].astype(np.int64))]
+                np.testing.assert_array_equal(px[b].astype(np.int64),
+                                              expect)
+                assert px[b][m].min() >= 0 and px[b][m].max() <= 255
+            checked += 1
+    assert checked == sum(len(e["tiles"]) for e in src.values())
