@@ -180,6 +180,15 @@ def run_bench() -> dict:
         "text_doc_freq",
         "events_topk_per_user",
         "events_window",
+        "geo_reclassify",
+        "geo_rasterize",
+        "geo_cell_rollup",
+        "geo_zorder_layout",
+        "geo_band_stats",
+        "geo_equalize",
+        "events_interval_orders",
+        "embedding_semantic_dedup",
+        "agg_revenue_nation",
     ):
         fn = entrymod.queries()[name]
         timed(name, lambda fn=fn: consume(fn(sf_dir)))

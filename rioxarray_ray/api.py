@@ -640,6 +640,47 @@ class RasterDataset:
         return stats_stage_mod.overviews_stage(self.ds, levels=levels,
                                                **kwargs)
 
+    def reclassify(self, bins, values, fill: int = -9999, **kwargs):
+        """Range reclassification (class remap; np.digitize contract)."""
+        from .stages import stats as stats_stage_mod
+
+        return self._wrap(stats_stage_mod.reclassify_stage(
+            self.ds, bins, values, fill=fill, **kwargs
+        ))
+
+    def equalize(self, levels: int = 255, fill: int = -1, **kwargs):
+        """Per-image histogram equalization (image-global CDF remap)."""
+        from .stages import stats as stats_stage_mod
+
+        return self._wrap(stats_stage_mod.equalize_stage(
+            self.ds, levels=levels, fill=fill, **kwargs
+        ))
+
+    def rasterize(self, geometries, values, geom_crs=None, fill: int = 0,
+                  all_touched: bool = False, merge: str = "replace",
+                  **kwargs):
+        """Burn a (geometry, value) table into every tile's grid
+        (rasterio.features.rasterize contract)."""
+        from .stages import clip as clip_stage_mod
+
+        return self._wrap(clip_stage_mod.rasterize_stage(
+            self.ds, geometries, values, geom_crs=geom_crs, fill=fill,
+            all_touched=all_touched, merge=merge, **kwargs
+        ))
+
+    def band_stats(self, **kwargs):
+        """Corpus-wide per-band n/sum/sum² of valid pixels."""
+        from .stages import stats as stats_stage_mod
+
+        return stats_stage_mod.band_stats_stage(self.ds, **kwargs)
+
+    def cell_rollup(self, levels=(8, 6, 4), **kwargs):
+        """Tile counts + pixel coverage aggregated to parent cells."""
+        from .stages import tile as tile_stage_mod
+
+        return tile_stage_mod.cell_rollup_stage(self.ds, levels=levels,
+                                                **kwargs)
+
     # ---- consumption ----------------------------------------------------
     def bounds_table(self):
         """Per-row footprint bounds (metadata aggregate source)."""

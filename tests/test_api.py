@@ -426,3 +426,25 @@ def test_accessor_stats_ops(ray_session):
     assert RasterDataset(geo).temporal_trend(
         origin=(-60.0, 40.0), res=5e-3
     ).count() > 0
+
+
+def test_accessor_analysis_ops_chain(ray_session):
+    """The round's analysis ops are reachable from the accessor and
+    compose lazily: tile -> reclassify -> cell_rollup / band_stats /
+    equalize / rasterize."""
+    from rioxarray_ray import api
+
+    rds = api.open_corpus(6).tile(64)
+    rc = rds.reclassify((0, 500), (1, 2, 3))
+    assert {r["band"] for r in rc.band_stats().take_all()} >= {0}
+    roll = rds.cell_rollup(levels=(6,)).take_all()
+    assert roll and all(r["level"] == 6 for r in roll)
+    eq = rds.equalize().ds.take(2)
+    assert all(r["dtype"] == "int32" for r in eq)
+    geom = {
+        "type": "Polygon",
+        "coordinates": [[[-60, 39], [-59, 39], [-59, 40], [-60, 40],
+                         [-60, 39]]],
+    }
+    burned = rds.rasterize([geom], [5]).ds.take(2)
+    assert all(r["band_count"] == 1 for r in burned)
