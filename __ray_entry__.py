@@ -3254,6 +3254,31 @@ def q_embedding_semantic_dedup(sf_dir: str):
     )
 
 
+def q_embedding_gram(sf_dir: str):
+    """Distributed Gram/scatter matrix (functions/cluster.gram_matrix):
+    per-batch int64 w.T@w partials over the x2-quantized embeddings ->
+    ONE (i, j) groupby Sum — the accumulation step of corpus-scale PCA
+    / whitening (driver-side eigh of the tiny d x d result is
+    pca_components).  EXACT SQL oracle: DuckDB replays every
+    upper-triangle entry as SUM(w_i * w_j)."""
+    from rioxarray_ray.functions import cluster
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    out = cluster.gram_matrix(ds)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.Table.from_pydict(
+            {
+                "i": pc.cast(batch["i"], pa.int64()),
+                "j": pc.cast(batch["j"], pa.int64()),
+                "s": pc.cast(batch["s"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_geo_cell_rollup(sf_dir: str):
     """Hierarchical cell roll-up (stages/tile.cell_rollup_stage): tile
     counts + covered-pixel counts aggregated to parent cells at levels
@@ -3599,6 +3624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_interval_orders": q_events_interval_orders,
         "geo_cell_rollup": q_geo_cell_rollup,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
+        "embedding_gram": q_embedding_gram,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
         "agg_revenue_nation": q_agg_revenue_nation,
@@ -5796,6 +5822,19 @@ GROUP BY q.vec_id, od.od
         # (all-even ints => every median is an integer), L1 argmin with
         # ties to the smallest cluster, per-(cluster,dim) median update,
         # empty clusters carry the previous centroid
+        "embedding_gram": """
+WITH q AS (
+  SELECT vec_id, i AS dim,
+         CAST(2 * FLOOR(1000 * CAST(v AS DOUBLE)) AS BIGINT) AS w
+  FROM (SELECT vec_id, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+)
+SELECT CAST(a.dim - 1 AS BIGINT) AS i, CAST(b.dim - 1 AS BIGINT) AS j,
+       CAST(SUM(a.w * b.w) AS BIGINT) AS s
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY a.dim, b.dim
+""",
         "embedding_kmedians": """
 WITH q AS (
   SELECT vec_id, i AS dim,

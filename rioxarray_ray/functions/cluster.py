@@ -275,3 +275,66 @@ def semantic_dedup_pairs(
     return joined.groupby("cluster").map_groups(
         pairs, batch_format="pyarrow"
     )
+
+
+def gram_matrix(ds, col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed Gram / scatter matrix of the quantized embedding
+    matrix — the accumulation step of PCA / whitening / covariance
+    estimation over a corpus too large to collect.
+
+    Returns a Dataset of upper-triangle entries ``(i, j, s)`` with
+    ``s = sum_rows w_i * w_j`` over the x2-quantized int64 coordinates
+    (same quantization as kmedians — integer-exact, so a DuckDB oracle
+    can replay every entry).  The d x d result is tiny; the driver-side
+    eigendecomposition (``pca_components``) is legitimately local.
+
+    100-TB shape: each batch contributes ONE ``w.T @ w`` partial
+    (vectorized int64 matmul) emitted as d(d+1)/2 rows -> ONE
+    groupby((i, j)) Sum; shuffle volume = triangle-size x batches,
+    never vectors.  Overflow headroom: |w| <= 2e3 for unit-normalized
+    embeddings => |w_i w_j| <= 4e6; int64 holds ~2.3e12 such rows.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = _quantized_matrix(batch, col)
+        if w.size == 0:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                }
+            )
+        g = w.T @ w
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64), pa.int64()),
+                "j": pa.array(ju.astype(np.int64), pa.int64()),
+                "s": pa.array(g[iu, ju], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby(["i", "j"]).aggregate(Sum("s", alias_name="s"))
+
+
+def pca_components(gram_rows, d: int, k: int):
+    """Driver-side tail of distributed PCA: rebuild the symmetric d x d
+    Gram matrix from ``gram_matrix`` rows (a list of dicts or a small
+    Dataset) and return the top-k eigenvectors (columns) by eigenvalue.
+    The d x d matrix is a few KB — this is the one legitimately local
+    step of the pipeline."""
+    if hasattr(gram_rows, "take_all"):
+        gram_rows = gram_rows.take_all()
+    g = np.zeros((d, d), np.float64)
+    for r in gram_rows:
+        g[r["i"], r["j"]] = r["s"]
+        g[r["j"], r["i"]] = r["s"]
+    vals, vecs = np.linalg.eigh(g)
+    order = np.argsort(vals)[::-1][:k]
+    return vals[order], vecs[:, order]

@@ -1622,3 +1622,34 @@ def test_semantic_dedup_k1_equals_exact_pairs(ray_session):
     }
     assert sem8 <= exact
     assert sem8, "clustered search must still find same-cluster dups"
+
+
+def test_gram_matrix_and_pca(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rioxarray_ray.functions.cluster import (
+        _quantized_matrix, gram_matrix, pca_components,
+    )
+
+    rng = np.random.RandomState(11)
+    rows = [{"vec_id": i,
+             "embedding": rng.randn(12).astype(np.float32).tolist()}
+            for i in range(200)]
+    tbl = pa.Table.from_pylist(rows)
+    ds = rd.from_arrow(tbl).repartition(7)
+
+    got = {(r["i"], r["j"]): r["s"]
+           for r in gram_matrix(ds).take_all()}
+    w = _quantized_matrix(tbl)
+    g = w.T @ w
+    iu, ju = np.triu_indices(12)
+    assert got == {(int(i), int(j)): int(g[i, j])
+                   for i, j in zip(iu, ju)}
+
+    vals, vecs = pca_components(
+        [{"i": int(i), "j": int(j), "s": int(g[i, j])}
+         for i, j in zip(iu, ju)], d=12, k=3)
+    evals, evecs = np.linalg.eigh(g.astype(np.float64))
+    np.testing.assert_allclose(vals, evals[::-1][:3], rtol=1e-10)
