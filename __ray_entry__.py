@@ -3254,6 +3254,25 @@ def q_embedding_semantic_dedup(sf_dir: str):
     )
 
 
+def q_embedding_semantic_clusters(sf_dir: str):
+    """APPLY the semantic dedup: connected components over the
+    SemDeDup pair list (pure composition of two gated operators —
+    cluster.semantic_dedup_pairs edges into dedup.connected_components'
+    min-label propagation).  Oracle: recursive reachability CTE over
+    the composed semantic-pairs SQL."""
+    from rioxarray_ray.functions import cluster, dedup
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    pairs = cluster.semantic_dedup_pairs(
+        ds, threshold=_NEAR_DUP_TAU, k=8, iters=2
+    )
+    return dedup.connected_components(
+        pairs, ds.select_columns(["vec_id"]),
+        id_col="vec_id", a_col="vec_a", b_col="vec_b",
+    )
+
+
 def q_embedding_gram(sf_dir: str):
     """Distributed Gram/scatter matrix (functions/cluster.gram_matrix):
     per-batch int64 w.T@w partials over the x2-quantized embeddings ->
@@ -3625,6 +3644,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_cell_rollup": q_geo_cell_rollup,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "embedding_gram": q_embedding_gram,
+        "embedding_semantic_clusters": q_embedding_semantic_clusters,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
         "agg_revenue_nation": q_agg_revenue_nation,
@@ -6057,6 +6077,22 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cluster
 FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {_NEAR_DUP_TAU}e0
+"""
+    sql["embedding_semantic_clusters"] = f"""
+WITH RECURSIVE spairs AS ({sql["embedding_semantic_dedup"]}),
+sedges AS (
+  SELECT vec_a AS a, vec_b AS b FROM spairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM spairs
+),
+sconn(n, m) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.b, c.m FROM sedges e JOIN sconn c ON c.n = e.a
+)
+SELECT n AS vec_id, CAST(MIN(m) AS BIGINT) AS cluster_id,
+       MIN(m) = n AS keep
+FROM sconn GROUP BY n
 """
     sql["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({sql["dedup_minhash_md5"]}),

@@ -801,7 +801,13 @@ def connected_components(pairs_ds, nodes_ds, id_col: str = "doc_id",
             names=["src", "node"],
         )
 
-    edges = pairs_ds.select_columns([a_col, b_col]).map_batches(
+    # repartition first: pair sources built on groupby().map_groups (e.g.
+    # semantic_dedup_pairs) emit empty partitions as ZERO-COLUMN blocks,
+    # which map_batches passes through uncalled and the label join then
+    # rejects ("No match for key field src") — merging blocks erases them
+    edges = pairs_ds.select_columns([a_col, b_col]).repartition(
+        num_partitions
+    ).map_batches(
         symmetric, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
