@@ -3254,6 +3254,21 @@ def q_embedding_semantic_dedup(sf_dir: str):
     )
 
 
+def q_geo_region_label(sf_dir: str):
+    """Connected-region labeling of the threshold classification
+    (stages/stats.region_label_stage — the GDAL polygonize/sieve
+    interior step; contour_edges extracts the same classification's
+    boundaries).  ONE groupby(image_id) co-shuffle, vectorized
+    min-propagation with pointer jumping inside the task.  EXACT SQL
+    oracle: 20 unrolled hop+jump rounds over the pixel adjacency graph
+    converge to the same schedule-independent min-index fixpoint;
+    per-region area/bbox/weighted checksums compare."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 8)
+    return sstage.region_label_stage(small, threshold=120)
+
+
 def q_embedding_semantic_clusters(sf_dir: str):
     """APPLY the semantic dedup: connected components over the
     SemDeDup pair list (pure composition of two gated operators —
@@ -3645,6 +3660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "embedding_gram": q_embedding_gram,
         "embedding_semantic_clusters": q_embedding_semantic_clusters,
+        "geo_region_label": q_geo_region_label,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
         "agg_revenue_nation": q_agg_revenue_nation,
@@ -3736,6 +3752,73 @@ i16px AS (
 allpx AS (
   SELECT * FROM i16px UNION ALL SELECT * FROM u8px UNION ALL SELECT * FROM lqpx
 )
+"""
+
+
+def _region_label_sql(img_where: str, threshold: int) -> str:
+    """Connected-component labeling in plain SQL via run-length CCL:
+    horizontal runs of foreground pixels come from one gaps-and-islands
+    window (c - row_number()), vertical run adjacency is an interval
+    overlap join, and the recursive reachability closure runs over the
+    RUN graph — hundreds of nodes per image instead of 10^5 pixels, so
+    the O(component_runs^2) closure stays tiny.  The component label
+    (min flat pixel index) is a schedule-independent fixed point, so it
+    equals the engine's own iterate-to-fixpoint labeling."""
+    return f"""
+WITH RECURSIVE {_allpx_cte(img_where)},
+fg AS MATERIALIZED (
+  SELECT a.idx, a.image_id, a.b, a.r, a.c,
+         a.r * i.w + a.c AS p,
+         1 + ((a.r % 64) * 64 + (a.c % 64)) % 97 AS wt
+  FROM allpx a JOIN img i ON a.idx = i.idx
+  WHERE a.px >= {threshold}
+),
+runs AS MATERIALIZED (
+  SELECT idx, image_id, b, r, MIN(c) AS c0, MAX(c) AS c1,
+         MIN(p) AS rlab
+  FROM (SELECT *,
+               c - ROW_NUMBER() OVER (PARTITION BY idx, b, r ORDER BY c)
+                 AS grp
+        FROM fg)
+  GROUP BY idx, image_id, b, r, grp
+),
+radj AS (
+  SELECT a.idx, a.b, a.rlab AS x, n.rlab AS y
+  FROM runs a JOIN runs n ON n.idx = a.idx AND n.b = a.b
+   AND n.r = a.r + 1 AND n.c0 <= a.c1 AND a.c0 <= n.c1
+),
+redges AS (
+  SELECT idx, b, x, y FROM radj
+  UNION
+  SELECT idx, b, y AS x, x AS y FROM radj
+),
+conn(idx, b, n, m) AS (
+  SELECT idx, b, rlab, rlab FROM runs
+  UNION
+  SELECT e.idx, e.b, e.y, c.m
+  FROM redges e JOIN conn c ON c.idx = e.idx AND c.b = e.b AND c.n = e.x
+),
+rcomp AS (
+  SELECT idx, b, n AS rlab, MIN(m) AS comp
+  FROM conn GROUP BY idx, b, n
+),
+px AS (
+  SELECT f.image_id, f.b, rc.comp, f.r, f.c, f.wt
+  FROM fg f
+  JOIN runs u ON u.idx = f.idx AND u.b = f.b AND u.r = f.r
+             AND f.c BETWEEN u.c0 AND u.c1
+  JOIN rcomp rc ON rc.idx = u.idx AND rc.b = u.b AND rc.rlab = u.rlab
+)
+SELECT image_id,
+       CAST(b AS BIGINT) AS band,
+       CAST(comp AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS area,
+       CAST(MIN(r) AS BIGINT) AS min_r,
+       CAST(MIN(c) AS BIGINT) AS min_c,
+       CAST(MAX(r) AS BIGINT) AS max_r,
+       CAST(MAX(c) AS BIGINT) AS max_c,
+       CAST(SUM(wt) AS BIGINT) AS wsum
+FROM px GROUP BY image_id, b, comp
 """
 
 
@@ -6078,6 +6161,9 @@ FROM e a JOIN e b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                              CAST(b.embedding AS DOUBLE[])) >= {_NEAR_DUP_TAU}e0
 """
+    sql["geo_region_label"] = _region_label_sql(
+        "doc_id < 8 AND doc_id % 7 <> 6", threshold=120
+    )
     sql["embedding_semantic_clusters"] = f"""
 WITH RECURSIVE spairs AS ({sql["embedding_semantic_dedup"]}),
 sedges AS (

@@ -524,3 +524,109 @@ def equalize_stage(tiles_ds, levels: int = 255, fill: int = -1,
     return tiles_ds.groupby("image_id").map_groups(
         eq_group, batch_format="pyarrow", **map_kwargs
     )
+
+
+REGION_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("band", pa.int64()),
+        ("label", pa.int64()),
+        ("area", pa.int64()),
+        ("min_r", pa.int64()),
+        ("min_c", pa.int64()),
+        ("max_r", pa.int64()),
+        ("max_c", pa.int64()),
+        ("wsum", pa.int64()),
+    ]
+)
+
+
+def region_label_stage(tiles_ds, threshold: float, **map_kwargs):
+    """Connected-region labeling of the threshold classification — the
+    raster→vector region step (GDAL ``polygonize`` / ``sieve`` family:
+    rioxarray users run both on opened rasters; contour_edges_stage
+    extracts the boundaries, this labels the interiors).  A region is a
+    4-connected component of VALID pixels with ``px >= threshold``; its
+    label is the minimum flat pixel index ``r*w + c`` it contains — a
+    schedule-independent fixed point, so any correct labeling agrees.
+
+    Per (image, band, region): area, bbox and a position-weighted
+    checksum (misassigned pixels break the hash, not just counts).
+
+    100-TB shape: labeling needs image-global connectivity, so tiles
+    co-group by image via ONE groupby(image_id) (same partition
+    assumption as merge/equalize: one image per task).  Inside the task
+    the labeling is vectorized min-propagation WITH pointer jumping
+    (L = min(L, L[L], 4-neighbor mins) until fixpoint — O(log diameter)
+    rounds, no per-pixel Python).
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def label_group(group: pa.Table) -> pa.Table:
+        meta = group.drop_columns(["pixels"]).to_pylist()
+        views = list(pixel_views(group))
+        if not meta:
+            return REGION_SCHEMA.empty_table()
+        # reassemble the image grid from its tiles
+        H = max(r["win_row_off"] + r["h"] for r in meta)
+        W = max(r["win_col_off"] + r["w"] for r in meta)
+        bands = views[0].shape[0]
+        iid = meta[0]["image_id"]
+        out: dict[str, list] = {n: [] for n in REGION_SCHEMA.names}
+        BIG = np.int64(H * W + 7)
+        for b in range(bands):
+            fg = np.zeros((H, W), bool)
+            for row, px in zip(meta, views):
+                vm = valid_mask(px, _row_nodata(row))
+                ro, co = row["win_row_off"], row["win_col_off"]
+                fg[ro:ro + row["h"], co:co + row["w"]] = (
+                    vm[b] & (px[b] >= threshold)
+                )
+            if not fg.any():
+                continue
+            idx = (np.arange(H * W, dtype=np.int64).reshape(H, W))
+            lab = np.where(fg, idx, BIG)
+            while True:
+                new = lab.copy()
+                # 4-neighbor min (only between foreground pixels)
+                new[1:, :] = np.minimum(new[1:, :],
+                                        np.where(fg[1:, :], lab[:-1, :], BIG))
+                new[:-1, :] = np.minimum(new[:-1, :],
+                                         np.where(fg[:-1, :], lab[1:, :], BIG))
+                new[:, 1:] = np.minimum(new[:, 1:],
+                                        np.where(fg[:, 1:], lab[:, :-1], BIG))
+                new[:, :-1] = np.minimum(new[:, :-1],
+                                         np.where(fg[:, :-1], lab[:, 1:], BIG))
+                new = np.where(fg, new, BIG)
+                # pointer jump: my label's current label
+                flat = new.ravel()
+                j = flat[np.where(flat < BIG, flat, 0)]
+                new = np.where(flat < BIG, np.minimum(flat, j),
+                               BIG).reshape(H, W)
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            labs = lab[fg]
+            rr, cc = np.nonzero(fg)
+            wt = 1 + ((rr % 64) * 64 + (cc % 64)) % 97
+            order = np.argsort(labs, kind="stable")
+            labs_s = labs[order]
+            uniq, starts = np.unique(labs_s, return_index=True)
+            ends = np.append(starts[1:], labs_s.size)
+            rr_s, cc_s, wt_s = rr[order], cc[order], wt[order]
+            for u, s, t in zip(uniq, starts, ends):
+                out["image_id"].append(iid)
+                out["band"].append(b)
+                out["label"].append(int(u))
+                out["area"].append(int(t - s))
+                out["min_r"].append(int(rr_s[s:t].min()))
+                out["min_c"].append(int(cc_s[s:t].min()))
+                out["max_r"].append(int(rr_s[s:t].max()))
+                out["max_c"].append(int(cc_s[s:t].max()))
+                out["wsum"].append(int(wt_s[s:t].sum()))
+        return pa.Table.from_pydict(out, schema=REGION_SCHEMA)
+
+    return tiles_ds.groupby("image_id").map_groups(
+        label_group, batch_format="pyarrow", **map_kwargs
+    )

@@ -2343,3 +2343,69 @@ def test_equalize_stage_image_global_cdf(rds):
                 assert px[b][m].min() >= 0 and px[b][m].max() <= 255
             checked += 1
     assert checked == sum(len(e["tiles"]) for e in src.values())
+
+
+def test_region_label_matches_bfs(rds):
+    """Region labels/areas/bboxes equal a per-image BFS reference
+    (4-connectivity, min-flat-index labels)."""
+    from collections import deque
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    got = {
+        (r["image_id"], r["band"], r["label"]):
+            (r["area"], r["min_r"], r["min_c"], r["max_r"], r["max_c"],
+             r["wsum"])
+        for r in sstage.region_label_stage(rds["tiles"],
+                                           threshold=120).take_all()
+    }
+
+    imgs: dict = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            imgs.setdefault(row["image_id"], []).append(
+                (row, px.copy(), valid_mask(px, nod))
+            )
+
+    expect: dict = {}
+    for iid, tiles in imgs.items():
+        H = max(r["win_row_off"] + r["h"] for r, _, _ in tiles)
+        W = max(r["win_col_off"] + r["w"] for r, _, _ in tiles)
+        for b in range(tiles[0][1].shape[0]):
+            fg = np.zeros((H, W), bool)
+            for row, px, vm in tiles:
+                ro, co = row["win_row_off"], row["win_col_off"]
+                fg[ro:ro + row["h"], co:co + row["w"]] = (
+                    vm[b] & (px[b] >= 120)
+                )
+            seen = np.zeros_like(fg)
+            for r0, c0 in zip(*np.nonzero(fg)):
+                if seen[r0, c0]:
+                    continue
+                q = deque([(r0, c0)])
+                seen[r0, c0] = True
+                cells = []
+                while q:
+                    r, c = q.popleft()
+                    cells.append((r, c))
+                    for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        rr, cc = r + dr, c + dc
+                        if 0 <= rr < H and 0 <= cc < W and fg[rr, cc] \
+                                and not seen[rr, cc]:
+                            seen[rr, cc] = True
+                            q.append((rr, cc))
+                ra = np.array([x[0] for x in cells])
+                ca = np.array([x[1] for x in cells])
+                lab = int((ra.astype(np.int64) * W + ca).min())
+                wt = 1 + ((ra % 64) * 64 + (ca % 64)) % 97
+                expect[(iid, b, lab)] = (
+                    len(cells), int(ra.min()), int(ca.min()),
+                    int(ra.max()), int(ca.max()), int(wt.sum()),
+                )
+    assert got == expect and got
