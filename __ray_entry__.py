@@ -3269,6 +3269,46 @@ def q_geo_region_label(sf_dir: str):
     return sstage.region_label_stage(small, threshold=120)
 
 
+def q_geo_sieve(sf_dir: str):
+    """GDAL SieveFilter semantics (stages/stats.sieve_stage): foreground
+    regions of the threshold classification smaller than min_size
+    connected pixels are masked to nodata; everything else passes
+    through bit-unchanged.  Same ONE-groupby(image_id) shape as
+    region_label_stage.  EXACT SQL oracle: run-length CCL components
+    (shared CTE chain with geo_region_label), the < min_size regions
+    subtracted, and the per-(image, band, 64-window) BIGINT checksum +
+    count of the SURVIVING valid pixels compared."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 8)
+    sieved = sstage.sieve_stage(small, threshold=120, min_size=100)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = []
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            vm = valid_mask(px, r["nodata"])
+            for b in range(px.shape[0]):
+                n_valid = int(vm[b].sum())
+                if n_valid == 0:
+                    continue
+                out.append(
+                    {
+                        "image_id": r["image_id"],
+                        "band": b,
+                        "win_row_off": int(r["win_row_off"]),
+                        "win_col_off": int(r["win_col_off"]),
+                        "checksum": int(px[b].astype(np.int64)[vm[b]].sum()),
+                        "n_valid": n_valid,
+                    }
+                )
+        return pa.Table.from_pylist(out)
+
+    return sieved.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_embedding_semantic_clusters(sf_dir: str):
     """APPLY the semantic dedup: connected components over the
     SemDeDup pair list (pure composition of two gated operators —
@@ -3661,6 +3701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": q_embedding_gram,
         "embedding_semantic_clusters": q_embedding_semantic_clusters,
         "geo_region_label": q_geo_region_label,
+        "geo_sieve": q_geo_sieve,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
         "agg_revenue_nation": q_agg_revenue_nation,
@@ -3755,17 +3796,18 @@ allpx AS (
 """
 
 
-def _region_label_sql(img_where: str, threshold: int) -> str:
-    """Connected-component labeling in plain SQL via run-length CCL:
-    horizontal runs of foreground pixels come from one gaps-and-islands
-    window (c - row_number()), vertical run adjacency is an interval
-    overlap join, and the recursive reachability closure runs over the
-    RUN graph — hundreds of nodes per image instead of 10^5 pixels, so
-    the O(component_runs^2) closure stays tiny.  The component label
+def _runccl_ctes(threshold: int) -> str:
+    """Run-length CCL CTE chain shared by the region-label and sieve
+    oracles: horizontal runs of foreground pixels from one
+    gaps-and-islands window (c - row_number()), vertical run adjacency
+    as an interval overlap join, recursive reachability closure over
+    the RUN graph — hundreds of nodes per image instead of 10^5 pixels,
+    so the O(component_runs^2) closure stays tiny.  The component label
     (min flat pixel index) is a schedule-independent fixed point, so it
-    equals the engine's own iterate-to-fixpoint labeling."""
+    equals the engine's own iterate-to-fixpoint labeling.  Yields
+    ``px(image_id, b, comp, r, c, wt)`` (one row per foreground pixel,
+    labeled); splice after ``WITH RECURSIVE {_allpx_cte(...)},``."""
     return f"""
-WITH RECURSIVE {_allpx_cte(img_where)},
 fg AS MATERIALIZED (
   SELECT a.idx, a.image_id, a.b, a.r, a.c,
          a.r * i.w + a.c AS p,
@@ -3803,12 +3845,19 @@ rcomp AS (
   FROM conn GROUP BY idx, b, n
 ),
 px AS (
-  SELECT f.image_id, f.b, rc.comp, f.r, f.c, f.wt
+  SELECT f.idx, f.image_id, f.b, rc.comp, f.r, f.c, f.wt
   FROM fg f
   JOIN runs u ON u.idx = f.idx AND u.b = f.b AND u.r = f.r
              AND f.c BETWEEN u.c0 AND u.c1
   JOIN rcomp rc ON rc.idx = u.idx AND rc.b = u.b AND rc.rlab = u.rlab
-)
+)"""
+
+
+def _region_label_sql(img_where: str, threshold: int) -> str:
+    """Connected-component labeling in plain SQL (run-length CCL; see
+    _runccl_ctes): per-region area/bbox/weighted checksums."""
+    return f"""
+WITH RECURSIVE {_allpx_cte(img_where)},{_runccl_ctes(threshold)}
 SELECT image_id,
        CAST(b AS BIGINT) AS band,
        CAST(comp AS BIGINT) AS label,
@@ -3819,6 +3868,40 @@ SELECT image_id,
        CAST(MAX(c) AS BIGINT) AS max_c,
        CAST(SUM(wt) AS BIGINT) AS wsum
 FROM px GROUP BY image_id, b, comp
+"""
+
+
+def _sieve_sql(img_where: str, threshold: int, min_size: int) -> str:
+    """GDAL SieveFilter oracle: run-length CCL components (shared CTE
+    chain), regions with area < min_size become nodata, and the check
+    is the per-(image, band, tile) BIGINT checksum + count of the
+    pixels that SURVIVE — exactly what the engine's sieve_stage leaves
+    valid after writing the sentinel into killed pixels."""
+    return f"""
+WITH RECURSIVE {_allpx_cte(img_where)},{_runccl_ctes(threshold)},
+small AS (
+  SELECT idx, b, comp FROM px
+  GROUP BY idx, b, comp HAVING COUNT(*) < {min_size}
+),
+killed AS (
+  SELECT p.idx, p.b, p.r, p.c
+  FROM px p JOIN small s
+    ON s.idx = p.idx AND s.b = p.b AND s.comp = p.comp
+),
+kept AS (
+  SELECT a.image_id, a.b, a.r, a.c, a.px
+  FROM allpx a
+  LEFT JOIN killed k
+    ON k.idx = a.idx AND k.b = a.b AND k.r = a.r AND k.c = a.c
+  WHERE k.idx IS NULL
+)
+SELECT image_id,
+       CAST(b AS BIGINT) AS band,
+       CAST((r // 64) * 64 AS BIGINT) AS win_row_off,
+       CAST((c // 64) * 64 AS BIGINT) AS win_col_off,
+       CAST(SUM(px) AS BIGINT) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM kept GROUP BY image_id, b, win_row_off, win_col_off
 """
 
 
@@ -6163,6 +6246,9 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
     sql["geo_region_label"] = _region_label_sql(
         "doc_id < 8 AND doc_id % 7 <> 6", threshold=120
+    )
+    sql["geo_sieve"] = _sieve_sql(
+        "doc_id < 8 AND doc_id % 7 <> 6", threshold=120, min_size=100
     )
     sql["embedding_semantic_clusters"] = f"""
 WITH RECURSIVE spairs AS ({sql["embedding_semantic_dedup"]}),

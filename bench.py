@@ -188,6 +188,8 @@ def run_bench() -> dict:
         "geo_equalize",
         "events_interval_orders",
         "embedding_semantic_dedup",
+        "geo_region_label",
+        "geo_sieve",
         "agg_revenue_nation",
     ):
         fn = entrymod.queries()[name]

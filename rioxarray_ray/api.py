@@ -656,6 +656,24 @@ class RasterDataset:
             self.ds, levels=levels, fill=fill, **kwargs
         ))
 
+    def region_label(self, threshold: float, **kwargs):
+        """Connected-region labeling of the threshold classification
+        (GDAL polygonize/sieve interior step)."""
+        from .stages import stats as stats_stage_mod
+
+        return stats_stage_mod.region_label_stage(
+            self.ds, threshold=threshold, **kwargs
+        )
+
+    def sieve(self, threshold: float, min_size: int, **kwargs):
+        """GDAL SieveFilter: mask foreground regions smaller than
+        ``min_size`` connected pixels to nodata."""
+        from .stages import stats as stats_stage_mod
+
+        return self._wrap(stats_stage_mod.sieve_stage(
+            self.ds, threshold=threshold, min_size=min_size, **kwargs
+        ))
+
     def rasterize(self, geometries, values, geom_crs=None, fill: int = 0,
                   all_touched: bool = False, merge: str = "replace",
                   **kwargs):

@@ -541,6 +541,34 @@ REGION_SCHEMA = pa.schema(
 )
 
 
+def label_components(fg: np.ndarray) -> np.ndarray:
+    """Min-flat-index 4-connected component labels of a boolean mask
+    (values >= H*W outside the mask); vectorized min-propagation with
+    pointer jumping — L = min(L, L[L], 4-neighbor mins) until fixpoint,
+    no per-pixel Python."""
+    H, W = fg.shape
+    BIG = np.int64(H * W + 7)
+    idx = np.arange(H * W, dtype=np.int64).reshape(H, W)
+    lab = np.where(fg, idx, BIG)
+    while True:
+        new = lab.copy()
+        new[1:, :] = np.minimum(new[1:, :],
+                                np.where(fg[1:, :], lab[:-1, :], BIG))
+        new[:-1, :] = np.minimum(new[:-1, :],
+                                 np.where(fg[:-1, :], lab[1:, :], BIG))
+        new[:, 1:] = np.minimum(new[:, 1:],
+                                np.where(fg[:, 1:], lab[:, :-1], BIG))
+        new[:, :-1] = np.minimum(new[:, :-1],
+                                 np.where(fg[:, :-1], lab[:, 1:], BIG))
+        new = np.where(fg, new, BIG)
+        flat = new.ravel()
+        j = flat[np.where(flat < BIG, flat, 0)]
+        new = np.where(flat < BIG, np.minimum(flat, j), BIG).reshape(H, W)
+        if np.array_equal(new, lab):
+            return lab
+        lab = new
+
+
 def region_label_stage(tiles_ds, threshold: float, **map_kwargs):
     """Connected-region labeling of the threshold classification — the
     raster→vector region step (GDAL ``polygonize`` / ``sieve`` family:
@@ -574,7 +602,6 @@ def region_label_stage(tiles_ds, threshold: float, **map_kwargs):
         bands = views[0].shape[0]
         iid = meta[0]["image_id"]
         out: dict[str, list] = {n: [] for n in REGION_SCHEMA.names}
-        BIG = np.int64(H * W + 7)
         for b in range(bands):
             fg = np.zeros((H, W), bool)
             for row, px in zip(meta, views):
@@ -585,28 +612,7 @@ def region_label_stage(tiles_ds, threshold: float, **map_kwargs):
                 )
             if not fg.any():
                 continue
-            idx = (np.arange(H * W, dtype=np.int64).reshape(H, W))
-            lab = np.where(fg, idx, BIG)
-            while True:
-                new = lab.copy()
-                # 4-neighbor min (only between foreground pixels)
-                new[1:, :] = np.minimum(new[1:, :],
-                                        np.where(fg[1:, :], lab[:-1, :], BIG))
-                new[:-1, :] = np.minimum(new[:-1, :],
-                                         np.where(fg[:-1, :], lab[1:, :], BIG))
-                new[:, 1:] = np.minimum(new[:, 1:],
-                                        np.where(fg[:, 1:], lab[:, :-1], BIG))
-                new[:, :-1] = np.minimum(new[:, :-1],
-                                         np.where(fg[:, :-1], lab[:, 1:], BIG))
-                new = np.where(fg, new, BIG)
-                # pointer jump: my label's current label
-                flat = new.ravel()
-                j = flat[np.where(flat < BIG, flat, 0)]
-                new = np.where(flat < BIG, np.minimum(flat, j),
-                               BIG).reshape(H, W)
-                if np.array_equal(new, lab):
-                    break
-                lab = new
+            lab = label_components(fg)
             labs = lab[fg]
             rr, cc = np.nonzero(fg)
             wt = 1 + ((rr % 64) * 64 + (cc % 64)) % 97
@@ -629,4 +635,72 @@ def region_label_stage(tiles_ds, threshold: float, **map_kwargs):
 
     return tiles_ds.groupby("image_id").map_groups(
         label_group, batch_format="pyarrow", **map_kwargs
+    )
+
+
+def sieve_stage(tiles_ds, threshold: float, min_size: int, **map_kwargs):
+    """GDAL ``SieveFilter`` semantics on the threshold classification:
+    foreground regions SMALLER than ``min_size`` connected pixels are
+    masked to nodata (speckle removal before polygonize/contour); all
+    other pixels pass through unchanged.
+
+    Same distribution shape as region_label_stage (ONE
+    groupby(image_id); image-global connectivity via label_components);
+    output rows are the input tiles with small-region pixels replaced
+    by the row's nodata value (integer rasters without a nodata
+    sentinel raise — the caller must pick one first, same contract as
+    the reference's masking ops).
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import TILE_SCHEMA, pixel_views, pixels_to_bytes
+
+    def sieve_group(group: pa.Table) -> pa.Table:
+        meta = group.drop_columns(["pixels"]).to_pylist()
+        views = list(pixel_views(group))
+        if not meta:
+            return TILE_SCHEMA.empty_table()
+        H = max(r["win_row_off"] + r["h"] for r in meta)
+        W = max(r["win_col_off"] + r["w"] for r in meta)
+        bands = views[0].shape[0]
+        kill = np.zeros((bands, H, W), bool)
+        vms = []
+        for row, px in zip(meta, views):
+            vms.append(valid_mask(px, _row_nodata(row)))
+        for b in range(bands):
+            fg = np.zeros((H, W), bool)
+            for (row, px), vm in zip(zip(meta, views), vms):
+                ro, co = row["win_row_off"], row["win_col_off"]
+                fg[ro:ro + row["h"], co:co + row["w"]] = (
+                    vm[b] & (px[b] >= threshold)
+                )
+            if not fg.any():
+                continue
+            lab = label_components(fg)
+            uniq, counts = np.unique(lab[fg], return_counts=True)
+            small = uniq[counts < min_size]
+            if small.size == 0:
+                continue
+            kill[b] = fg & np.isin(lab, small)
+        out: dict[str, list] = {n: [] for n in TILE_SCHEMA.names}
+        for row, px in zip(meta, views):
+            nod = _row_nodata(row)
+            if nod is None:
+                raise ValueError(
+                    f"sieve needs a nodata sentinel; {row['image_id']} "
+                    "has none (integer raster, nodata unset)"
+                )
+            ro, co = row["win_row_off"], row["win_col_off"]
+            kz = kill[:, ro:ro + row["h"], co:co + row["w"]]
+            arr = np.where(
+                kz, np.array(nod).astype(px.dtype), px
+            ).astype(px.dtype)
+            for name in TILE_SCHEMA.names:
+                if name == "pixels":
+                    out[name].append(pixels_to_bytes(arr))
+                else:
+                    out[name].append(row[name])
+        return pa.Table.from_pydict(out, schema=TILE_SCHEMA)
+
+    return tiles_ds.groupby("image_id").map_groups(
+        sieve_group, batch_format="pyarrow", **map_kwargs
     )

@@ -448,3 +448,15 @@ def test_accessor_analysis_ops_chain(ray_session):
     }
     burned = rds.rasterize([geom], [5]).ds.take(2)
     assert all(r["band_count"] == 1 for r in burned)
+
+
+def test_accessor_region_ops(ray_session):
+    """region_label and sieve hang off the tiled accessor; sieve
+    composes lazily (returns a wrapped RasterDataset)."""
+    from rioxarray_ray import api
+
+    rds = api.open_corpus(6).tile(64)
+    labs = rds.region_label(threshold=120).take_all()
+    assert labs and all(r["area"] >= 1 for r in labs)
+    sv = rds.sieve(threshold=120, min_size=64)
+    assert sv.histogram(bucket=64).count() > 0

@@ -2409,3 +2409,103 @@ def test_region_label_matches_bfs(rds):
                     int(ra.max()), int(ca.max()), int(wt.sum()),
                 )
     assert got == expect and got
+
+
+def test_sieve_matches_bfs_kill_set(rds):
+    """sieve_stage(min_size) output == input tiles with every pixel of a
+    BFS-found foreground region smaller than min_size replaced by the
+    row's nodata sentinel, all other pixels bit-identical."""
+    from collections import deque
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    THRESH, MIN_SIZE = 120, 64
+
+    imgs: dict = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            imgs.setdefault(row["image_id"], []).append(
+                (row, px.copy(), valid_mask(px, nod))
+            )
+
+    # BFS reference kill masks, image-global connectivity
+    kill: dict = {}
+    killed_total = 0
+    for iid, tiles in imgs.items():
+        H = max(r["win_row_off"] + r["h"] for r, _, _ in tiles)
+        W = max(r["win_col_off"] + r["w"] for r, _, _ in tiles)
+        nb = tiles[0][1].shape[0]
+        km = np.zeros((nb, H, W), bool)
+        for b in range(nb):
+            fg = np.zeros((H, W), bool)
+            for row, px, vm in tiles:
+                ro, co = row["win_row_off"], row["win_col_off"]
+                fg[ro:ro + row["h"], co:co + row["w"]] = (
+                    vm[b] & (px[b] >= THRESH)
+                )
+            seen = np.zeros_like(fg)
+            for r0, c0 in zip(*np.nonzero(fg)):
+                if seen[r0, c0]:
+                    continue
+                q = deque([(r0, c0)])
+                seen[r0, c0] = True
+                cells = []
+                while q:
+                    r, c = q.popleft()
+                    cells.append((r, c))
+                    for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                        rr, cc = r + dr, c + dc
+                        if 0 <= rr < H and 0 <= cc < W and fg[rr, cc] \
+                                and not seen[rr, cc]:
+                            seen[rr, cc] = True
+                            q.append((rr, cc))
+                if len(cells) < MIN_SIZE:
+                    for r, c in cells:
+                        km[b, r, c] = True
+                    killed_total += len(cells)
+        kill[iid] = km
+
+    assert killed_total > 0  # fixture must actually exercise the kill path
+
+    out = sstage.sieve_stage(rds["tiles"], threshold=THRESH,
+                             min_size=MIN_SIZE)
+    checked = 0
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            srow, spx, _ = next(
+                t for t in imgs[row["image_id"]]
+                if t[0]["tile_row"] == row["tile_row"]
+                and t[0]["tile_col"] == row["tile_col"]
+            )
+            ro, co = row["win_row_off"], row["win_col_off"]
+            km = kill[row["image_id"]][:, ro:ro + row["h"], co:co + row["w"]]
+            expect = np.where(
+                km, np.array(srow["nodata"]).astype(spx.dtype), spx
+            )
+            np.testing.assert_array_equal(px, expect)
+            checked += 1
+    assert checked == sum(len(t) for t in imgs.values())
+
+
+def test_sieve_requires_nodata_sentinel(rds, ray_session):
+    """Integer rasters without a nodata sentinel raise (the caller must
+    pick one first — same contract as the reference's masking ops)."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from rioxarray_ray.stages import stats as sstage
+
+    tbl = rds["tiles"].limit(4).to_pandas()
+    tbl["nodata"] = math.nan  # integer dtype + NaN nodata == 'unset'
+    ds = rd.from_pandas(tbl)
+    with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        sstage.sieve_stage(ds, threshold=0, min_size=2).materialize()
