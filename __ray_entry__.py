@@ -1402,6 +1402,57 @@ def q_geo_interpolate_na_plane(sf_dir: str):
                           zero_copy_batch=True)
 
 
+def q_geo_interpolate_na_nearest(sf_dir: str):
+    """interpolate_na('nearest'), oracle-gated via a TIE-FREE hole
+    pattern: per doc a 32x32 raster with closed-form pixels
+    v = (doc_id*37 + r*61 + c*13) % 1000 and whole-column holes at
+    c % 4 in (1, 2).  Every hole's euclidean-nearest valid pixel is
+    UNIQUE (horizontal neighbor at distance 1; the competing sites sit
+    at sqrt(2) and 2), so the exact-EDT fill is tie-break-independent
+    and DuckDB can regenerate it closed-form: filled(r,c) = v(r,c-1)
+    for c%4==1, v(r,c+1) for c%4==2.  Any EDT/argmin defect breaks the
+    BIGINT pixel-sum hash.  The general-tie semantics are pytest-pinned
+    (test_interpolate_na_nearest_exact); the ungated md5-style sibling
+    geo_interpolate_na runs nearest+cubic on real corpus tiles."""
+    import numpy as np
+
+    from rioxarray_ray.kernels import crs as crs_mod
+    from rioxarray_ray.kernels.raster import Raster
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    N = 32
+    wgs = crs_mod.from_user_input("EPSG:4326")
+
+    def interp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.arange(N)[:, None]
+        c = np.arange(N)[None, :]
+        hole = (c % 4 == 1) | (c % 4 == 2)
+        hole = np.broadcast_to(hole, (N, N))
+        sums, holes = [], []
+        for d in ids:
+            v = ((int(d) * 37 + r * 61 + c * 13) % 1000).astype(np.float64)
+            px = np.where(hole, -1.0, v)
+            rast = Raster(
+                px[None], transform=(0.01, 0.0, 0.0, 0.0, -0.01, 1.0),
+                crs=wgs, nodata=-1.0,
+            )
+            filled = rast.interpolate_na("nearest")
+            assert filled.valid_mask().all()
+            sums.append(int(np.rint(filled.pixels).astype(np.int64).sum()))
+            holes.append(int(hole.sum()))
+        return pa.Table.from_pydict(
+            {
+                "doc_id": batch["doc_id"],
+                "pixel_sum": pa.array(sums, pa.int64()),
+                "n_holes_filled": pa.array(holes, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(interp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # --------------------------------------------------------------------------
 # training-data queries over documents / embeddings / events / lineitem
 # --------------------------------------------------------------------------
@@ -3640,6 +3691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_merge": q_geo_merge,
         "geo_interpolate_na": q_geo_interpolate_na,
         "geo_interpolate_na_plane": q_geo_interpolate_na_plane,
+        "geo_interpolate_na_nearest": q_geo_interpolate_na_nearest,
         "multimodal_features": q_multimodal_features,
         "multimodal_features_pooled": q_multimodal_features_pooled,
         "multimodal_png": q_multimodal_png,
@@ -5416,6 +5468,18 @@ LATERAL (
   FROM generate_series(2, 21) tr(r) CROSS JOIN generate_series(2, 21) tc(c)
   WHERE (r * 24 + c + d.doc_id) % 13 = 0
 ) h
+""",
+        "geo_interpolate_na_nearest": """
+SELECT d.doc_id, s.pixel_sum, CAST(512 AS BIGINT) AS n_holes_filled
+FROM documents d, LATERAL (
+  SELECT CAST(SUM(
+    (d.doc_id * 37 + r * 61
+     + (CASE WHEN c % 4 = 1 THEN c - 1
+             WHEN c % 4 = 2 THEN c + 1
+             ELSE c END) * 13) % 1000
+  ) AS BIGINT) AS pixel_sum
+  FROM generate_series(0, 31) tr(r) CROSS JOIN generate_series(0, 31) tc(c)
+) s
 """,
         "geo_open_geotiff": """
 SELECT d.doc_id,
