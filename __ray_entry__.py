@@ -2791,6 +2791,19 @@ def q_dedup_apply(sf_dir: str):
     return best.select_columns(["cluster_id", "doc_id", "n_chars"])
 
 
+def q_dedup_chunks(sf_dir: str):
+    """Chunk-granularity exact dedup (functions/dedup.chunk_dedup — the
+    RefinedWeb/FineWeb line-level dedup shape): per-doc counts of chunks
+    and of chunks this doc canonically OWNS (min (doc_id, chunk_id) per
+    chunk md5 corpus-wide).  EXACT SQL oracle: the text_chunk CTE chain
+    rebuilds every chunk string + md5, then the same packed-min /
+    COALESCE-left-join arithmetic."""
+    from rioxarray_ray.functions import dedup
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.chunk_dedup(docs, size=32, overlap=8)
+
+
 def q_dedup_simhash_md5(sf_dir: str):
     """Oracle-gated twin of ``dedup_simhash``: md5 gram hashes make the
     64-bit Charikar signature SQL-replicable (per-bit vote = signed sum
@@ -3740,6 +3753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate": q_text_decontaminate,
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "text_chunk": q_text_chunk,
+        "dedup_chunks": q_dedup_chunks,
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
         "text_tfidf_search": q_text_tfidf_search,
@@ -5644,6 +5658,38 @@ SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(tok_end AS BIGINT) AS tok_end,
        md5(array_to_string(ts[tok_start + 1:tok_end], ' ')) AS chunk_md5
 FROM chunks
+""",
+        "dedup_chunks": """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS ts,
+         len(regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+')) AS m
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, i AS chunk_id, i * 24 AS tok_start,
+         LEAST(i * 24 + 32, m) AS tok_end, ts
+  FROM (SELECT doc_id, ts, m,
+               unnest(generate_series(0, (GREATEST(m - 8, 1) + 23) // 24 - 1))
+                 AS i
+        FROM toks WHERE m > 0)
+),
+ch AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(ts[tok_start + 1:tok_end], ' ')) AS h
+  FROM chunks
+),
+own AS (
+  SELECT h, MIN(doc_id * 1048576 + chunk_id) AS packed FROM ch GROUP BY h
+),
+kept AS (
+  SELECT packed // 1048576 AS doc_id, COUNT(*) AS n_kept
+  FROM own GROUP BY 1
+),
+nc AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+SELECT nc.doc_id, CAST(nc.n_chunks AS BIGINT) AS n_chunks,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM nc LEFT JOIN kept k ON k.doc_id = nc.doc_id
 """,
         # grams rebuilt with the shared [a-z']+ token rule; the benchmark
         # side (doc_id % 50 = 0) is deduplicated before the LEFT JOIN so

@@ -165,6 +165,7 @@ def run_bench() -> dict:
         "events_funnel",
         "events_retention",
         "dedup_exact",
+        "dedup_chunks",
         "dedup_minhash",
         "embedding_near_dup",
         "ann_topk",

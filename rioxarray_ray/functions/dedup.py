@@ -875,3 +875,114 @@ def connected_components(pairs_ds, nodes_ds, id_col: str = "doc_id",
     return labels.map_batches(
         finalize, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# -------------------------------------------------------------- chunk dedup
+def chunk_dedup(
+    ds,
+    col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    overlap: int = 8,
+    max_chunks_per_doc: int = 1 << 20,
+):
+    """Chunk-granularity exact dedup — the RefinedWeb/FineWeb line-level
+    dedup shape: documents are split into fixed-size token chunks (the
+    shared ``functions/text.chunk_batch`` rule, so chunk strings are
+    SQL-rebuildable) and a chunk survives only at its CANONICAL
+    occurrence, the lexicographically smallest (doc_id, chunk_id) among
+    every corpus position with the same chunk md5.  Returns per-doc
+    survival stats ``(doc_id, n_chunks, n_kept)`` — the inputs to a
+    keep/trim/drop curation rule (n_kept == 0 means the whole document
+    is assembled from content seen earlier in id order).
+
+    100-TB shape: chunking is a pure flat_map (no shuffle, text never
+    leaves the task); the dedup moves only (chunk_md5, packed_position)
+    rows through ONE ``groupby(chunk_md5)`` Min (canonical = min of
+    ``doc_id * max_chunks_per_doc + chunk_id`` — order-isomorphic to the
+    pair ordering, overflow-checked); per-doc rollups are slim groupby
+    Sums and the final merge is a native hash join on ``doc_id`` with a
+    COALESCE-to-0 left side.  Nothing document-sized crosses the wire
+    after the first map.
+    """
+    import functools
+
+    from ray.data.aggregate import Min, Sum
+
+    from .text import chunk_batch
+
+    chunks = ds.map_batches(
+        functools.partial(
+            chunk_batch, col=col, id_col=id_col, size=size, overlap=overlap
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        cid = batch["chunk_id"].to_numpy(zero_copy_only=False)
+        did = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if cid.size and int(cid.max()) >= max_chunks_per_doc:
+            raise ValueError(
+                f"a document has >= {max_chunks_per_doc} chunks; raise "
+                "max_chunks_per_doc (packing must stay order-isomorphic)"
+            )
+        return pa.table(
+            {
+                "chunk_md5": batch["chunk_md5"],
+                "packed": pa.array(
+                    did * max_chunks_per_doc + cid, pa.int64()
+                ),
+                id_col: batch[id_col],
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    packed = chunks.map_batches(pack, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    owners = packed.groupby("chunk_md5").aggregate(
+        Min("packed", alias_name="packed")
+    )
+
+    def owner_doc(batch: pa.Table) -> pa.Table:
+        p = batch["packed"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(p // max_chunks_per_doc, pa.int64()),
+                "one": pa.array(np.ones(len(p), np.int64)),
+            }
+        )
+
+    # repartition after each aggregate: groupby emits zero-column EMPTY
+    # blocks that poison the downstream hash join ("no match for key
+    # field doc_id"), and map_batches skips empty blocks so a schema-fix
+    # UDF can't normalize them — repartition merges them away (same
+    # contract as connected_components' edge-join repartition)
+    n_kept = (
+        owners.map_batches(owner_doc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(id_col)
+        .aggregate(Sum("one", alias_name="n_kept"))
+        .repartition(8)
+    )
+    n_chunks = (
+        packed.select_columns([id_col, "one"])
+        .groupby(id_col)
+        .aggregate(Sum("one", alias_name="n_chunks"))
+        .repartition(8)
+    )
+    joined = n_chunks.join(n_kept, "left_outer", 8, on=(id_col,))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chunks": pc.cast(batch["n_chunks"], pa.int64()),
+                "n_kept": pc.cast(
+                    pc.fill_null(batch["n_kept"], 0), pa.int64()
+                ),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -1653,3 +1653,58 @@ def test_gram_matrix_and_pca(ray_session):
          for i, j in zip(iu, ju)], d=12, k=3)
     evals, evecs = np.linalg.eigh(g.astype(np.float64))
     np.testing.assert_allclose(vals, evals[::-1][:3], rtol=1e-10)
+
+
+def test_chunk_dedup_canonical_ownership_and_partition_invariance(ray_session):
+    """A chunk md5 is kept only at its smallest (doc_id, chunk_id);
+    per-doc (n_chunks, n_kept) match a brute-force reference and are
+    invariant to input partitioning."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import dedup
+    from rioxarray_ray.functions.text import chunk_batch
+
+    words = [f"w{i}" for i in range(40)]
+    base = " ".join(words)
+    docs = [
+        {"doc_id": 0, "text": base},                # owns everything
+        {"doc_id": 1, "text": base},                # exact copy -> n_kept 0
+        {"doc_id": 2, "text": base + " unique tail content here"},
+        {"doc_id": 3, "text": "totally different words only"},
+        {"doc_id": 4, "text": ""},                  # no chunks -> no row
+    ]
+
+    # brute force over the same chunk rule
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "doc_id": [d["doc_id"] for d in docs],
+            "text": [d["text"] for d in docs],
+        }
+    )
+    ch = chunk_batch(tbl, size=8, overlap=2).to_pylist()
+    owner: dict = {}
+    for r in ch:
+        key = (r["doc_id"], r["chunk_id"])
+        if r["chunk_md5"] not in owner or key < owner[r["chunk_md5"]]:
+            owner[r["chunk_md5"]] = key
+    expect: dict = {}
+    for r in ch:
+        e = expect.setdefault(r["doc_id"], [0, 0])
+        e[0] += 1
+        if owner[r["chunk_md5"]] == (r["doc_id"], r["chunk_id"]):
+            e[1] += 1
+
+    for nparts in (1, 3):
+        got = {
+            r["doc_id"]: [r["n_chunks"], r["n_kept"]]
+            for r in dedup.chunk_dedup(
+                rd.from_items(docs).repartition(nparts),
+                size=8, overlap=2,
+            ).take_all()
+        }
+        assert got == expect
+    assert expect[1] == [expect[0][0], 0]  # exact copy keeps nothing
+    assert expect[2][1] < expect[2][0]     # shared prefix partially owned
+    assert 4 not in expect                 # empty doc emits no chunks
