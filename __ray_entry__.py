@@ -3373,6 +3373,62 @@ def q_geo_sieve(sf_dir: str):
     return sieved.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_proximity(sf_dir: str):
+    """gdal_proximity: per-pixel euclidean distance to the nearest
+    over-threshold pixel, image-global (stages/stats.proximity_stage —
+    ONE groupby(image_id) co-shuffle, vectorized exact row-decomposition
+    EDT).  EXACT SQL oracle: squared distance is a tie-independent pure
+    MIN, decomposed the same way the kernel computes it — an in-row
+    (c-c0)^2 MIN per (row, column), then a (r-r0)^2 + dx2 MIN over
+    target rows — and compared as per-(image, band, 64-window) BIGINT
+    sums + position-weighted sums of d2 over valid pixels."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 4)
+    rows = sstage.proximity_stage(small, threshold=120)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "band": [], "win_row_off": [],
+               "win_col_off": [], "sum_d2": [], "wsum_d2": [],
+               "n_valid": []}
+        ids = batch["image_id"].to_pylist()
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        ro = batch["win_row_off"].to_numpy(zero_copy_only=False)
+        co = batch["win_col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        d2c = batch["d2"].combine_chunks()
+        vc = batch["valid"].combine_chunks()
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            d2 = np.asarray(d2c[i].values, dtype=np.int64).reshape(h, w)
+            v = np.asarray(vc[i].values, dtype=bool).reshape(h, w)
+            gr = np.arange(h, dtype=np.int64)[:, None] + int(ro[i])
+            gc = np.arange(w, dtype=np.int64)[None, :] + int(co[i])
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            out["image_id"].append(ids[i])
+            out["band"].append(int(bands[i]))
+            out["win_row_off"].append(int(ro[i]))
+            out["win_col_off"].append(int(co[i]))
+            out["sum_d2"].append(int(d2[v].sum()))
+            out["wsum_d2"].append(int((d2[v] * wgt[v]).sum()))
+            out["n_valid"].append(int(v.sum()))
+        return pa.Table.from_pydict(
+            {
+                "image_id": pa.array(out["image_id"], pa.string()),
+                "band": pa.array(out["band"], pa.int64()),
+                "win_row_off": pa.array(out["win_row_off"], pa.int64()),
+                "win_col_off": pa.array(out["win_col_off"], pa.int64()),
+                "sum_d2": pa.array(out["sum_d2"], pa.int64()),
+                "wsum_d2": pa.array(out["wsum_d2"], pa.int64()),
+                "n_valid": pa.array(out["n_valid"], pa.int64()),
+            }
+        )
+
+    return rows.map_batches(summarize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_embedding_semantic_clusters(sf_dir: str):
     """APPLY the semantic dedup: connected components over the
     SemDeDup pair list (pure composition of two gated operators —
@@ -3768,6 +3824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semantic_clusters": q_embedding_semantic_clusters,
         "geo_region_label": q_geo_region_label,
         "geo_sieve": q_geo_sieve,
+        "geo_proximity": q_geo_proximity,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
         "agg_revenue_nation": q_agg_revenue_nation,
@@ -6360,6 +6417,34 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
     sql["geo_sieve"] = _sieve_sql(
         "doc_id < 8 AND doc_id % 7 <> 6", threshold=120, min_size=100
     )
+    # proximity: squared distance is a tie-independent pure MIN; the SQL
+    # mirrors the kernel's exact row decomposition (in-row dx2, then a
+    # MIN over target rows) so the 65k-pixel-per-image fold stays a pair
+    # of bounded hash joins, never an all-pairs pixel join
+    sql["geo_proximity"] = f"""
+WITH RECURSIVE {_allpx_cte("doc_id < 4 AND doc_id % 7 <> 6")},
+fgx AS MATERIALIZED (SELECT idx, b, r, c FROM allpx WHERE px >= 120),
+cols AS (SELECT i.idx, unnest(range(0, i.w)) AS c FROM img i),
+dx2 AS MATERIALIZED (
+  SELECT f.idx, f.b, f.r, k.c, MIN((k.c - f.c) * (k.c - f.c)) AS dx2
+  FROM fgx f JOIN cols k ON k.idx = f.idx
+  GROUP BY f.idx, f.b, f.r, k.c
+),
+d2 AS (
+  SELECT a.idx, a.image_id, a.b, a.r, a.c,
+         MIN((a.r - x.r) * (a.r - x.r) + x.dx2) AS d2
+  FROM allpx a JOIN dx2 x ON x.idx = a.idx AND x.b = a.b AND x.c = a.c
+  GROUP BY a.idx, a.image_id, a.b, a.r, a.c
+)
+SELECT image_id, CAST(b AS BIGINT) AS band,
+       CAST((r // 64) * 64 AS BIGINT) AS win_row_off,
+       CAST((c // 64) * 64 AS BIGINT) AS win_col_off,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2,
+       CAST(SUM(d2 * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_d2,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM d2 GROUP BY image_id, b, win_row_off, win_col_off
+"""
     sql["embedding_semantic_clusters"] = f"""
 WITH RECURSIVE spairs AS ({sql["embedding_semantic_dedup"]}),
 sedges AS (

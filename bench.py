@@ -191,6 +191,7 @@ def run_bench() -> dict:
         "embedding_semantic_dedup",
         "geo_region_label",
         "geo_sieve",
+        "geo_proximity",
         "agg_revenue_nation",
     ):
         fn = entrymod.queries()[name]

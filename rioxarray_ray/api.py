@@ -674,6 +674,15 @@ class RasterDataset:
             self.ds, threshold=threshold, min_size=min_size, **kwargs
         ))
 
+    def proximity(self, threshold: float, units: str = "pixel", **kwargs):
+        """gdal_proximity: per-pixel euclidean distance to the nearest
+        over-threshold pixel (image-global)."""
+        from .stages import stats as stats_stage_mod
+
+        return stats_stage_mod.proximity_stage(
+            self.ds, threshold=threshold, units=units, **kwargs
+        )
+
     def rasterize(self, geometries, values, geom_crs=None, fill: int = 0,
                   all_touched: bool = False, merge: str = "replace",
                   **kwargs):

@@ -704,3 +704,122 @@ def sieve_stage(tiles_ds, threshold: float, min_size: int, **map_kwargs):
     return tiles_ds.groupby("image_id").map_groups(
         sieve_group, batch_format="pyarrow", **map_kwargs
     )
+
+
+PROXIMITY_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("band", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("d2", pa.list_(pa.int64())),
+        ("distance", pa.list_(pa.float64())),
+        ("valid", pa.list_(pa.bool_())),
+    ]
+)
+
+_D2_NONE = np.int64(1) << 60  # "no target anywhere" sentinel (pre-sqrt)
+
+
+def proximity_d2(fg: np.ndarray) -> np.ndarray:
+    """Exact squared euclidean distance from every pixel to the nearest
+    True pixel of ``fg`` (0 on targets; ``_D2_NONE`` if fg is empty).
+
+    Exact row decomposition (no tie-break dependence — distance is a
+    pure min): d2(r,c) = min over rows r0 of (r-r0)^2 + dx2(r0,c), with
+    dx2 the 1-D in-row squared distance (vectorized two-scan
+    nearest-site index).  The r0 fold is an O(h) loop of (h, w)
+    vectorized mins — no per-pixel Python."""
+    h, w = fg.shape
+    if not fg.any():
+        return np.full((h, w), _D2_NONE, np.int64)
+    idx = np.arange(w, dtype=np.int64)
+    far = np.int64(1) << 40
+    last = np.maximum.accumulate(np.where(fg, idx, -far), axis=1)
+    nxt = np.minimum.accumulate(
+        np.where(fg, idx, far)[:, ::-1], axis=1
+    )[:, ::-1]
+    dx = np.minimum(idx[None, :] - last, nxt - idx[None, :])
+    dx2 = np.minimum(dx * dx, _D2_NONE)
+    rows_with = np.nonzero(fg.any(axis=1))[0]
+    rr = np.arange(h, dtype=np.int64)[:, None]
+    d2 = np.full((h, w), _D2_NONE, np.int64)
+    for r0 in rows_with:
+        np.minimum(d2, (rr - r0) ** 2 + dx2[r0][None, :], out=d2)
+    return d2
+
+
+def proximity_stage(tiles_ds, threshold: float, units: str = "pixel",
+                    **map_kwargs):
+    """GDAL ``gdal_proximity`` semantics: per-pixel euclidean distance to
+    the nearest TARGET pixel (valid and ``>= threshold``), image-global —
+    a tile's nearest target may sit in another tile, so this is the same
+    ONE ``groupby(image_id)`` co-shuffle as region_label_stage.
+
+    Output: one row per (tile, band) with core-sized ``d2`` (exact
+    integer squared distance, the gate quantity), ``distance``
+    (``sqrt(d2)``, pixel units; ``units='geo'`` scales by |xres|) and
+    ``valid`` payloads.  Invalid source pixels get no distance
+    (valid=False, d2=0); images with no target anywhere emit NaN
+    distance and the _D2_NONE sentinel.
+    """
+    from ..kernels.affine import resolution
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    if units not in ("pixel", "geo"):
+        raise ValueError("units must be 'pixel' or 'geo'")
+
+    def prox_group(group: pa.Table) -> pa.Table:
+        meta = group.drop_columns(["pixels"]).to_pylist()
+        views = list(pixel_views(group))
+        if not meta:
+            return PROXIMITY_SCHEMA.empty_table()
+        H = max(r["win_row_off"] + r["h"] for r in meta)
+        W = max(r["win_col_off"] + r["w"] for r in meta)
+        bands = views[0].shape[0]
+        vms = [valid_mask(px, _row_nodata(row))
+               for row, px in zip(meta, views)]
+        scale = (abs(resolution(tuple(meta[0]["transform"]))[0])
+                 if units == "geo" else 1.0)
+        d2_full = np.empty((bands, H, W), np.int64)
+        for b in range(bands):
+            fg = np.zeros((H, W), bool)
+            for (row, px), vm in zip(zip(meta, views), vms):
+                ro, co = row["win_row_off"], row["win_col_off"]
+                fg[ro:ro + row["h"], co:co + row["w"]] = (
+                    vm[b] & (px[b] >= threshold)
+                )
+            d2_full[b] = proximity_d2(fg)
+        out: dict[str, list] = {n: [] for n in PROXIMITY_SCHEMA.names}
+        for (row, px), vm in zip(zip(meta, views), vms):
+            ro, co = row["win_row_off"], row["win_col_off"]
+            for b in range(bands):
+                d2 = d2_full[b, ro:ro + row["h"], co:co + row["w"]].copy()
+                v = vm[b]
+                d2[~v] = 0
+                with np.errstate(invalid="ignore"):
+                    dist = np.where(
+                        v & (d2 < _D2_NONE),
+                        np.sqrt(d2.astype(np.float64)) * scale,
+                        np.nan,
+                    )
+                out["image_id"].append(row["image_id"])
+                out["band"].append(b)
+                out["win_row_off"].append(ro)
+                out["win_col_off"].append(co)
+                out["h"].append(row["h"])
+                out["w"].append(row["w"])
+                out["d2"].append(d2.ravel())
+                out["distance"].append(dist.ravel())
+                out["valid"].append(v.ravel())
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in PROXIMITY_SCHEMA],
+            schema=PROXIMITY_SCHEMA,
+        )
+
+    return tiles_ds.groupby("image_id").map_groups(
+        prox_group, batch_format="pyarrow", **map_kwargs
+    )

@@ -2509,3 +2509,86 @@ def test_sieve_requires_nodata_sentinel(rds, ray_session):
     ds = rd.from_pandas(tbl)
     with pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         sstage.sieve_stage(ds, threshold=0, min_size=2).materialize()
+
+
+def test_proximity_stage_matches_bruteforce(rds):
+    """Per-pixel squared distances equal a whole-image brute force —
+    image-global: a tile's nearest target may live in another tile."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    THRESH = 180  # sparser targets => nearest often crosses tiles
+    KEEP = {"img00000000", "img00000002", "img00000003", "img00000005"}
+
+    imgs: dict = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            if row["image_id"] not in KEEP:
+                continue
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            imgs.setdefault(row["image_id"], []).append(
+                (row, px.copy(), valid_mask(px, nod))
+            )
+
+    expect: dict = {}
+    crossings = 0
+    for iid, tiles in imgs.items():
+        H = max(r["win_row_off"] + r["h"] for r, _, _ in tiles)
+        W = max(r["win_col_off"] + r["w"] for r, _, _ in tiles)
+        nb = tiles[0][1].shape[0]
+        for b in range(nb):
+            fg = np.zeros((H, W), bool)
+            vfull = np.zeros((H, W), bool)
+            for row, px, vm in tiles:
+                ro, co = row["win_row_off"], row["win_col_off"]
+                fg[ro:ro + row["h"], co:co + row["w"]] = (
+                    vm[b] & (px[b] >= THRESH)
+                )
+                vfull[ro:ro + row["h"], co:co + row["w"]] = vm[b]
+            if fg.any():
+                ys, xs = np.nonzero(fg)
+                d2 = np.empty((H, W), np.int64)
+                cross = np.empty((H, W), bool)
+                cc = np.arange(W, dtype=np.int64)
+                for r in range(H):  # row loop bounds the broadcast memory
+                    cand = (ys - r) ** 2 + (xs[None, :] - cc[:, None]) ** 2
+                    k = cand.argmin(axis=1)
+                    d2[r] = cand[np.arange(W), k]
+                    cross[r] = (ys[k] // 64 != r // 64) | (xs[k] // 64 != cc // 64)
+                crossings += int((cross & vfull).sum())
+            else:
+                d2 = np.full((H, W), np.int64(1) << 60)
+            expect[(iid, b)] = (d2, vfull)
+
+    assert crossings > 0  # the fixture must exercise cross-tile distances
+
+    import ray.data as rd
+    keep_ds = rds["tiles"].filter(lambda r: r["image_id"] in KEEP)
+    out = sstage.proximity_stage(keep_ds, threshold=THRESH)
+    checked = 0
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["d2", "distance", "valid"]).to_pylist()
+        d2c = batch["d2"].combine_chunks()
+        vc = batch["valid"].combine_chunks()
+        dc = batch["distance"].combine_chunks()
+        for i, r in enumerate(meta):
+            h, w = r["h"], r["w"]
+            ro, co = r["win_row_off"], r["win_col_off"]
+            d2 = np.asarray(d2c[i].values, np.int64).reshape(h, w)
+            v = np.asarray(vc[i].values, bool).reshape(h, w)
+            dist = np.asarray(dc[i].values, np.float64).reshape(h, w)
+            ed2, ev = expect[(r["image_id"], r["band"])]
+            sl = np.s_[ro:ro + h, co:co + w]
+            np.testing.assert_array_equal(v, ev[sl])
+            np.testing.assert_array_equal(d2[v], ed2[sl][v])
+            ok = v & (d2 < (np.int64(1) << 60))
+            np.testing.assert_allclose(
+                dist[ok], np.sqrt(ed2[sl][ok].astype(np.float64))
+            )
+            assert np.isnan(dist[~ok]).all()
+            checked += 1
+    assert checked > 0
