@@ -3429,6 +3429,61 @@ def q_geo_proximity(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_geo_match_histograms(sf_dir: str):
+    """Histogram matching to a reference image's distribution
+    (stages/stats.match_histograms_stage — skimage match_histograms in
+    the integer closest-rank variant; the seamless-mosaic color-balance
+    step).  Reference = img00000001's band_value_counts (a distributed
+    aggregate collected as a LEGITIMATE small side); sources = the other
+    single-band rawu8 natives below doc 32.  EXACT SQL oracle: DuckDB
+    rebuilds both CDFs from the pixel spec and replays the
+    cross-multiplied min-rank rule, then per-(image, band, 64-window)
+    BIGINT checksums of the remapped pixels."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    tiles = _tiles_4326(sf_dir)
+    ref_tiles = _keep_idx(tiles, lambda idx: idx == 1)
+    src_tiles = _keep_idx(
+        tiles,
+        lambda idx: (idx < 32) & (idx % 4 == 1) & (idx % 5 != 0)
+        & (idx != 1),
+    )
+    ref_counts = sstage.band_value_counts(ref_tiles)
+    matched = sstage.match_histograms_stage(src_tiles, ref_counts)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = []
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            vm = valid_mask(px, r["nodata"])
+            for b in range(px.shape[0]):
+                n_valid = int(vm[b].sum())
+                if n_valid == 0:
+                    continue
+                gr = np.arange(px.shape[1], dtype=np.int64)[:, None] \
+                    + int(r["win_row_off"])
+                gc = np.arange(px.shape[2], dtype=np.int64)[None, :] \
+                    + int(r["win_col_off"])
+                wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+                v = px[b].astype(np.int64)
+                out.append(
+                    {
+                        "image_id": r["image_id"],
+                        "band": b,
+                        "win_row_off": int(r["win_row_off"]),
+                        "win_col_off": int(r["win_col_off"]),
+                        "checksum": int(v[vm[b]].sum()),
+                        "wsum": int((v[vm[b]] * wgt[vm[b]]).sum()),
+                        "n_valid": n_valid,
+                    }
+                )
+        return pa.Table.from_pylist(out)
+
+    return matched.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_embedding_semantic_clusters(sf_dir: str):
     """APPLY the semantic dedup: connected components over the
     SemDeDup pair list (pure composition of two gated operators —
@@ -3825,6 +3880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_region_label": q_geo_region_label,
         "geo_sieve": q_geo_sieve,
         "geo_proximity": q_geo_proximity,
+        "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
         "agg_revenue_nation": q_agg_revenue_nation,
@@ -6444,6 +6500,46 @@ SELECT image_id, CAST(b AS BIGINT) AS band,
             AS BIGINT) AS wsum_d2,
        CAST(COUNT(*) AS BIGINT) AS n_valid
 FROM d2 GROUP BY image_id, b, win_row_off, win_col_off
+"""
+    # histogram matching: both CDFs rebuilt from the pixel spec; the
+    # closest-rank rule is the same integer cross-multiplication the
+    # engine's searchsorted applies (doc 1 = reference, the other
+    # single-band rawu8 natives < 32 = sources; 255-value domains keep
+    # the rank join tiny)
+    sql["geo_match_histograms"] = f"""
+WITH RECURSIVE {_allpx_cte(
+        "doc_id < 32 AND doc_id % 4 = 1 AND doc_id % 5 <> 0 "
+        "AND doc_id % 7 <> 6")},
+refc AS (
+  SELECT b, px AS u,
+         SUM(COUNT(*)) OVER (PARTITION BY b ORDER BY px) AS d,
+         SUM(COUNT(*)) OVER (PARTITION BY b) AS nr
+  FROM allpx WHERE idx = 1 GROUP BY b, px
+),
+srcc AS (
+  SELECT idx, b, px AS v,
+         SUM(COUNT(*)) OVER (PARTITION BY idx, b ORDER BY px) AS csrc,
+         SUM(COUNT(*)) OVER (PARTITION BY idx, b) AS ns
+  FROM allpx WHERE idx <> 1 GROUP BY idx, b, px
+),
+lut AS (
+  SELECT s.idx, s.b, s.v, MIN(r.u) AS mapped
+  FROM srcc s JOIN refc r ON r.b = s.b AND r.d * s.ns >= s.csrc * r.nr
+  GROUP BY s.idx, s.b, s.v
+),
+mapped AS (
+  SELECT p.image_id, p.b, p.r, p.c, l.mapped AS px
+  FROM allpx p JOIN lut l ON l.idx = p.idx AND l.b = p.b AND l.v = p.px
+  WHERE p.idx <> 1
+)
+SELECT image_id, CAST(b AS BIGINT) AS band,
+       CAST((r // 64) * 64 AS BIGINT) AS win_row_off,
+       CAST((c // 64) * 64 AS BIGINT) AS win_col_off,
+       CAST(SUM(px) AS BIGINT) AS checksum,
+       CAST(SUM(px * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM mapped GROUP BY image_id, b, win_row_off, win_col_off
 """
     sql["embedding_semantic_clusters"] = f"""
 WITH RECURSIVE spairs AS ({sql["embedding_semantic_dedup"]}),

@@ -192,6 +192,7 @@ def run_bench() -> dict:
         "geo_region_label",
         "geo_sieve",
         "geo_proximity",
+        "geo_match_histograms",
         "agg_revenue_nation",
     ):
         fn = entrymod.queries()[name]

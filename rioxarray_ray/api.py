@@ -674,6 +674,21 @@ class RasterDataset:
             self.ds, threshold=threshold, min_size=min_size, **kwargs
         ))
 
+    def match_histograms(self, ref_counts, fill: int = -1, **kwargs):
+        """Remap every image's distribution onto a reference
+        (band, value, n) distribution — integer closest-rank rule."""
+        from .stages import stats as stats_stage_mod
+
+        return self._wrap(stats_stage_mod.match_histograms_stage(
+            self.ds, ref_counts, fill=fill, **kwargs
+        ))
+
+    def band_value_counts(self, **kwargs):
+        """Exact per-band valid-pixel value counts (band, value, n)."""
+        from .stages import stats as stats_stage_mod
+
+        return stats_stage_mod.band_value_counts(self.ds, **kwargs)
+
     def proximity(self, threshold: float, units: str = "pixel", **kwargs):
         """gdal_proximity: per-pixel euclidean distance to the nearest
         over-threshold pixel (image-global)."""

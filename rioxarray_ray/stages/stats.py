@@ -823,3 +823,154 @@ def proximity_stage(tiles_ds, threshold: float, units: str = "pixel",
     return tiles_ds.groupby("image_id").map_groups(
         prox_group, batch_format="pyarrow", **map_kwargs
     )
+
+
+def band_value_counts(tiles_ds, **map_kwargs):
+    """Exact per-band valid-pixel value counts of a tile Dataset —
+    (band, value, n) rows.  Same shape as histogram_stage (per-batch
+    bincount partials -> ONE groupby Sum); exchange volume is bounded by
+    bands x distinct values (<= dtype cardinality), never pixels."""
+    from ray.data.aggregate import Sum
+
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def partial(batch: pa.Table) -> pa.Table:
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        bs, vs, ns = [], [], []
+        for row, px in zip(meta, pixel_views(batch)):
+            vm = valid_mask(px, _row_nodata(row))
+            for b in range(px.shape[0]):
+                vals, counts = np.unique(
+                    px[b][vm[b]].astype(np.int64), return_counts=True
+                )
+                bs.append(np.full(len(vals), b, np.int64))
+                vs.append(vals)
+                ns.append(counts)
+        if not bs:
+            return pa.table(
+                {"band": pa.array([], pa.int64()),
+                 "value": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bs)),
+                "value": pa.array(np.concatenate(vs)),
+                "n": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return (
+        tiles_ds.map_batches(partial, **kwargs)
+        .groupby(["band", "value"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def match_histograms_stage(tiles_ds, ref_counts, fill: int = -1,
+                           **map_kwargs):
+    """Histogram matching — remap every image's pixel distribution onto a
+    reference distribution (skimage ``match_histograms`` / the classic
+    seamless-mosaic color-balancing step), in the INTEGER closest-rank
+    variant so the rule is bit-reproducible and SQL-mirrorable:
+
+        match(v) = min { u in ref values :
+                         cdf_ref(u) * n_src >= cdf_src(v) * n_ref }
+
+    (pure integer cross-multiplication — no float quantiles; the
+    smallest reference value whose quantile reaches v's quantile).
+
+    ``ref_counts`` is a (band, value, n) table — a ``band_value_counts``
+    Dataset, a pyarrow Table, or a list of dicts.  A Dataset is
+    materialized driver-side: it is bounded by bands x dtype cardinality
+    (a LEGITIMATE small side — broadcast once per task via closure;
+    ``ray.put`` documented for wide-dtype references).  Sources with a
+    band absent from the reference raise.
+
+    100-TB shape: matching needs image-global order statistics, so this
+    is the same ONE groupby(image_id) co-shuffle as equalize_stage; the
+    LUT is built once per (image, band) (np.unique + cumsum +
+    searchsorted over the cross-multiplied cumulative counts) and
+    applied with one searchsorted per tile.  Output tiles carry int32
+    pixels from the reference value domain, nodata = ``fill``.
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import TILE_SCHEMA, pixel_views, pixels_to_bytes
+
+    if hasattr(ref_counts, "to_pandas"):  # ray Dataset / pyarrow Table
+        ref_rows = (
+            ref_counts.take_all()
+            if hasattr(ref_counts, "take_all")
+            else ref_counts.to_pylist()
+        )
+    else:
+        ref_rows = list(ref_counts)
+    ref: dict[int, tuple[np.ndarray, np.ndarray, int]] = {}
+    byband: dict[int, list] = {}
+    for r in ref_rows:
+        byband.setdefault(int(r["band"]), []).append(
+            (int(r["value"]), int(r["n"]))
+        )
+    for b, pairs in byband.items():
+        pairs.sort()
+        u = np.array([p[0] for p in pairs], np.int64)
+        d = np.cumsum(np.array([p[1] for p in pairs], np.int64))
+        ref[b] = (u, d, int(d[-1]))
+    if not ref:
+        raise ValueError("empty reference distribution")
+
+    def match_group(group: pa.Table) -> pa.Table:
+        meta = group.drop_columns(["pixels"]).to_pylist()
+        views = list(pixel_views(group))
+        n_bands = views[0].shape[0] if views else 0
+        vms = [valid_mask(px, _row_nodata(row))
+               for row, px in zip(meta, views)]
+        luts: list[tuple[np.ndarray, np.ndarray]] = []
+        for b in range(n_bands):
+            if b not in ref:
+                raise ValueError(
+                    f"source band {b} missing from the reference "
+                    f"distribution (ref bands: {sorted(ref)})"
+                )
+            allv = np.concatenate(
+                [px[b][vm[b]].ravel() for px, vm in zip(views, vms)]
+            ) if views else np.empty(0, np.int64)
+            if allv.size == 0:
+                luts.append((np.empty(0, np.int64),
+                             np.empty(0, np.int64)))
+                continue
+            vals, counts = np.unique(allv.astype(np.int64),
+                                     return_counts=True)
+            csrc = np.cumsum(counts)
+            ns = int(csrc[-1])
+            u, d, nr = ref[b]
+            j = np.searchsorted(d * ns, csrc * nr, side="left")
+            luts.append((vals, u[j]))
+        out: dict[str, list] = {name: [] for name in TILE_SCHEMA.names}
+        for row, px, vm in zip(meta, views, vms):
+            burned = np.full(px.shape, np.int32(fill), np.int32)
+            for b in range(px.shape[0]):
+                vals, mapped = luts[b]
+                if vals.size == 0:
+                    continue
+                m = vm[b]
+                burned[b][m] = mapped[
+                    np.searchsorted(vals, px[b][m].astype(np.int64))
+                ].astype(np.int32)
+            for name in TILE_SCHEMA.names:
+                if name == "pixels":
+                    out[name].append(pixels_to_bytes(burned))
+                elif name == "dtype":
+                    out[name].append("int32")
+                elif name == "nodata":
+                    out[name].append(float(fill))
+                else:
+                    out[name].append(row[name])
+        return pa.Table.from_pydict(out, schema=TILE_SCHEMA)
+
+    return tiles_ds.groupby("image_id").map_groups(
+        match_group, batch_format="pyarrow", **map_kwargs
+    )

@@ -2592,3 +2592,89 @@ def test_proximity_stage_matches_bruteforce(rds):
             assert np.isnan(dist[~ok]).all()
             checked += 1
     assert checked > 0
+
+
+def test_match_histograms_closest_rank(rds):
+    """Matched pixels equal a brute-force closest-rank remap onto the
+    reference CDF (ref = img00000000's 3-band distribution; sources
+    include int16 and 3-band images), and source-band-missing raises."""
+    import pytest
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    REF, SRC = "img00000000", {"img00000002", "img00000005"}
+
+    imgs: dict = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            if row["image_id"] not in SRC | {REF}:
+                continue
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            imgs.setdefault(row["image_id"], {})[
+                (row["tile_row"], row["tile_col"])
+            ] = (px.copy(), valid_mask(px, nod))
+
+    # reference CDF per band (brute force)
+    nb_ref = next(iter(imgs[REF].values()))[0].shape[0]
+    ref_cdf = []
+    for b in range(nb_ref):
+        allv = np.concatenate(
+            [px[b][vm[b]].ravel() for px, vm in imgs[REF].values()]
+        ).astype(np.int64)
+        u, cnt = np.unique(allv, return_counts=True)
+        ref_cdf.append((u, np.cumsum(cnt)))
+
+    ref_tiles = rds["tiles"].filter(lambda r: r["image_id"] == REF)
+    src_tiles = rds["tiles"].filter(lambda r: r["image_id"] in SRC)
+    ref_counts = sstage.band_value_counts(ref_tiles)
+    out = sstage.match_histograms_stage(src_tiles, ref_counts)
+
+    checked = 0
+    luts: dict = {}
+    for iid in SRC:
+        nb = next(iter(imgs[iid].values()))[0].shape[0]
+        luts[iid] = []
+        for b in range(nb):
+            allv = np.concatenate(
+                [px[b][vm[b]].ravel() for px, vm in imgs[iid].values()]
+            ).astype(np.int64)
+            vals, cnt = np.unique(allv, return_counts=True)
+            csrc = np.cumsum(cnt)
+            u, d = ref_cdf[b]
+            # brute-force closest rank: min u with d*ns >= csrc*nr
+            mapped = np.array(
+                [u[np.nonzero(d * csrc[-1] >= c * d[-1])[0][0]]
+                 for c in csrc], np.int64
+            )
+            luts[iid].append((vals, mapped))
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            spx, svm = imgs[row["image_id"]][
+                (row["tile_row"], row["tile_col"])
+            ]
+            assert row["dtype"] == "int32" and row["nodata"] == -1.0
+            for b in range(px.shape[0]):
+                vals, mapped = luts[row["image_id"]][b]
+                m = svm[b]
+                expect = np.full(spx[b].shape, -1, np.int64)
+                expect[m] = mapped[
+                    np.searchsorted(vals, spx[b][m].astype(np.int64))
+                ]
+                np.testing.assert_array_equal(px[b].astype(np.int64),
+                                              expect)
+            checked += 1
+    assert checked == sum(len(t) for i, t in imgs.items() if i in SRC)
+
+    # a 3-band source against a 1-band reference raises
+    one_band = [r for r in ref_counts.take_all() if r["band"] == 0]
+    with pytest.raises(Exception, match="missing from the reference"):
+        sstage.match_histograms_stage(
+            rds["tiles"].filter(lambda r: r["image_id"] == "img00000005"),
+            one_band,
+        ).materialize()
