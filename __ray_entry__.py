@@ -2669,6 +2669,18 @@ def q_text_tfidf_search(sf_dir: str):
     return text.tfidf_search(ds, terms=("merge", "window", "hash"), k=25)
 
 
+def q_text_bm25(sf_dir: str):
+    """Okapi BM25 ranking (functions/text.bm25_search, k1=1.2 b=0.75 as
+    exact integer rationals): top-25 docs for the same fixed 3-term
+    query as tfidf_search — document-length normalization folded in by
+    cross-multiplication, every quantity integer.  Oracle replays the
+    identical floor-division chain in a SQL window."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.bm25_search(ds, terms=("merge", "window", "hash"), k=25)
+
+
 def q_text_rarest_term(sf_dir: str):
     """Most distinctive token per document (functions/text.rarest_term):
     distinct (doc, token) explode -> native hash join to the df table ->
@@ -3868,6 +3880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
         "text_tfidf_search": q_text_tfidf_search,
+        "text_bm25": q_text_bm25,
         "text_weighted_sample": q_text_weighted_sample,
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_int8": q_ann_topk_int8,
@@ -6012,6 +6025,44 @@ s AS (
   SELECT tf.doc_id,
          SUM(tf.tf * ((n.nd * 1000) // df.df)) AS score
   FROM tf JOIN df ON df.token = tf.token CROSS JOIN n
+  GROUP BY tf.doc_id
+),
+r AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+  FROM s WHERE score > 0
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score FROM r WHERE rk <= 25
+""",
+        "text_bm25": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+') AS ts
+  FROM documents
+),
+u AS (SELECT doc_id, unnest(ts) AS token FROM toks),
+dl AS (SELECT doc_id, len(ts) AS dl FROM toks),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+tt AS (SELECT SUM(dl) AS tt FROM dl),
+q AS (SELECT unnest(['merge', 'window', 'hash']) AS token),
+df AS (
+  SELECT u.token, COUNT(DISTINCT u.doc_id) AS df
+  FROM u JOIN q ON q.token = u.token GROUP BY u.token
+),
+tf AS (
+  SELECT u.doc_id, u.token, COUNT(*) AS tf
+  FROM u JOIN q ON q.token = u.token GROUP BY u.doc_id, u.token
+),
+s AS (
+  SELECT tf.doc_id,
+         SUM(
+           (((n.nd * 1000) // df.df) * 22 * tt.tt * tf.tf)
+           // (10 * tt.tt * tf.tf + 3 * tt.tt + 9 * dl.dl * n.nd)
+         ) AS score
+  FROM tf
+  JOIN df ON df.token = tf.token
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN n CROSS JOIN tt
   GROUP BY tf.doc_id
 ),
 r AS (

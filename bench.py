@@ -158,6 +158,7 @@ def run_bench() -> dict:
         "multimodal_augment",
         "multimodal_patchify",
         "text_tfidf_search",
+        "text_bm25",
         "text_decontaminate_bloom",
         "text_weighted_sample",
         "events_approx_distinct",

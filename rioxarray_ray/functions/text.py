@@ -716,6 +716,117 @@ def tfidf_search(ds, terms, k: int = 25, scale: int = 1000,
     return top.select_columns([id_col, "score"])
 
 
+def bm25_search(ds, terms, k: int = 25, scale: int = 1000,
+                col: str = "text", id_col: str = "doc_id"):
+    """Okapi BM25 ranking (k1 = 1.2, b = 0.75) in an INTEGER-EXACT
+    rational form, so the ranking is bit-reproducible and SQL-mirrorable:
+
+        idf(t)     = (N * scale) // df(t)              (tfidf surrogate)
+        denom(d,t) = 10*TT*tf + 3*TT + 9*dl(d)*N
+                     (= 10*TT * (tf + k1*(1 - b + b*dl/avgdl)),
+                      avgdl = TT/N folded in by cross-multiplication)
+        contrib    = (idf * 22 * TT * tf) // denom     (tf*(k1+1) scaled)
+        score(d)   = sum over query terms of contrib
+
+    All quantities integer (floor division matches DuckDB ``//``);
+    int64-safe while idf * 22 * TT * tf < 2^63 (~10^10 corpus tokens at
+    scale=1000 — beyond that lower ``scale``).  Ties break to the
+    smallest doc id.
+
+    100-TB shape: same as tfidf_search — ONE tiny aggregate computes df
+    over the fixed query vocabulary PLUS the corpus token total (folded
+    in as the reserved key '__total__', unreachable by the [a-z']+
+    tokenizer); scoring is a streaming map with a score > 0 pushdown;
+    the global top-k is the combiner top-k.  Document length dl is
+    recomputed per batch from the same single tokenize.
+    """
+    from ray.data.aggregate import Sum
+
+    from .agg import topk_per_group
+
+    terms = sorted(set(terms))
+    term_arr = pa.array(terms, pa.string())
+    n_docs = ds.count()
+    TOTAL_KEY = "__total__"
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, flat, parents, nonempty = _tokenize(batch[col])
+        out_tok = [TOTAL_KEY]
+        out_df = [int(nonempty.sum())]
+        m = pc.is_in(flat, value_set=term_arr).to_numpy(
+            zero_copy_only=False
+        ) & nonempty
+        if m.any():
+            code = pc.index_in(
+                flat.filter(pa.array(m)), value_set=term_arr
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            uniq = np.unique(parents[m] * len(terms) + code)
+            cnt = np.bincount(uniq % len(terms), minlength=len(terms))
+            for t, c in zip(terms, cnt):
+                if c:
+                    out_tok.append(t)
+                    out_df.append(int(c))
+        return pa.table(
+            {"token": pa.array(out_tok, pa.string()),
+             "df": pa.array(out_df, pa.int64())}
+        )
+
+    df_rows = (
+        ds.map_batches(df_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("df", alias_name="df"))
+        .take_all()
+    )
+    tt = 0
+    weights = np.zeros(len(terms), dtype=np.int64)
+    for r in df_rows:
+        if r["token"] == TOTAL_KEY:
+            tt = int(r["df"])
+        else:
+            weights[terms.index(r["token"])] = (n_docs * scale) // r["df"]
+    if tt == 0:
+        raise ValueError("empty corpus (zero tokens)")
+
+    def score(batch: pa.Table) -> pa.Table:
+        _, flat, parents, nonempty = _tokenize(batch[col])
+        dl = np.bincount(parents[nonempty], minlength=batch.num_rows)
+        dl = dl.astype(np.int64)
+        m = pc.is_in(flat, value_set=term_arr).to_numpy(
+            zero_copy_only=False
+        ) & nonempty
+        scores = np.zeros(batch.num_rows, dtype=np.int64)
+        if m.any():
+            code = pc.index_in(
+                flat.filter(pa.array(m)), value_set=term_arr
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            key = parents[m] * len(terms) + code
+            tf = np.bincount(key, minlength=batch.num_rows * len(terms))
+            tf = tf.reshape(batch.num_rows, len(terms)).astype(np.int64)
+            denom = 10 * tt * tf + 3 * tt + 9 * dl[:, None] * n_docs
+            contrib = np.where(
+                tf > 0,
+                (weights[None, :] * 22 * tt * tf)
+                // np.maximum(denom, 1),
+                0,
+            )
+            scores = contrib.sum(axis=1)
+        keep = scores > 0
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(keep)),
+                "score": pa.array(scores[keep], pa.int64()),
+                "_g": pa.array(np.zeros(int(keep.sum()), np.int64)),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    top = topk_per_group(scored, group_col="_g", order_col="score", k=k,
+                         descending=True, tiebreak_col=id_col)
+    return top.select_columns([id_col, "score"])
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination (the benchmark-set-too-big-to-broadcast path)
 # ---------------------------------------------------------------------------

@@ -1708,3 +1708,56 @@ def test_chunk_dedup_canonical_ownership_and_partition_invariance(ray_session):
     assert expect[1] == [expect[0][0], 0]  # exact copy keeps nothing
     assert expect[2][1] < expect[2][0]     # shared prefix partially owned
     assert 4 not in expect                 # empty doc emits no chunks
+
+
+def test_bm25_search_scoring_and_length_normalization(ray_session):
+    """BM25 scores match a per-doc integer reference; equal-tf docs rank
+    by length (shorter wins — the normalization tfidf lacks); ties break
+    to the smallest doc id."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import text
+
+    filler = " ".join(f"pad{i}" for i in range(60))
+    docs = [
+        {"doc_id": 0, "text": "alpha beta " + filler},      # long, tf=1
+        {"doc_id": 1, "text": "alpha beta"},                # short, tf=1
+        {"doc_id": 2, "text": "alpha alpha alpha"},         # tf=3
+        {"doc_id": 3, "text": "nothing relevant here"},     # score 0
+        {"doc_id": 4, "text": "alpha beta"},                # tie with 1
+    ]
+    ds = rd.from_items(docs).repartition(3)
+    got = text.bm25_search(ds, terms=("alpha", "beta"), k=10).take_all()
+    # combiner top-k guarantees membership, not emitted row order
+    got_ids = [r["doc_id"]
+               for r in sorted(got, key=lambda r: (-r["score"], r["doc_id"]))]
+
+    # integer reference
+    import re
+
+    toks = [re.findall(r"[a-z']+", d["text"].lower()) for d in docs]
+    N, TT = len(docs), sum(len(t) for t in toks)
+    terms = ["alpha", "beta"]
+    df = {t: sum(1 for tk in toks if t in tk) for t in terms}
+    exp = {}
+    for d, tk in zip(docs, toks):
+        dl, s = len(tk), 0
+        for t in terms:
+            tf = tk.count(t)
+            if tf:
+                idf = (N * 1000) // df[t]
+                s += (idf * 22 * TT * tf) // (10 * TT * tf + 3 * TT
+                                              + 9 * dl * N)
+        if s > 0:
+            exp[d["doc_id"]] = s
+    order = sorted(exp, key=lambda i: (-exp[i], i))
+    assert got_ids == order
+    scores = {r["doc_id"]: r["score"] for r in got}
+    assert scores == exp
+    assert 3 not in got_ids                      # zero-score pushdown
+    assert scores[1] > scores[0]                 # shorter doc outranks
+    assert scores[1] == scores[4]                # same text, same score
+    # k truncation keeps the top-k of (score desc, id asc)
+    top2 = {r["doc_id"] for r in text.bm25_search(
+        ds, terms=("alpha", "beta"), k=2).take_all()}
+    assert top2 == set(order[:2])
