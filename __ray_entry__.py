@@ -3515,6 +3515,49 @@ def q_embedding_semantic_clusters(sf_dir: str):
     )
 
 
+def q_embedding_lsh_near_dup(sf_dir: str):
+    """Embedding near-dup via DETERMINISTIC hyperplane LSH
+    (functions/cluster.hyperplane_lsh_near_dup): 64-plane sign signature
+    -> banded hamming-LSH candidates (the certified SimHash plan) ->
+    exact cosine verify through slim hash joins.  The corpus has no
+    hamming-close pairs, so the input PLANTS a deterministic twin for
+    every 17th vector (id + 10^6, coord 0 nudged by +5e-4 — quantizes to
+    a near-identical signature); the LSH plan must recover exactly the
+    planted pairs.  EXACT SQL oracle by composition: the same planted
+    union, the embedding_sketch SUM extended to 64 planes, sign bits
+    packed to a HUGEINT signature, the simhash segment/bucket CTEs, and
+    a literal list_cosine_similarity verify."""
+    from rioxarray_ray.functions import cluster
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(batch["embedding"]).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        d = len(flat) // max(len(ids), 1)
+        m = flat.reshape(len(ids), d)
+        twin_mask = ids % 17 == 0
+        twins = m[twin_mask].copy()
+        twins[:, 0] = twins[:, 0] + 0.0005
+        out_ids = np.concatenate([ids, ids[twin_mask] + 1_000_000])
+        out_m = np.concatenate([m, twins])
+        return pa.table(
+            {
+                "vec_id": pa.array(out_ids, pa.int64()),
+                "embedding": pa.array(list(out_m)),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return cluster.hyperplane_lsh_near_dup(
+        planted, threshold=_NEAR_DUP_TAU, bands=4, max_hamming=3
+    )
+
+
 def q_embedding_gram(sf_dir: str):
     """Distributed Gram/scatter matrix (functions/cluster.gram_matrix):
     per-batch int64 w.T@w partials over the x2-quantized embeddings ->
@@ -3889,6 +3932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_cell_rollup": q_geo_cell_rollup,
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "embedding_gram": q_embedding_gram,
+        "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "embedding_semantic_clusters": q_embedding_semantic_clusters,
         "geo_region_label": q_geo_region_label,
         "geo_sieve": q_geo_sieve,
@@ -6262,6 +6306,61 @@ SELECT doc_a, doc_b,
          AS hamming
 FROM cand
 WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+""",
+        # hyperplane LSH near-dup, composed: 64-plane signed projections
+        # (the embedding_sketch SUM over generate_series(0,63)), sign bits
+        # packed to a HUGEINT signature, the simhash segment/bucket CTEs,
+        # then a literal cosine verify
+        "embedding_lsh_near_dup": f"""
+WITH src AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_concat([CAST(embedding AS DOUBLE[])[1] + 0.0005],
+                     CAST(embedding AS DOUBLE[])[2:])
+  FROM embeddings WHERE vec_id % 17 = 0
+),
+q AS (
+  SELECT vec_id, i AS dim,
+         CAST(2 * FLOOR(1000 * v) AS BIGINT) AS w
+  FROM (SELECT vec_id, unnest(src.v) AS v,
+               generate_subscripts(src.v, 1) AS i
+        FROM src)
+),
+proj AS (
+  SELECT q.vec_id, od.od AS j,
+         SUM(q.w * (1 - 2 * (((q.dim) * (od.od + 1) * 2654435761)
+                             % 1000000007 % 2))) AS s
+  FROM q CROSS JOIN generate_series(0, 63) od(od)
+  GROUP BY q.vec_id, od.od
+),
+sh AS (
+  SELECT vec_id,
+         SUM(CASE WHEN s >= 0
+                  THEN CAST(1 AS HUGEINT) << CAST(j AS INT)
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM proj GROUP BY vec_id
+),
+segs AS (
+  SELECT vec_id, u, k.band,
+         CAST((u // (CAST(1 AS HUGEINT) << CAST(16 * k.band AS INT))) % 65536
+              AS BIGINT) AS bucket
+  FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band) k
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b, l.u AS ua, r.u AS ub
+  FROM segs l JOIN segs r ON l.band = r.band AND l.bucket = r.bucket
+                         AND l.vec_id < r.vec_id
+),
+ham AS (
+  SELECT vec_a, vec_b FROM cand
+  WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+)
+SELECT h.vec_a, h.vec_b
+FROM ham h
+JOIN src ea ON ea.vec_id = h.vec_a
+JOIN src eb ON eb.vec_id = h.vec_b
+WHERE list_cosine_similarity(ea.v, eb.v) >= {_NEAR_DUP_TAU}e0
 """,
         # same x2-quantization as kmedians; sign = product hash parity
         "embedding_sketch": """

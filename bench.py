@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "geo_equalize",
         "events_interval_orders",
         "embedding_semantic_dedup",
+        "embedding_lsh_near_dup",
         "geo_region_label",
         "geo_sieve",
         "geo_proximity",

@@ -338,3 +338,161 @@ def pca_components(gram_rows, d: int, k: int):
     vals, vecs = np.linalg.eigh(g)
     order = np.argsort(vals)[::-1][:k]
     return vals[order], vecs[:, order]
+
+
+def hyperplane_signature_batch(
+    batch: pa.Table,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> pa.Table:
+    """64-bit hyperplane sign signature per vector — bit j = 1 iff the
+    signed-projection coordinate j is >= 0 (the :func:`signed_projection_batch`
+    sketch extended to 64 deterministic ±1 planes; integer projections, so
+    the >= 0 decision is exact and SQL-replicable).  Cosine-similar
+    vectors agree on most planes (Charikar 2002), so the signature feeds
+    the same banded hamming-LSH plan as SimHash/aHash."""
+    w = _quantized_matrix(batch, col)
+    n, d = w.shape if w.size else (batch.num_rows, 0)
+    i = np.arange(d, dtype=np.int64)[:, None]
+    j = np.arange(64, dtype=np.int64)[None, :]
+    signs = 1 - 2 * ((((i + 1) * (j + 1) * 2654435761) % 1000000007) % 2)
+    y = w @ signs if d else np.zeros((n, 64), np.int64)
+    bits = (y >= 0).astype(np.uint64)
+    sig = (bits << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return pa.table(
+        {
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "hsig": pa.array(sig.view(np.int64), pa.int64()),
+        }
+    )
+
+
+def hyperplane_lsh_near_dup(
+    ds,
+    threshold: float,
+    bands: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Embedding near-dup via DETERMINISTIC hyperplane LSH — the
+    bit-reproducible scale path for candidate generation:
+
+    1. 64-bit hyperplane sign signature per vector (one int64 matmul per
+       batch, payload never shuffles);
+    2. banded hamming-LSH candidates (``dedup.banded_hamming_candidates``
+       — the certified SimHash plan, factored generic over any 64-bit
+       signature);
+    3. exact cosine verify: candidate pairs re-join the embedding table
+       twice (slim hash joins bounded by the candidate count), keep
+       cosine >= threshold.
+
+    vs ``dedup.embedding_near_dup`` (random-plane buckets, seeded RNG):
+    this plan is closed-form end to end, so a DuckDB oracle replays the
+    signature, the banding AND the verify bit for bit.  Recall < 1 by
+    design (pairs hamming-far in signature space are never examined) —
+    the exact blocked plan remains the recall-1 path.
+    """
+    from .dedup import banded_hamming_candidates
+
+    sig = ds.map_batches(
+        lambda b: hyperplane_signature_batch(b, id_col=id_col, col=col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cand = banded_hamming_candidates(
+        sig, id_col=id_col, hash_col="hsig",
+        max_hamming=max_hamming, bands=bands,
+    )
+
+    def as_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_a": pc.cast(batch["doc_a"], pa.int64()),
+                "vec_b": pc.cast(batch["doc_b"], pa.int64()),
+            }
+        )
+
+    # repartition: groupby-emitted zero-column empty blocks poison hash
+    # joins (see dedup.chunk_dedup); the sentinel row keeps the join
+    # inputs non-empty (Ray's hash join errors on a fully-empty side —
+    # vec ids are non-negative, so (-1, -1) can never inner-match)
+    import ray.data as rd
+
+    sentinel = rd.from_arrow(
+        pa.table({"vec_a": pa.array([-1], pa.int64()),
+                  "vec_b": pa.array([-1], pa.int64())})
+    )
+    pairs = cand.map_batches(
+        as_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(sentinel).repartition(8)
+
+    def side(name):
+        # Ray's hash join rejects list<> non-key fields — the vectors
+        # ride the join as little-endian float64 BINARY payloads.  Each
+        # batch appends its own id=-1 zero-vector sentinel so the pair
+        # sentinel inner-matches and every join stage stays non-empty
+        # (cos(0, 0) = 0 < threshold drops them all in verify).
+        def ren(batch: pa.Table) -> pa.Table:
+            from .ann import _embedding_matrix
+
+            if batch.num_rows == 0:
+                return pa.table(
+                    {name: pa.array([], pa.int64()),
+                     f"emb_{name}": pa.array([], pa.binary())}
+                )
+            m = _embedding_matrix(batch, col)
+            d = m.shape[1]
+            ids = np.concatenate(
+                [batch[id_col].to_numpy(zero_copy_only=False)
+                 .astype(np.int64), [-1]]
+            )
+            payloads = [row.astype("<f8").tobytes() for row in m]
+            payloads.append(np.zeros(d, "<f8").tobytes())
+            return pa.table(
+                {
+                    name: pa.array(ids, pa.int64()),
+                    f"emb_{name}": pa.array(payloads, pa.binary()),
+                }
+            )
+
+        return ren
+
+    ea = ds.map_batches(side("vec_a"), batch_format="pyarrow",
+                        zero_copy_batch=True).repartition(8)
+    eb = ds.map_batches(side("vec_b"), batch_format="pyarrow",
+                        zero_copy_batch=True).repartition(8)
+    joined = pairs.join(ea, "inner", 8, on=("vec_a",)).join(
+        eb, "inner", 8, on=("vec_b",)
+    )
+
+    def _mat(colv) -> np.ndarray:
+        flat = np.frombuffer(
+            b"".join(colv.to_pylist() or [b""]), dtype="<f8"
+        )
+        return flat.reshape(len(colv), -1) if len(colv) else flat.reshape(0, 1)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()),
+                 "vec_b": pa.array([], pa.int64())}
+            )
+        from .ann import _normalize
+
+        a = _normalize(_mat(batch["emb_vec_a"].combine_chunks()))
+        b = _normalize(_mat(batch["emb_vec_b"].combine_chunks()))
+        cos = np.einsum("ij,ij->i", a, b)
+        real = batch["vec_a"].to_numpy(zero_copy_only=False) >= 0
+        keep = pa.array((cos >= threshold) & real)
+        return pa.table(
+            {
+                "vec_a": batch["vec_a"].filter(keep),
+                "vec_b": batch["vec_b"].filter(keep),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pyarrow",
+                              zero_copy_batch=True)

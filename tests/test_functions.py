@@ -1761,3 +1761,60 @@ def test_bm25_search_scoring_and_length_normalization(ray_session):
     top2 = {r["doc_id"] for r in text.bm25_search(
         ds, terms=("alpha", "beta"), k=2).take_all()}
     assert top2 == set(order[:2])
+
+
+def test_hyperplane_lsh_near_dup_planted_pairs(ray_session):
+    """The deterministic hyperplane-LSH plan recovers planted
+    near-identical twins, signatures match a brute-force replay, far
+    vectors produce no pairs, and output is partition-invariant."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rioxarray_ray.functions import cluster
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 64))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+    for i in (0, 7, 21):  # planted twins, tiny nudge
+        tw = base[i].copy()
+        tw[0] += 0.0005
+        rows.append({"vec_id": 1000 + i, "embedding": tw.tolist()})
+
+    # brute-force signature replay (independent of the engine code path)
+    def sig_of(v):
+        w = 2 * np.floor(1000 * np.asarray(v, np.float64)).astype(np.int64)
+        i = np.arange(64, dtype=np.int64)[:, None]
+        j = np.arange(64, dtype=np.int64)[None, :]
+        signs = 1 - 2 * ((((i + 1) * (j + 1) * 2654435761)
+                          % 1000000007) % 2)
+        y = w @ signs
+        return int(((y >= 0).astype(np.uint64)
+                    << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+    got_sig = {
+        r["vec_id"]: np.int64(r["hsig"]).view(np.uint64)
+        for r in rd.from_items(rows).map_batches(
+            cluster.hyperplane_signature_batch, batch_format="pyarrow"
+        ).take_all()
+    }
+    for r in rows:
+        assert int(got_sig[r["vec_id"]]) == sig_of(r["embedding"])
+
+    expect = {(i, 1000 + i) for i in (0, 7, 21)}
+    for nparts in (1, 4):
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in cluster.hyperplane_lsh_near_dup(
+                rd.from_items(rows).repartition(nparts), threshold=0.95
+            ).take_all()
+        }
+        # planted twins are hamming-0 by construction here: assert exact
+        assert got == expect
+
+    # empty candidate set (all vectors far apart): no rows, no crash
+    none = cluster.hyperplane_lsh_near_dup(
+        rd.from_items(rows[:10]), threshold=0.95
+    ).take_all()
+    assert none == []
