@@ -3385,6 +3385,79 @@ def q_geo_sieve(sf_dir: str):
     return sieved.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_focal_mode(sf_dir: str):
+    """Focal MAJORITY filter (stages/focal.focal_mode_stage — the
+    categorical-smoothing focal statistic: windowed most-frequent valid
+    value, ties to the smallest), zero-shuffle over halo'd tiles.  EXACT
+    SQL oracle: the focal-mean shift->groupby pattern extended with a
+    per-(pixel, value) count and a (count DESC, value ASC) window rank;
+    per-(image, band) integer checksums incl. position-weighted."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import focal as fstage
+    from rioxarray_ray.stages import tile as tstage
+
+    n = min(_ndocs(sf_dir), 16)
+    ds = fpipe.read_corpus(n, override_num_blocks=8)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    small = ds.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tiles = tstage.tile_stage(
+        dstage.decode_stage(small), tile_size=_TILE, cell_res=_CELL_RES,
+        halo=1,
+    )
+    rows = fstage.focal_mode_stage(tiles, radius=1)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "band": [], "n_valid": [], "sum_mode": [],
+               "wsum_mode": [], "sum_nmodal": []}
+        ids = batch["image_id"].to_pylist()
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        ro = batch["win_row_off"].to_numpy(zero_copy_only=False)
+        co = batch["win_col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        mc = batch["mode"].combine_chunks()
+        nc = batch["n_modal"].combine_chunks()
+        vc = batch["valid"].combine_chunks()
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            m = np.asarray(mc[i].values, np.int64).reshape(h, w)
+            nm = np.asarray(nc[i].values, np.int64).reshape(h, w)
+            v = np.asarray(vc[i].values, bool).reshape(h, w)
+            gr = np.arange(h, dtype=np.int64)[:, None] + int(ro[i])
+            gc = np.arange(w, dtype=np.int64)[None, :] + int(co[i])
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            out["image_id"].append(ids[i])
+            out["band"].append(int(bands[i]))
+            out["n_valid"].append(int(v.sum()))
+            out["sum_mode"].append(int(m[v].sum()))
+            out["wsum_mode"].append(int((m[v] * wgt[v]).sum()))
+            out["sum_nmodal"].append(int(nm[v].sum()))
+        return pa.Table.from_pydict(
+            {k: pa.array(out[k],
+                         pa.string() if k == "image_id" else pa.int64())
+             for k in out}
+        )
+
+    from ray.data.aggregate import Sum
+
+    partial = rows.map_batches(summarize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return partial.groupby(["image_id", "band"]).aggregate(
+        Sum("n_valid", alias_name="n_valid"),
+        Sum("sum_mode", alias_name="sum_mode"),
+        Sum("wsum_mode", alias_name="wsum_mode"),
+        Sum("sum_nmodal", alias_name="sum_nmodal"),
+    )
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -3937,6 +4010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_region_label": q_geo_region_label,
         "geo_sieve": q_geo_sieve,
         "geo_proximity": q_geo_proximity,
+        "geo_focal_mode": q_geo_focal_mode,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -4796,6 +4870,41 @@ SELECT image_id, CAST(b AS INT) AS band,
        CAST(SUM(fcnt) AS BIGINT) AS sum_fcnt,
        CAST(SUM(fsum * ((r * 1315423911 + c * 2654435761) % 1000003))
             AS BIGINT) AS wsum_fsum
+FROM nbr GROUP BY 1, 2
+""",
+        "geo_focal_mode": f"""
+WITH {_allpx_cte("doc_id < 16 AND doc_id % 7 <> 6")},
+offs AS (
+  SELECT dr.dr, dc.dc
+  FROM (SELECT unnest(range(-1, 2)) AS dr) dr,
+       (SELECT unnest(range(-1, 2)) AS dc) dc
+),
+shifted AS (
+  SELECT idx, b, r + o.dr AS r, c + o.dc AS c, px
+  FROM allpx CROSS JOIN offs o
+),
+vcount AS (
+  SELECT idx, b, r, c, px AS v, COUNT(*) AS n
+  FROM shifted GROUP BY 1, 2, 3, 4, 5
+),
+winner AS (
+  SELECT idx, b, r, c, v, n,
+         row_number() OVER (PARTITION BY idx, b, r, c
+                            ORDER BY n DESC, v ASC) AS rk
+  FROM vcount
+),
+nbr AS (
+  SELECT a.image_id, a.b, a.r, a.c, wn.v AS mode, wn.n AS n_modal
+  FROM allpx a JOIN winner wn
+    ON wn.idx = a.idx AND wn.b = a.b AND wn.r = a.r AND wn.c = a.c
+   AND wn.rk = 1
+)
+SELECT image_id, CAST(b AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_valid,
+       CAST(SUM(mode) AS BIGINT) AS sum_mode,
+       CAST(SUM(mode * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_mode,
+       CAST(SUM(n_modal) AS BIGINT) AS sum_nmodal
 FROM nbr GROUP BY 1, 2
 """,
         "geo_composite_median": f"""

@@ -146,6 +146,7 @@ def run_bench() -> dict:
         "geo_composite_median",
         "geo_change_crosstab",
         "geo_focal_mean",
+        "geo_focal_mode",
         "geo_point_sample",
         "geo_histogram",
         "geo_band_math",

@@ -273,3 +273,123 @@ def terrain_stage(tiles_ds, z_factor: float = 1.0, azimuth: float = 315.0,
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return tiles_ds.map_batches(run, **kwargs)
+
+
+MODE_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("band", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("mode", pa.list_(pa.int64())),
+        ("n_modal", pa.list_(pa.int32())),
+        ("valid", pa.list_(pa.bool_())),
+    ]
+)
+
+_MODE_PAD = np.int64(1) << 62  # sorts after every real value
+
+
+def focal_mode(values: np.ndarray, vm: np.ndarray, radius: int):
+    """Windowed MAJORITY of valid pixels (Chebyshev ``radius``), ties to
+    the SMALLEST value — the focal-statistics MAJORITY / categorical
+    smoothing kernel.  Fully vectorized: the (2r+1)^2 shifted layers are
+    sorted along the stack axis (invalid -> +inf sentinel), run lengths
+    fold in one pass over the <= (2r+1)^2 layers, and the lexicographic
+    (count desc, value asc) winner is tracked with elementwise compares.
+
+    Returns (mode int64, n_modal int64) — undefined (0 count) where the
+    window holds no valid pixel."""
+    b, h, w = values.shape
+    k = 2 * radius + 1
+    stack = np.full((k * k, b, h, w), _MODE_PAD, np.int64)
+    i = 0
+    for dr in range(-radius, radius + 1):
+        for dc in range(-radius, radius + 1):
+            rs = slice(max(dr, 0), h + min(dr, 0))
+            rd = slice(max(-dr, 0), h + min(-dr, 0))
+            cs = slice(max(dc, 0), w + min(dc, 0))
+            cd = slice(max(-dc, 0), w + min(-dc, 0))
+            layer = stack[i]
+            layer[:, rd, cd] = np.where(
+                vm[:, rs, cs], values[:, rs, cs].astype(np.int64),
+                _MODE_PAD,
+            )
+            i += 1
+    stack.sort(axis=0)
+    best_val = np.full((b, h, w), _MODE_PAD, np.int64)
+    best_len = np.zeros((b, h, w), np.int64)
+    run = np.zeros((b, h, w), np.int64)
+    prev = np.full((b, h, w), _MODE_PAD, np.int64)
+    for layer in stack:
+        real = layer < _MODE_PAD
+        run = np.where(real & (layer == prev), run + 1,
+                       np.where(real, 1, 0))
+        prev = layer
+        better = (run > best_len) | ((run == best_len) & (layer < best_val))
+        better &= real
+        best_val = np.where(better, layer, best_val)
+        best_len = np.where(better, run, best_len)
+    return best_val, best_len
+
+
+def focal_mode_stage(tiles_ds, radius: int = 1, **map_kwargs):
+    """Per-pixel focal majority over every tile's core region (same
+    zero-shuffle halo contract as focal_mean_stage).  One row per
+    (tile, band) with core-sized ``mode``/``n_modal``/``valid`` payloads;
+    ``valid`` marks centers that are themselves valid AND whose window
+    holds at least one valid pixel (always true when the center is)."""
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in MODE_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            cr, cc = row["core_roff"], row["core_coff"]
+            ch, cw = row["core_h"], row["core_w"]
+            for off, name in ((cr, "row"), (cc, "col")):
+                if off < radius and row[f"win_{name}_off"] != off:
+                    raise ValueError(
+                        f"focal radius {radius} needs tiles cut with "
+                        f"halo >= {radius} (stages/tile.py tile_stage "
+                        f"halo=...); got a {off}-px {name} margin"
+                    )
+            nod = row["nodata"]
+            if nod != nod:
+                nod = (
+                    None
+                    if np.dtype(row["dtype"]).kind in "iu"
+                    else float("nan")
+                )
+            vm = valid_mask(pixels, nod)
+            mode, n_modal = focal_mode(pixels, vm, radius)
+            sl = np.s_[:, cr : cr + ch, cc : cc + cw]
+            mode, n_modal, core_vm = mode[sl], n_modal[sl], vm[sl]
+            mode = np.where(core_vm, mode, 0)
+            for b in range(pixels.shape[0]):
+                out["image_id"].append(row["image_id"])
+                out["tile_row"].append(row["tile_row"])
+                out["tile_col"].append(row["tile_col"])
+                out["band"].append(b)
+                out["win_row_off"].append(row["win_row_off"])
+                out["win_col_off"].append(row["win_col_off"])
+                out["h"].append(ch)
+                out["w"].append(cw)
+                out["mode"].append(mode[b].ravel())
+                out["n_modal"].append(
+                    n_modal[b].ravel().astype(np.int32)
+                )
+                out["valid"].append(core_vm[b].ravel())
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in MODE_SCHEMA],
+            schema=MODE_SCHEMA,
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(run, **kwargs)

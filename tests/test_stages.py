@@ -2678,3 +2678,75 @@ def test_match_histograms_closest_rank(rds):
             rds["tiles"].filter(lambda r: r["image_id"] == "img00000005"),
             one_band,
         ).materialize()
+
+
+def test_focal_mode_tiled_equals_whole_image(ray_session):
+    """Halo'd tiled focal majority == whole-image focal_mode, every
+    pixel, incl. a 3-band image and nodata discs; tie rule = smallest
+    value (verified separately against a Counter brute force in the
+    kernel's own checks)."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import decode, focal, tile
+
+    ids = [0, 3, 8]
+    ds = rd.from_arrow(corpus.corpus_table(ids))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64, halo=1)
+    rows = focal.focal_mode_stage(tiles, radius=1, concurrency=2).take_all()
+    assert rows
+
+    for idx in ids:
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        m_ref, n_ref = focal.focal_mode(ras.pixels, vm, 1)
+        seen = np.zeros(ras.pixels.shape, dtype=bool)
+        for r in rows:
+            if r["image_id"] != corpus.image_id(idx):
+                continue
+            b = r["band"]
+            h, w, r0, c0 = r["h"], r["w"], r["win_row_off"], r["win_col_off"]
+            m = np.asarray(r["mode"]).reshape(h, w)
+            nm = np.asarray(r["n_modal"]).reshape(h, w)
+            v = np.asarray(r["valid"]).reshape(h, w)
+            core_vm = vm[b, r0 : r0 + h, c0 : c0 + w]
+            assert np.array_equal(v, core_vm)
+            assert np.array_equal(
+                m[v], m_ref[b, r0 : r0 + h, c0 : c0 + w][core_vm]
+            )
+            assert np.array_equal(
+                nm[v], n_ref[b, r0 : r0 + h, c0 : c0 + w][core_vm]
+            )
+            seen[b, r0 : r0 + h, c0 : c0 + w] = True
+        assert seen.all()
+
+
+def test_focal_mode_matches_counter_bruteforce():
+    """Kernel-level: focal_mode equals a Counter-based reference with
+    the (count desc, value asc) tie rule on randomized categorical
+    rasters with holes."""
+    from collections import Counter
+
+    from rioxarray_ray.stages.focal import focal_mode
+
+    rng = np.random.default_rng(19)
+    for _ in range(10):
+        h, w = rng.integers(2, 10, 2)
+        v = rng.integers(-3, 3, (2, h, w))
+        vm = rng.random((2, h, w)) > 0.25
+        mode, nm = focal_mode(v, vm, 1)
+        for b in range(2):
+            for r in range(h):
+                for c in range(w):
+                    vals = [
+                        int(v[b, rr, cc])
+                        for rr in range(max(r - 1, 0), min(r + 2, h))
+                        for cc in range(max(c - 1, 0), min(c + 2, w))
+                        if vm[b, rr, cc]
+                    ]
+                    if not vals:
+                        assert nm[b, r, c] == 0
+                        continue
+                    best = sorted(Counter(vals).items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[0]
+                    assert (mode[b, r, c], nm[b, r, c]) == best
