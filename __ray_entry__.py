@@ -3313,6 +3313,38 @@ def q_geo_zorder_layout(sf_dir: str):
                                batch_size=None)
 
 
+def q_text_shuffle(sf_dir: str):
+    """Deterministic pretraining-order shuffle
+    (functions/sample.deterministic_shuffle): range-partitioned
+    distributed sort on the content-stable md5 rank — reproducible
+    epoch shuffling with no RNG state.  The gate takes the first 512
+    docs of the global order and checks EVERY rank (same pattern as
+    geo_zorder_layout) against DuckDB's row_number over
+    md5_number_upper."""
+    from rioxarray_ray.functions import sample
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ordered = (
+        sample.deterministic_shuffle(ds, key_col="doc_id", seed=7)
+        .limit(512)
+        .repartition(1)
+    )
+
+    def rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "rank": pa.array(
+                    np.arange(1, batch.num_rows + 1), pa.int64()
+                ),
+            }
+        )
+
+    # single 512-row block after limit+repartition(1): arange = global rank
+    return ordered.map_batches(rank, batch_format="pyarrow",
+                               batch_size=None)
+
+
 def q_embedding_semantic_dedup(sf_dir: str):
     """SemDeDup-style semantic near-dup (functions/cluster.
     semantic_dedup_pairs): k-medians clustering first, then
@@ -3982,6 +4014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_sample": q_text_sample,
+        "text_shuffle": q_text_shuffle,
         "text_stratified_sample": q_text_stratified_sample,
         "text_token_topk": q_text_token_topk,
         "image_ahash": q_image_ahash,
@@ -5855,6 +5888,16 @@ SELECT doc_id,
        END AS n_tokens
 FROM documents
 WHERE md5_number_upper('7:' || CAST(doc_id AS VARCHAR)) % 1000 < 200
+""",
+        "text_shuffle": """
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5_number_upper('7:' || CAST(doc_id AS VARCHAR)),
+                    doc_id) AS rank
+  FROM documents
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 512
 """,
         "text_stratified_sample": """
 WITH d AS (

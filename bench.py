@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "text_bm25",
         "text_decontaminate_bloom",
         "text_weighted_sample",
+        "text_shuffle",
         "events_approx_distinct",
         "events_cms",
         "events_funnel",

@@ -210,3 +210,32 @@ def weighted_sample(ds, rates_permille: dict, group_col: str = "source",
         return batch.filter(pa.array(hv < row_rate))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def deterministic_shuffle(ds, key_col: str = "doc_id", seed: int = 0):
+    """Deterministic pretraining-order shuffle: a RANGE-PARTITIONED
+    distributed sort on the content-stable md5 rank
+    (``rank_u64(f"{seed}:{key}")``) — the epoch-shuffle step of a
+    training-data pipeline, reproducible across runs/partitionings (no
+    RNG state; changing ``seed`` re-deals the whole order, and a resumed
+    job re-derives the identical order).  Ties (md5 collisions) break on
+    the key itself.
+
+    Unlike ``ds.random_shuffle()`` (seeded but all-to-all over opaque
+    state) this is the SQL-mirrorable shuffle — rank and order replay in
+    DuckDB via ``md5_number_upper``.  Shuffle volume = one global sort;
+    at 100 TB use it exactly once as the final write-ordering pass.
+    """
+
+    def with_rank(batch: pa.Table) -> pa.Table:
+        u = rank_u64(
+            batch[key_col].combine_chunks()
+            if isinstance(batch[key_col], pa.ChunkedArray)
+            else batch[key_col],
+            seed,
+        )
+        return batch.append_column("shuffle_key", pa.array(u, pa.uint64()))
+
+    return ds.map_batches(
+        with_rank, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["shuffle_key", key_col])

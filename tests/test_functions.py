@@ -1818,3 +1818,42 @@ def test_hyperplane_lsh_near_dup_planted_pairs(ray_session):
         rd.from_items(rows[:10]), threshold=0.95
     ).take_all()
     assert none == []
+
+
+def test_deterministic_shuffle_reproducible_and_seeded(ray_session):
+    """Same seed + any partitioning => identical order; different seed
+    => different order; order matches a local md5-rank sort."""
+    import hashlib
+
+    import ray.data as rd
+
+    from rioxarray_ray.functions import sample
+
+    rows = [{"doc_id": i} for i in range(97)]
+
+    def local_order(seed):
+        def u(i):
+            return int.from_bytes(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "little"
+            )
+
+        return [i for i in sorted(range(97), key=lambda i: (u(i), i))]
+
+    orders = []
+    for nparts in (1, 5):
+        got = [
+            r["doc_id"]
+            for r in sample.deterministic_shuffle(
+                rd.from_items(rows).repartition(nparts), seed=3
+            ).take_all()
+        ]
+        assert got == local_order(3)
+        orders.append(got)
+    assert orders[0] == orders[1]
+    other = [
+        r["doc_id"]
+        for r in sample.deterministic_shuffle(
+            rd.from_items(rows), seed=4
+        ).take_all()
+    ]
+    assert other == local_order(4) and other != orders[0]
