@@ -3490,6 +3490,49 @@ def q_geo_focal_mode(sf_dir: str):
     )
 
 
+def q_geo_percentile_stretch(sf_dir: str):
+    """Percentile contrast stretch (stages/stats.percentile_stretch_stage
+    — the 2-98%% cumulative-count-cut normalization, integerized with
+    percentile_disc rank bounds).  Same ONE-groupby(image_id) shape and
+    oracle pattern as geo_equalize: DuckDB derives the rank bounds from
+    a cumulative window and replays the clip((v-lo)*255//(hi-lo))
+    floor-division chain per pixel."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 64)
+    out = sstage.percentile_stretch_stage(small, lo_permille=20,
+                                          hi_permille=980)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = []
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            vm = valid_mask(px, r["nodata"])
+            for b in range(px.shape[0]):
+                m = vm[b]
+                if not m.any():
+                    continue
+                wt = 1 + ((np.arange(px.shape[1])[:, None] % 64) * 64
+                          + (np.arange(px.shape[2])[None, :] % 64)) % 97
+                v = px[b].astype(np.int64)
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "tile_row": int(r["tile_row"]),
+                        "tile_col": int(r["tile_col"]),
+                        "band": b,
+                        "n": int(m.sum()),
+                        "ssum": int(v[m].sum()),
+                        "swsum": int((v[m] * wt[m]).sum()),
+                    }
+                )
+        return pa.Table.from_pylist(rows)
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -4044,6 +4087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_sieve": q_geo_sieve,
         "geo_proximity": q_geo_proximity,
         "geo_focal_mode": q_geo_focal_mode,
+        "geo_percentile_stretch": q_geo_percentile_stretch,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -5143,6 +5187,40 @@ SELECT image_id,
        CAST(SUM(eq) AS BIGINT) AS esum,
        CAST(SUM(eq * wt) AS BIGINT) AS ewsum
 FROM eqpx GROUP BY image_id, tile_row, tile_col, b
+""",
+        "geo_percentile_stretch": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+ranked AS (
+  SELECT idx, image_id, b, r, c, px,
+         COUNT(*) OVER (PARTITION BY idx, b ORDER BY px
+                        RANGE BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cle,
+         COUNT(*) OVER (PARTITION BY idx, b) AS n
+  FROM allpx
+),
+bounds AS (
+  SELECT idx, b,
+         MIN(CASE WHEN cle >= GREATEST(1, (20 * n + 999) // 1000)
+                  THEN px END) AS lo,
+         MIN(CASE WHEN cle >= GREATEST(1, (980 * n + 999) // 1000)
+                  THEN px END) AS hi
+  FROM ranked GROUP BY idx, b
+),
+spx AS (
+  SELECT p.image_id, p.b, p.r // 64 AS tile_row, p.c // 64 AS tile_col,
+         GREATEST(0, LEAST(255,
+           ((p.px - d.lo) * 255) // GREATEST(d.hi - d.lo, 1))) AS sv,
+         1 + ((p.r % 64) * 64 + (p.c % 64)) % 97 AS wt
+  FROM allpx p JOIN bounds d ON d.idx = p.idx AND d.b = p.b
+)
+SELECT image_id,
+       CAST(tile_row AS BIGINT) AS tile_row,
+       CAST(tile_col AS BIGINT) AS tile_col,
+       CAST(b AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(sv) AS BIGINT) AS ssum,
+       CAST(SUM(sv * wt) AS BIGINT) AS swsum
+FROM spx GROUP BY image_id, tile_row, tile_col, b
 """,
         "geo_band_stats": f"""
 WITH {_allpx_cte("doc_id < 96 AND doc_id % 7 <> 6")}

@@ -190,6 +190,7 @@ def run_bench() -> dict:
         "geo_zorder_layout",
         "geo_band_stats",
         "geo_equalize",
+        "geo_percentile_stretch",
         "events_interval_orders",
         "embedding_semantic_dedup",
         "embedding_lsh_near_dup",

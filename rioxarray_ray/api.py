@@ -674,6 +674,17 @@ class RasterDataset:
             self.ds, threshold=threshold, min_size=min_size, **kwargs
         ))
 
+    def percentile_stretch(self, lo_permille: int = 20,
+                           hi_permille: int = 980, **kwargs):
+        """2-98%-style percentile contrast stretch (cumulative count
+        cut), integer-exact."""
+        from .stages import stats as stats_stage_mod
+
+        return self._wrap(stats_stage_mod.percentile_stretch_stage(
+            self.ds, lo_permille=lo_permille, hi_permille=hi_permille,
+            **kwargs
+        ))
+
     def match_histograms(self, ref_counts, fill: int = -1, **kwargs):
         """Remap every image's distribution onto a reference
         (band, value, n) distribution — integer closest-rank rule."""

@@ -974,3 +974,77 @@ def match_histograms_stage(tiles_ds, ref_counts, fill: int = -1,
     return tiles_ds.groupby("image_id").map_groups(
         match_group, batch_format="pyarrow", **map_kwargs
     )
+
+
+def percentile_stretch_stage(tiles_ds, lo_permille: int = 20,
+                             hi_permille: int = 980, levels: int = 255,
+                             fill: int = -1, **map_kwargs):
+    """Per-image percentile contrast stretch — the classic 2-98%
+    remote-sensing normalization (QGIS "cumulative count cut" / GDAL
+    ``gdal_translate -scale`` with percentile bounds), integerized so the
+    rule is bit-reproducible and SQL-mirrorable:
+
+        lo = value at 1-indexed rank max(1, ceil(lo_permille/1000 * n))
+        hi = value at rank max(1, ceil(hi_permille/1000 * n))
+        out(v) = clip((v - lo) * levels // max(hi - lo, 1), 0, levels)
+
+    (percentile_disc rank semantics, the same rule as
+    ``sample.quantiles_disc``; constant bands map to 0; nodata -> fill.)
+
+    100-TB shape: image-global order statistics via the equalize_stage
+    co-shuffle (ONE groupby(image_id)); per-band bounds from one
+    np.unique + cumsum + searchsorted, applied vectorized per tile.
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import TILE_SCHEMA, pixel_views, pixels_to_bytes
+
+    if not 0 <= lo_permille < hi_permille <= 1000:
+        raise ValueError("need 0 <= lo_permille < hi_permille <= 1000")
+
+    def stretch_group(group: pa.Table) -> pa.Table:
+        meta = group.drop_columns(["pixels"]).to_pylist()
+        views = list(pixel_views(group))
+        n_bands = views[0].shape[0] if views else 0
+        vms = [valid_mask(px, _row_nodata(row))
+               for row, px in zip(meta, views)]
+        bounds: list[tuple[int, int]] = []
+        for b in range(n_bands):
+            allv = np.concatenate(
+                [px[b][vm[b]].ravel() for px, vm in zip(views, vms)]
+            ) if views else np.empty(0, np.int64)
+            if allv.size == 0:
+                bounds.append((0, 0))
+                continue
+            vals, counts = np.unique(allv.astype(np.int64),
+                                     return_counts=True)
+            cle = np.cumsum(counts)
+            n = int(cle[-1])
+            ranks = []
+            for pm in (lo_permille, hi_permille):
+                target = max(1, -(-pm * n // 1000))  # ceil
+                ranks.append(int(vals[np.searchsorted(cle, target)]))
+            bounds.append((ranks[0], ranks[1]))
+        out: dict[str, list] = {name: [] for name in TILE_SCHEMA.names}
+        for row, px, vm in zip(meta, views, vms):
+            burned = np.full(px.shape, np.int32(fill), np.int32)
+            for b in range(px.shape[0]):
+                lo, hi = bounds[b]
+                m = vm[b]
+                v = px[b][m].astype(np.int64)
+                burned[b][m] = np.clip(
+                    (v - lo) * levels // max(hi - lo, 1), 0, levels
+                ).astype(np.int32)
+            for name in TILE_SCHEMA.names:
+                if name == "pixels":
+                    out[name].append(pixels_to_bytes(burned))
+                elif name == "dtype":
+                    out[name].append("int32")
+                elif name == "nodata":
+                    out[name].append(float(fill))
+                else:
+                    out[name].append(row[name])
+        return pa.Table.from_pydict(out, schema=TILE_SCHEMA)
+
+    return tiles_ds.groupby("image_id").map_groups(
+        stretch_group, batch_format="pyarrow", **map_kwargs
+    )

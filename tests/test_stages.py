@@ -2750,3 +2750,67 @@ def test_focal_mode_matches_counter_bruteforce():
                     best = sorted(Counter(vals).items(),
                                   key=lambda kv: (-kv[1], kv[0]))[0]
                     assert (mode[b, r, c], nm[b, r, c]) == best
+
+
+def test_percentile_stretch_rank_bounds_and_clip(rds):
+    """Stretched pixels equal a brute-force percentile_disc-rank stretch
+    (image-global bounds, outliers clipped to [0, 255]); contract
+    errors on bad permille ordering."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    KEEP = {"img00000000", "img00000003"}
+    src: dict = {}
+    for batch in rds["tiles"].iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            if row["image_id"] not in KEEP:
+                continue
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            src.setdefault(row["image_id"], {})[
+                (row["tile_row"], row["tile_col"])
+            ] = (px.copy(), valid_mask(px, nod))
+
+    bounds: dict = {}
+    for iid, tiles in src.items():
+        nb = next(iter(tiles.values()))[0].shape[0]
+        bounds[iid] = []
+        for b in range(nb):
+            allv = np.sort(np.concatenate(
+                [px[b][vm[b]].ravel() for px, vm in tiles.values()]
+            ).astype(np.int64))
+            n = len(allv)
+            lo = allv[max(1, -(-20 * n // 1000)) - 1]
+            hi = allv[max(1, -(-980 * n // 1000)) - 1]
+            bounds[iid].append((int(lo), int(hi)))
+
+    ds = rds["tiles"].filter(lambda r: r["image_id"] in KEEP)
+    out = sstage.percentile_stretch_stage(ds, lo_permille=20,
+                                          hi_permille=980)
+    checked = 0
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            spx, svm = src[row["image_id"]][
+                (row["tile_row"], row["tile_col"])
+            ]
+            for b in range(px.shape[0]):
+                lo, hi = bounds[row["image_id"]][b]
+                m = svm[b]
+                expect = np.full(spx[b].shape, -1, np.int64)
+                expect[m] = np.clip(
+                    (spx[b][m].astype(np.int64) - lo) * 255
+                    // max(hi - lo, 1), 0, 255,
+                )
+                np.testing.assert_array_equal(px[b].astype(np.int64),
+                                              expect)
+                assert px[b][m].min() >= 0 and px[b][m].max() <= 255
+            checked += 1
+    assert checked == sum(len(t) for t in src.values())
+
+    with pytest.raises(ValueError, match="permille"):
+        sstage.percentile_stretch_stage(ds, lo_permille=980,
+                                        hi_permille=20)
