@@ -2681,6 +2681,18 @@ def q_text_bm25(sf_dir: str):
     return text.bm25_search(ds, terms=("merge", "window", "hash"), k=25)
 
 
+def q_text_collocations(sf_dir: str):
+    """Top-25 word-bigram collocations by the integer-exact PMI
+    surrogate (functions/text.collocations): score =
+    (c12 * N * 1000) // (c1 * c2), c12 >= 5, ties to the smaller
+    bigram.  Oracle replays counts, the prune and the floor chain in a
+    SQL window."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.collocations(ds, k=25, min_count=5)
+
+
 def q_text_rarest_term(sf_dir: str):
     """Most distinctive token per document (functions/text.rarest_term):
     distinct (doc, token) explode -> native hash join to the df table ->
@@ -4073,6 +4085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_rarest_term": q_text_rarest_term,
         "text_tfidf_search": q_text_tfidf_search,
         "text_bm25": q_text_bm25,
+        "text_collocations": q_text_collocations,
         "text_weighted_sample": q_text_weighted_sample,
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_int8": q_ann_topk_int8,
@@ -5976,6 +5989,40 @@ WITH r AS (
   FROM documents
 )
 SELECT doc_id, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 512
+""",
+        "text_collocations": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+') AS ts
+  FROM documents
+),
+u AS (
+  SELECT unnest(ts) AS token, generate_subscripts(ts, 1) AS pos, doc_id
+  FROM toks
+),
+uni AS (SELECT token, COUNT(*) AS n FROM u GROUP BY token),
+bi AS (
+  SELECT a.token AS w1, b.token AS w2, COUNT(*) AS c12
+  FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.token, b.token
+),
+nt AS (SELECT SUM(c12) AS n FROM bi),
+s AS (
+  SELECT bi.w1 || ' ' || bi.w2 AS bigram, bi.c12,
+         (bi.c12 * nt.n * 1000) // (u1.n * u2.n) AS score
+  FROM bi
+  JOIN uni u1 ON u1.token = bi.w1
+  JOIN uni u2 ON u2.token = bi.w2
+  CROSS JOIN nt
+  WHERE bi.c12 >= 5
+),
+r AS (
+  SELECT bigram, c12, score,
+         row_number() OVER (ORDER BY score DESC, bigram ASC) AS rk
+  FROM s
+)
+SELECT bigram, CAST(c12 AS BIGINT) AS c12, CAST(score AS BIGINT) AS score
+FROM r WHERE rk <= 25
 """,
         "text_stratified_sample": """
 WITH d AS (

@@ -160,6 +160,7 @@ def run_bench() -> dict:
         "multimodal_patchify",
         "text_tfidf_search",
         "text_bm25",
+        "text_collocations",
         "text_decontaminate_bloom",
         "text_weighted_sample",
         "text_shuffle",

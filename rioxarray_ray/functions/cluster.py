@@ -464,8 +464,12 @@ def hyperplane_lsh_near_dup(
                         zero_copy_batch=True).repartition(8)
     eb = ds.map_batches(side("vec_b"), batch_format="pyarrow",
                         zero_copy_batch=True).repartition(8)
-    joined = pairs.join(ea, "inner", 8, on=("vec_a",)).join(
-        eb, "inner", 8, on=("vec_b",)
+    # repartition between the joins: a join emits schema-less empty
+    # partitions that poison the NEXT join's left side
+    joined = (
+        pairs.join(ea, "inner", 8, on=("vec_a",))
+        .repartition(8)
+        .join(eb, "inner", 8, on=("vec_b",))
     )
 
     def _mat(colv) -> np.ndarray:

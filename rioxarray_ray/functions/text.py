@@ -950,3 +950,161 @@ def decontaminate_bloom_stage(ds, bloom_ref, m_bits: int, k: int,
         concurrency=concurrency,
         **map_kwargs,
     )
+
+
+def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
+                 col: str = "text"):
+    """Top-k word-bigram collocations by an INTEGER-EXACT PMI surrogate:
+
+        score(w1 w2) = (c_12 * N * scale) // (c_1 * c_2)
+
+    (monotone in pointwise mutual information P(w1,w2)/(P(w1)P(w2)) —
+    log dropped, the ranking is identical; floor division matches DuckDB
+    ``//``).  ``N`` = corpus-wide bigram occurrences; bigrams with
+    c_12 < ``min_count`` are pruned BEFORE any join (the classic PMI
+    rare-pair guard doubling as the shuffle-volume pushdown).  Ties
+    break to the lexicographically smallest bigram.
+
+    100-TB shape: bigram and unigram counts are per-batch combiner
+    partials (dictionary-encode + np.unique composite codes — <= distinct
+    pairs per batch rows leave any task) folded by ONE groupby Sum each;
+    the pruned bigram table hash-joins the unigram table twice (slim
+    count rows, never text); the global top-k is the combiner top-k.
+    """
+    from ray.data.aggregate import Sum
+
+    from .agg import topk_per_group
+
+    def partials(which):
+        def fn(batch: pa.Table) -> pa.Table:
+            _, flat, parents, nonempty = _tokenize(batch[col])
+            ft = flat.filter(pa.array(nonempty))
+            fp = parents[nonempty]
+            enc = pc.dictionary_encode(ft)
+            codes = (
+                enc.indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vocab = enc.dictionary
+            if which == "uni":
+                uniq, cnt = np.unique(codes, return_counts=True)
+                return pa.table(
+                    {
+                        "token": vocab.take(pa.array(uniq, pa.int64())),
+                        "n": pa.array(cnt, pa.int64()),
+                    }
+                )
+            m = np.zeros(len(fp), bool)
+            if len(fp) > 1:
+                m[:-1] = fp[1:] == fp[:-1]
+            a = codes[:-1][m[:-1]] if len(fp) > 1 else codes[:0]
+            b = codes[1:][m[:-1]] if len(fp) > 1 else codes[:0]
+            key = a * len(vocab) + b
+            uniq, cnt = np.unique(key, return_counts=True)
+            return pa.table(
+                {
+                    "w1": vocab.take(pa.array(uniq // len(vocab),
+                                              pa.int64())),
+                    "w2": vocab.take(pa.array(uniq % len(vocab),
+                                              pa.int64())),
+                    "n": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        return fn
+
+    uni = (
+        ds.map_batches(partials("uni"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(8)  # zero-column empty blocks poison joins
+    )
+    bi = (
+        ds.map_batches(partials("bi"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="c12"))
+        .repartition(8)
+    )
+    n_total = bi.sum("c12") or 0
+    if n_total == 0:
+        raise ValueError("no bigrams in corpus")
+    import ray.data as rd
+
+    # "\\x00" sentinels keep every join stage non-empty (Ray's hash join
+    # errors on empty partitions of either side — see
+    # cluster.hyperplane_lsh_near_dup); [a-z']+ tokens can never collide
+    # with them, and score() drops the c12=0 sentinel rows
+    frequent = bi.filter(expr=f"c12 >= {int(min_count)}").union(
+        rd.from_arrow(
+            pa.table({"w1": ["\\x00"], "w2": ["\\x00"],
+                      "c12": pa.array([0], pa.int64())})
+        )
+    )
+
+    def ren(name):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {name: pa.array([], pa.string()),
+                     f"c_{name}": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {
+                    name: pa.concat_arrays(
+                        [batch["token"].combine_chunks(),
+                         pa.array(["\\x00"], pa.string())]
+                    ),
+                    f"c_{name}": pa.concat_arrays(
+                        [pc.cast(batch["n"], pa.int64()).combine_chunks(),
+                         pa.array([1], pa.int64())]
+                    ),
+                }
+            )
+
+        return fn
+
+    u1 = uni.map_batches(ren("w1"), batch_format="pyarrow",
+                         zero_copy_batch=True).repartition(8)
+    u2 = uni.map_batches(ren("w2"), batch_format="pyarrow",
+                         zero_copy_batch=True).repartition(8)
+    # repartition between the joins: a join emits schema-less empty
+    # partitions that poison the NEXT join's left side
+    joined = (
+        frequent.join(u1, "inner", 8, on=("w1",))
+        .repartition(8)
+        .join(u2, "inner", 8, on=("w2",))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()),
+                 "c12": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.int64()),
+                 "_g": pa.array([], pa.int64())}
+            )
+        keep = pc.greater(batch["c12"], 0)  # drop the join sentinels
+        batch = batch.filter(keep)
+        c12 = batch["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch["c_w1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c2 = batch["c_w2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = (c12 * n_total * scale) // (c1 * c2)
+        bigram = pc.binary_join_element_wise(
+            batch["w1"].combine_chunks(), batch["w2"].combine_chunks(), " "
+        )
+        return pa.table(
+            {
+                "bigram": bigram,
+                "c12": pa.array(c12, pa.int64()),
+                "score": pa.array(sc, pa.int64()),
+                "_g": pa.array(np.zeros(len(sc), np.int64)),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    top = topk_per_group(scored, group_col="_g", order_col="score", k=k,
+                         descending=True, tiebreak_col="bigram")
+    return top.select_columns(["bigram", "c12", "score"])

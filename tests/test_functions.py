@@ -1857,3 +1857,47 @@ def test_deterministic_shuffle_reproducible_and_seeded(ray_session):
         ).take_all()
     ]
     assert other == local_order(4) and other != orders[0]
+
+
+def test_collocations_pmi_surrogate(ray_session):
+    """Collocation scores match a Counter reference (bigram PMI
+    surrogate with floor division), min_count prunes rare pairs, ties
+    break to the smaller bigram, and output is partition-invariant."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from rioxarray_ray.functions import text
+
+    docs = [
+        {"doc_id": 0, "text": "new york is big and new york is far"},
+        {"doc_id": 1, "text": "new york and york new and new things"},
+        {"doc_id": 2, "text": "big apple big apple big apple"},
+        {"doc_id": 3, "text": ""},
+    ]
+    import re
+
+    uni, bi = Counter(), Counter()
+    for d in docs:
+        ts = re.findall(r"[a-z']+", d["text"].lower())
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    N = sum(bi.values())
+    exp = {}
+    for (a, b), c in bi.items():
+        if c >= 2:
+            exp[f"{a} {b}"] = (c, (c * N * 1000) // (uni[a] * uni[b]))
+    want = sorted(exp.items(), key=lambda kv: (-kv[1][1], kv[0]))
+
+    for nparts in (1, 3):
+        got = text.collocations(
+            rd.from_items(docs).repartition(nparts), k=50, min_count=2
+        ).take_all()
+        got_sorted = sorted(
+            [(r["bigram"], (r["c12"], r["score"])) for r in got],
+            key=lambda kv: (-kv[1][1], kv[0]),
+        )
+        assert got_sorted == want
+    # rare pairs (c12 < min_count) are pruned
+    assert all(v[0] >= 2 for _, v in want)
+    assert "york is" in dict(want)  # sanity: a real repeated bigram
