@@ -3545,6 +3545,83 @@ def q_geo_percentile_stretch(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_terrain_indices(sf_dir: str):
+    """gdaldem TRI / TPI / roughness (stages/focal.terrain_indices_stage
+    — the remaining gdaldem modes; integer-exact numerators over the
+    full-3x3-valid interior).  EXACT SQL oracle: center-joined shifted
+    pixels with a HAVING count-9 interior rule; per-(image, band) BIGINT
+    sums + a position-weighted TRI sum."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import focal as fstage
+    from rioxarray_ray.stages import tile as tstage
+
+    n = min(_ndocs(sf_dir), 16)
+    ds = fpipe.read_corpus(n, override_num_blocks=8)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    small = ds.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tiles = tstage.tile_stage(
+        dstage.decode_stage(small), tile_size=_TILE, cell_res=_CELL_RES,
+        halo=1,
+    )
+    rows = fstage.terrain_indices_stage(tiles)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "band": [], "n_defined": [],
+               "sum_tri": [], "wsum_tri": [], "sum_tpi": [],
+               "sum_rough": []}
+        ids = batch["image_id"].to_pylist()
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        ro = batch["win_row_off"].to_numpy(zero_copy_only=False)
+        co = batch["win_col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        tric = batch["tri_sum"].combine_chunks()
+        tpic = batch["tpi8"].combine_chunks()
+        rgc = batch["roughness"].combine_chunks()
+        dfc = batch["defined"].combine_chunks()
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            tri = np.asarray(tric[i].values, np.int64).reshape(h, w)
+            tpi = np.asarray(tpic[i].values, np.int64).reshape(h, w)
+            rg = np.asarray(rgc[i].values, np.int64).reshape(h, w)
+            d = np.asarray(dfc[i].values, bool).reshape(h, w)
+            gr = np.arange(h, dtype=np.int64)[:, None] + int(ro[i])
+            gc = np.arange(w, dtype=np.int64)[None, :] + int(co[i])
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            out["image_id"].append(ids[i])
+            out["band"].append(int(bands[i]))
+            out["n_defined"].append(int(d.sum()))
+            out["sum_tri"].append(int(tri[d].sum()))
+            out["wsum_tri"].append(int((tri[d] * wgt[d]).sum()))
+            out["sum_tpi"].append(int(tpi[d].sum()))
+            out["sum_rough"].append(int(rg[d].sum()))
+        return pa.Table.from_pydict(
+            {k: pa.array(out[k],
+                         pa.string() if k == "image_id" else pa.int64())
+             for k in out}
+        )
+
+    from ray.data.aggregate import Sum
+
+    partial = rows.map_batches(summarize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return partial.groupby(["image_id", "band"]).aggregate(
+        Sum("n_defined", alias_name="n_defined"),
+        Sum("sum_tri", alias_name="sum_tri"),
+        Sum("wsum_tri", alias_name="wsum_tri"),
+        Sum("sum_tpi", alias_name="sum_tpi"),
+        Sum("sum_rough", alias_name="sum_rough"),
+    )
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -4101,6 +4178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_proximity": q_geo_proximity,
         "geo_focal_mode": q_geo_focal_mode,
         "geo_percentile_stretch": q_geo_percentile_stretch,
+        "geo_terrain_indices": q_geo_terrain_indices,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -4996,6 +5074,43 @@ SELECT image_id, CAST(b AS BIGINT) AS band,
             AS BIGINT) AS wsum_mode,
        CAST(SUM(n_modal) AS BIGINT) AS sum_nmodal
 FROM nbr GROUP BY 1, 2
+""",
+        "geo_terrain_indices": f"""
+WITH {_allpx_cte("doc_id < 16 AND doc_id % 7 <> 6")},
+offs AS (
+  SELECT dr.dr, dc.dc
+  FROM (SELECT unnest(range(-1, 2)) AS dr) dr,
+       (SELECT unnest(range(-1, 2)) AS dc) dc
+),
+shifted AS MATERIALIZED (
+  -- shift->groupby form, not a probe join: the probe form makes DuckDB
+  -- materialize a huge intermediate (same lesson as geo_focal_mean)
+  SELECT idx, b, r + o.dr AS r, c + o.dc AS c, px AS nv,
+         (o.dr = 0 AND o.dc = 0) AS is_center
+  FROM allpx CROSS JOIN offs o
+),
+pairs AS (
+  SELECT a.image_id, a.b, a.r, a.c, a.px AS cv, s.nv, s.is_center
+  FROM shifted s JOIN allpx a
+    ON a.idx = s.idx AND a.b = s.b AND a.r = s.r AND a.c = s.c
+),
+agg AS (
+  SELECT image_id, b, r, c,
+         SUM(CASE WHEN NOT is_center THEN ABS(nv - cv) ELSE 0 END) AS tri,
+         8 * MAX(cv) - SUM(CASE WHEN NOT is_center THEN nv ELSE 0 END)
+           AS tpi,
+         MAX(nv) - MIN(nv) AS rough
+  FROM pairs GROUP BY image_id, b, r, c
+  HAVING COUNT(*) = 9
+)
+SELECT image_id, CAST(b AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_defined,
+       CAST(SUM(tri) AS BIGINT) AS sum_tri,
+       CAST(SUM(tri * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_tri,
+       CAST(SUM(tpi) AS BIGINT) AS sum_tpi,
+       CAST(SUM(rough) AS BIGINT) AS sum_rough
+FROM agg GROUP BY image_id, b
 """,
         "geo_composite_median": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},

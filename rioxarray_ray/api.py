@@ -700,6 +700,19 @@ class RasterDataset:
 
         return stats_stage_mod.band_value_counts(self.ds, **kwargs)
 
+    def terrain_indices(self, **kwargs):
+        """gdaldem TRI / TPI / roughness (integer-exact numerators)."""
+        from .stages import focal as focal_stage_mod
+
+        return focal_stage_mod.terrain_indices_stage(self.ds, **kwargs)
+
+    def focal_mode(self, radius: int = 1, **kwargs):
+        """Focal majority (windowed mode, ties to the smallest value)."""
+        from .stages import focal as focal_stage_mod
+
+        return focal_stage_mod.focal_mode_stage(self.ds, radius=radius,
+                                                **kwargs)
+
     def proximity(self, threshold: float, units: str = "pixel", **kwargs):
         """gdal_proximity: per-pixel euclidean distance to the nearest
         over-threshold pixel (image-global)."""

@@ -393,3 +393,122 @@ def focal_mode_stage(tiles_ds, radius: int = 1, **map_kwargs):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return tiles_ds.map_batches(run, **kwargs)
+
+
+TERRAIN_IDX_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("band", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("tri_sum", pa.list_(pa.int64())),
+        ("tpi8", pa.list_(pa.int64())),
+        ("roughness", pa.list_(pa.int64())),
+        ("defined", pa.list_(pa.bool_())),
+    ]
+)
+
+
+def terrain_indices(values: np.ndarray, vm: np.ndarray):
+    """gdaldem TRI / TPI / roughness, as INTEGER-EXACT numerators over
+    the full-3x3-valid interior (the gdaldem no-compute_edges contract,
+    same ``defined`` mask as the Horn stencil):
+
+    - ``tri_sum``  = sum over the 8 neighbors of |z_n - z_c|
+      (TRI, Riley 1999 = tri_sum / 8);
+    - ``tpi8``     = 8*z_c - sum of the 8 neighbors
+      (TPI, Weiss 2001 = tpi8 / 8 — positive on ridges, negative in
+      valleys);
+    - ``roughness`` = max - min over the full 3x3 window (already the
+      gdaldem value, no division).
+
+    Returns (tri_sum, tpi8, roughness, defined) int64/bool arrays."""
+    b, h, w = values.shape
+    z = values.astype(np.int64, copy=False)
+    zp = np.pad(np.where(vm, z, 0), ((0, 0), (1, 1), (1, 1)))
+    vp = np.pad(vm, ((0, 0), (1, 1), (1, 1)))
+    tri = np.zeros((b, h, w), np.int64)
+    nsum = np.zeros((b, h, w), np.int64)
+    mx = np.where(vm, z, np.int64(-(1 << 62)))
+    mn = np.where(vm, z, np.int64(1 << 62))
+    cnt = vm.astype(np.int64).copy()
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            if dr == 0 and dc == 0:
+                continue
+            nz = zp[:, 1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            nv = vp[:, 1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+            cnt += nv
+            tri += np.where(nv, np.abs(nz - z), 0)
+            nsum += np.where(nv, nz, 0)
+            mx = np.maximum(mx, np.where(nv, nz, np.int64(-(1 << 62))))
+            mn = np.minimum(mn, np.where(nv, nz, np.int64(1 << 62)))
+    defined = (cnt == 9) & vm
+    zero = np.zeros((b, h, w), np.int64)
+    return (
+        np.where(defined, tri, zero),
+        np.where(defined, 8 * z - nsum, zero),
+        np.where(defined, mx - mn, zero),
+        defined,
+    )
+
+
+def terrain_indices_stage(tiles_ds, **map_kwargs):
+    """gdaldem TRI / TPI / roughness over every tile's core region (the
+    remaining gdaldem modes next to terrain_stage's slope/aspect/
+    hillshade) — same zero-shuffle halo>=1 contract; integer-exact
+    payloads per (tile, band) (TERRAIN_IDX_SCHEMA)."""
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in TERRAIN_IDX_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            cr, cc = row["core_roff"], row["core_coff"]
+            ch, cw = row["core_h"], row["core_w"]
+            for off, name in ((cr, "row"), (cc, "col")):
+                if off < 1 and row[f"win_{name}_off"] != off:
+                    raise ValueError(
+                        "terrain_indices_stage needs tiles cut with "
+                        "halo >= 1 (stages/tile.py tile_stage halo=...); "
+                        f"got a {off}-px {name} margin"
+                    )
+            nod = row["nodata"]
+            if nod != nod:
+                nod = (
+                    None
+                    if np.dtype(row["dtype"]).kind in "iu"
+                    else float("nan")
+                )
+            vm = valid_mask(pixels, nod)
+            tri, tpi, rough, defined = terrain_indices(pixels, vm)
+            sl = np.s_[:, cr : cr + ch, cc : cc + cw]
+            tri, tpi, rough, defined = (
+                tri[sl], tpi[sl], rough[sl], defined[sl]
+            )
+            for b in range(pixels.shape[0]):
+                out["image_id"].append(row["image_id"])
+                out["tile_row"].append(row["tile_row"])
+                out["tile_col"].append(row["tile_col"])
+                out["band"].append(b)
+                out["win_row_off"].append(row["win_row_off"])
+                out["win_col_off"].append(row["win_col_off"])
+                out["h"].append(ch)
+                out["w"].append(cw)
+                out["tri_sum"].append(tri[b].ravel())
+                out["tpi8"].append(tpi[b].ravel())
+                out["roughness"].append(rough[b].ravel())
+                out["defined"].append(defined[b].ravel())
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in TERRAIN_IDX_SCHEMA],
+            schema=TERRAIN_IDX_SCHEMA,
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(run, **kwargs)

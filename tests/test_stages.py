@@ -2814,3 +2814,45 @@ def test_percentile_stretch_rank_bounds_and_clip(rds):
     with pytest.raises(ValueError, match="permille"):
         sstage.percentile_stretch_stage(ds, lo_permille=980,
                                         hi_permille=20)
+
+
+def test_terrain_indices_tiled_equals_whole_image(ray_session):
+    """Halo'd tiled TRI/TPI/roughness == whole-image kernel pass (the
+    kernel itself is brute-force verified in its own check); undefined
+    outside the full-3x3-valid interior."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import decode, focal, tile
+
+    ids = [0, 3, 8]
+    ds = rd.from_arrow(corpus.corpus_table(ids))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64, halo=1)
+    rows = focal.terrain_indices_stage(tiles, concurrency=2).take_all()
+    assert rows
+
+    for idx in ids:
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        t_ref, p_ref, r_ref, d_ref = focal.terrain_indices(ras.pixels, vm)
+        seen = np.zeros(ras.pixels.shape, dtype=bool)
+        for r in rows:
+            if r["image_id"] != corpus.image_id(idx):
+                continue
+            b = r["band"]
+            h, w, r0, c0 = r["h"], r["w"], r["win_row_off"], r["win_col_off"]
+            sl = np.s_[b, r0 : r0 + h, c0 : c0 + w]
+            assert np.array_equal(
+                np.asarray(r["defined"]).reshape(h, w), d_ref[sl]
+            )
+            assert np.array_equal(
+                np.asarray(r["tri_sum"]).reshape(h, w), t_ref[sl]
+            )
+            assert np.array_equal(
+                np.asarray(r["tpi8"]).reshape(h, w), p_ref[sl]
+            )
+            assert np.array_equal(
+                np.asarray(r["roughness"]).reshape(h, w), r_ref[sl]
+            )
+            seen[sl] = True
+        assert seen.all()
