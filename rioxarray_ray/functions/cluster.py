@@ -376,6 +376,7 @@ def hyperplane_lsh_near_dup(
     max_hamming: int = 3,
     id_col: str = "vec_id",
     col: str = "embedding",
+    num_partitions: int = 8,
 ):
     """Embedding near-dup via DETERMINISTIC hyperplane LSH — the
     bit-reproducible scale path for candidate generation:
@@ -394,6 +395,8 @@ def hyperplane_lsh_near_dup(
     signature, the banding AND the verify bit for bit.  Recall < 1 by
     design (pairs hamming-far in signature space are never examined) —
     the exact blocked plan remains the recall-1 path.
+    ``num_partitions`` sizes the verify joins — raise to ~2x cluster
+    cores on real clusters.
     """
     from .dedup import banded_hamming_candidates
 
@@ -427,7 +430,7 @@ def hyperplane_lsh_near_dup(
     )
     pairs = cand.map_batches(
         as_pairs, batch_format="pyarrow", zero_copy_batch=True
-    ).union(sentinel).repartition(8)
+    ).union(sentinel).repartition(num_partitions)
 
     def side(name):
         # Ray's hash join rejects list<> non-key fields — the vectors
@@ -461,15 +464,15 @@ def hyperplane_lsh_near_dup(
         return ren
 
     ea = ds.map_batches(side("vec_a"), batch_format="pyarrow",
-                        zero_copy_batch=True).repartition(8)
+                        zero_copy_batch=True).repartition(num_partitions)
     eb = ds.map_batches(side("vec_b"), batch_format="pyarrow",
-                        zero_copy_batch=True).repartition(8)
+                        zero_copy_batch=True).repartition(num_partitions)
     # repartition between the joins: a join emits schema-less empty
     # partitions that poison the NEXT join's left side
     joined = (
-        pairs.join(ea, "inner", 8, on=("vec_a",))
-        .repartition(8)
-        .join(eb, "inner", 8, on=("vec_b",))
+        pairs.join(ea, "inner", num_partitions, on=("vec_a",))
+        .repartition(num_partitions)
+        .join(eb, "inner", num_partitions, on=("vec_b",))
     )
 
     def _mat(colv) -> np.ndarray:

@@ -885,6 +885,7 @@ def chunk_dedup(
     size: int = 32,
     overlap: int = 8,
     max_chunks_per_doc: int = 1 << 20,
+    num_partitions: int = 8,
 ):
     """Chunk-granularity exact dedup — the RefinedWeb/FineWeb line-level
     dedup shape: documents are split into fixed-size token chunks (the
@@ -903,7 +904,8 @@ def chunk_dedup(
     pair ordering, overflow-checked); per-doc rollups are slim groupby
     Sums and the final merge is a native hash join on ``doc_id`` with a
     COALESCE-to-0 left side.  Nothing document-sized crosses the wire
-    after the first map.
+    after the first map.  ``num_partitions`` sizes the rollup/join
+    exchange — raise it to ~2x cluster cores on real clusters.
     """
     import functools
 
@@ -963,15 +965,16 @@ def chunk_dedup(
                            zero_copy_batch=True)
         .groupby(id_col)
         .aggregate(Sum("one", alias_name="n_kept"))
-        .repartition(8)
+        .repartition(num_partitions)
     )
     n_chunks = (
         packed.select_columns([id_col, "one"])
         .groupby(id_col)
         .aggregate(Sum("one", alias_name="n_chunks"))
-        .repartition(8)
+        .repartition(num_partitions)
     )
-    joined = n_chunks.join(n_kept, "left_outer", 8, on=(id_col,))
+    joined = n_chunks.join(n_kept, "left_outer", num_partitions,
+                           on=(id_col,))
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table(

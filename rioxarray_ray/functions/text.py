@@ -953,7 +953,7 @@ def decontaminate_bloom_stage(ds, bloom_ref, m_bits: int, k: int,
 
 
 def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
-                 col: str = "text"):
+                 col: str = "text", num_partitions: int = 8):
     """Top-k word-bigram collocations by an INTEGER-EXACT PMI surrogate:
 
         score(w1 w2) = (c_12 * N * scale) // (c_1 * c_2)
@@ -1018,14 +1018,14 @@ def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
                        zero_copy_batch=True)
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
-        .repartition(8)  # zero-column empty blocks poison joins
+        .repartition(num_partitions)  # empty blocks poison joins
     )
     bi = (
         ds.map_batches(partials("bi"), batch_format="pyarrow",
                        zero_copy_batch=True)
         .groupby(["w1", "w2"])
         .aggregate(Sum("n", alias_name="c12"))
-        .repartition(8)
+        .repartition(num_partitions)
     )
     n_total = bi.sum("c12") or 0
     if n_total == 0:
@@ -1066,15 +1066,15 @@ def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
         return fn
 
     u1 = uni.map_batches(ren("w1"), batch_format="pyarrow",
-                         zero_copy_batch=True).repartition(8)
+                         zero_copy_batch=True).repartition(num_partitions)
     u2 = uni.map_batches(ren("w2"), batch_format="pyarrow",
-                         zero_copy_batch=True).repartition(8)
+                         zero_copy_batch=True).repartition(num_partitions)
     # repartition between the joins: a join emits schema-less empty
     # partitions that poison the NEXT join's left side
     joined = (
-        frequent.join(u1, "inner", 8, on=("w1",))
-        .repartition(8)
-        .join(u2, "inner", 8, on=("w2",))
+        frequent.join(u1, "inner", num_partitions, on=("w1",))
+        .repartition(num_partitions)
+        .join(u2, "inner", num_partitions, on=("w2",))
     )
 
     def score(batch: pa.Table) -> pa.Table:
