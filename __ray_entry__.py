@@ -2693,6 +2693,18 @@ def q_text_collocations(sf_dir: str):
     return text.collocations(ds, k=25, min_count=5)
 
 
+def q_text_fluency(sf_dir: str):
+    """Per-doc bigram-LM fluency (functions/text.fluency — the
+    integer-exact CCNet/Gopher perplexity-filter analogue):
+    fluency_sum = sum over the doc's bigram occurrences of
+    (c12 * 1000) // c1.  Oracle replays corpus stats, the joins and the
+    floor chain per document."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.fluency(ds)
+
+
 def q_text_rarest_term(sf_dir: str):
     """Most distinctive token per document (functions/text.rarest_term):
     distinct (doc, token) explode -> native hash join to the df table ->
@@ -4163,6 +4175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_tfidf_search": q_text_tfidf_search,
         "text_bm25": q_text_bm25,
         "text_collocations": q_text_collocations,
+        "text_fluency": q_text_fluency,
         "text_weighted_sample": q_text_weighted_sample,
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_int8": q_ann_topk_int8,
@@ -6138,6 +6151,30 @@ r AS (
 )
 SELECT bigram, CAST(c12 AS BIGINT) AS c12, CAST(score AS BIGINT) AS score
 FROM r WHERE rk <= 25
+""",
+        "text_fluency": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+') AS ts
+  FROM documents
+),
+u AS (
+  SELECT unnest(ts) AS token, generate_subscripts(ts, 1) AS pos, doc_id
+  FROM toks
+),
+uni AS (SELECT token, COUNT(*) AS c1 FROM u GROUP BY token),
+bipos AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bipos GROUP BY w1, w2)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM((bi.c12 * 1000) // uni.c1) AS BIGINT) AS fluency_sum
+FROM bipos p
+JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+JOIN uni ON uni.token = p.w1
+GROUP BY p.doc_id
 """,
         "text_stratified_sample": """
 WITH d AS (

@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "text_tfidf_search",
         "text_bm25",
         "text_collocations",
+        "text_fluency",
         "text_decontaminate_bloom",
         "text_weighted_sample",
         "text_shuffle",

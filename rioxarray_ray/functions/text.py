@@ -1108,3 +1108,176 @@ def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
     top = topk_per_group(scored, group_col="_g", order_col="score", k=k,
                          descending=True, tiebreak_col="bigram")
     return top.select_columns(["bigram", "c12", "score"])
+
+
+def fluency(ds, scale: int = 1000, col: str = "text",
+            id_col: str = "doc_id", num_partitions: int = 8):
+    """Per-document bigram-LM fluency score — the INTEGER-EXACT analogue
+    of the CCNet / Gopher perplexity quality filter: documents whose
+    word transitions are rare in the corpus score low.
+
+        cond(w1 w2)  = (c12 * scale) // c1      (~ P(w2 | w1), floored)
+        fluency_sum  = sum over the doc's bigram OCCURRENCES of cond
+        n_bigrams    = the doc's bigram occurrence count
+
+    (consumers threshold on fluency_sum / n_bigrams; both stay integers
+    so the gate is bit-exact.  A document's own occurrences count toward
+    the corpus statistics — the classic self-inclusive LM estimate.)
+
+    100-TB shape: corpus bigram/unigram tables via the collocations
+    combiner partials (ONE groupby Sum each); each doc's bigram
+    occurrence list is complete within its own batch (a doc is one row),
+    so the per-doc table needs NO groupby — it hash-joins the two count
+    tables (slim strings + ints) and folds with one groupby(doc) Sum.
+    """
+    from ray.data.aggregate import Sum
+
+    def partials(which):
+        def fn(batch: pa.Table) -> pa.Table:
+            _, flat, parents, nonempty = _tokenize(batch[col])
+            ft = flat.filter(pa.array(nonempty))
+            fp = parents[nonempty]
+            enc = pc.dictionary_encode(ft)
+            codes = (
+                enc.indices.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            vocab = enc.dictionary
+            if which == "uni":
+                uniq, cnt = np.unique(codes, return_counts=True)
+                return pa.table(
+                    {
+                        "token": vocab.take(pa.array(uniq, pa.int64())),
+                        "n": pa.array(cnt, pa.int64()),
+                    }
+                )
+            m = np.zeros(len(fp), bool)
+            if len(fp) > 1:
+                m[:-1] = fp[1:] == fp[:-1]
+            a = codes[:-1][m[:-1]] if len(fp) > 1 else codes[:0]
+            b = codes[1:][m[:-1]] if len(fp) > 1 else codes[:0]
+            if which == "bi":
+                key = a * len(vocab) + b
+                uniq, cnt = np.unique(key, return_counts=True)
+                return pa.table(
+                    {
+                        "w1": vocab.take(pa.array(uniq // len(vocab),
+                                                  pa.int64())),
+                        "w2": vocab.take(pa.array(uniq % len(vocab),
+                                                  pa.int64())),
+                        "n": pa.array(cnt, pa.int64()),
+                    }
+                )
+            # which == "doc": per-doc bigram occurrence counts (complete
+            # within the batch — a doc is one row)
+            docs = batch[id_col].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            da = docs[fp[:-1][m[:-1]]] if len(fp) > 1 else docs[:0]
+            key = (da * len(vocab) + a) * len(vocab) + b
+            uniq, occ = np.unique(key, return_counts=True)
+            return pa.table(
+                {
+                    id_col: pa.array(uniq // (len(vocab) * len(vocab)),
+                                     pa.int64()),
+                    "w1": vocab.take(
+                        pa.array((uniq // len(vocab)) % len(vocab),
+                                 pa.int64())
+                    ),
+                    "w2": vocab.take(pa.array(uniq % len(vocab),
+                                              pa.int64())),
+                    "occ": pa.array(occ, pa.int64()),
+                }
+            )
+
+        return fn
+
+    import ray.data as rd
+
+    uni = (
+        ds.map_batches(partials("uni"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(num_partitions)
+    )
+    bi = (
+        ds.map_batches(partials("bi"), batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="c12"))
+        .repartition(num_partitions)
+    )
+    docbi = ds.map_batches(partials("doc"), batch_format="pyarrow",
+                           zero_copy_batch=True).union(
+        # join sentinel (see collocations): every stage stays non-empty
+        rd.from_arrow(
+            pa.table({id_col: pa.array([-1], pa.int64()),
+                      "w1": ["\\x00"], "w2": ["\\x00"],
+                      "occ": pa.array([0], pa.int64())})
+        )
+    ).repartition(num_partitions)
+    bi = bi.union(
+        rd.from_arrow(
+            pa.table({"w1": ["\\x00"], "w2": ["\\x00"],
+                      "c12": pa.array([1], pa.int64())})
+        )
+    ).repartition(num_partitions)
+
+    def ren_uni(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()),
+                 "c1": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "w1": pa.concat_arrays(
+                    [batch["token"].combine_chunks(),
+                     pa.array(["\\x00"], pa.string())]
+                ),
+                "c1": pa.concat_arrays(
+                    [pc.cast(batch["n"], pa.int64()).combine_chunks(),
+                     pa.array([1], pa.int64())]
+                ),
+            }
+        )
+
+    u1 = uni.map_batches(ren_uni, batch_format="pyarrow",
+                         zero_copy_batch=True).repartition(num_partitions)
+    joined = (
+        docbi.join(bi, "inner", num_partitions, on=("w1", "w2"))
+        .repartition(num_partitions)
+        .join(u1, "inner", num_partitions, on=("w1",))
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "n_bigrams": pa.array([], pa.int64()),
+                 "fluency_sum": pa.array([], pa.int64())}
+            )
+        keep = pc.greater(batch["occ"], 0)  # drop the join sentinels
+        batch = batch.filter(keep)
+        occ = batch["occ"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c12 = batch["c12"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cond = (c12 * scale) // c1
+        return pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "n_bigrams": pa.array(occ, pa.int64()),
+                "fluency_sum": pa.array(occ * cond, pa.int64()),
+            }
+        )
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(id_col)
+        .aggregate(
+            Sum("n_bigrams", alias_name="n_bigrams"),
+            Sum("fluency_sum", alias_name="fluency_sum"),
+        )
+    )

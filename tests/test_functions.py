@@ -1901,3 +1901,54 @@ def test_collocations_pmi_surrogate(ray_session):
     # rare pairs (c12 < min_count) are pruned
     assert all(v[0] >= 2 for _, v in want)
     assert "york is" in dict(want)  # sanity: a real repeated bigram
+
+
+def test_fluency_bigram_lm_reference(ray_session):
+    """Per-doc fluency sums match a Counter bigram-LM reference with the
+    same floor rule; repeated common transitions score higher than rare
+    ones; 0/1-token docs emit no row; partition-invariant."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from rioxarray_ray.functions import text
+
+    docs = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the cat sat on the mat"},
+        {"doc_id": 2, "text": "zyx wvu tsr qpo"},       # unique bigrams
+        {"doc_id": 3, "text": "single"},                # no bigrams
+        {"doc_id": 4, "text": ""},
+    ]
+    import re
+
+    uni, bi = Counter(), Counter()
+    toks = {d["doc_id"]: re.findall(r"[a-z']+", d["text"].lower())
+            for d in docs}
+    for ts in toks.values():
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    exp = {}
+    for did, ts in toks.items():
+        grams = list(zip(ts, ts[1:]))
+        if not grams:
+            continue
+        exp[did] = (
+            len(grams),
+            sum((bi[g] * 1000) // uni[g[0]] for g in grams),
+        )
+
+    for nparts in (1, 3):
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["fluency_sum"])
+            for r in text.fluency(
+                rd.from_items(docs).repartition(nparts)
+            ).take_all()
+        }
+        assert got == exp
+    assert 3 not in exp and 4 not in exp
+    avg = {d: s / n for d, (n, s) in exp.items()}
+    assert avg[0] == avg[1]          # identical docs, identical score
+    assert avg[2] == 1000.0          # singleton vocab: P(w2|w1) = 1
+    # 'the' continues two ways (cat/mat), so its transitions score 1/2
+    assert exp[0][1] == 2 * 500 + 3 * 1000 and exp[0][0] == 5
