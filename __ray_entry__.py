@@ -3634,6 +3634,70 @@ def q_geo_terrain_indices(sf_dir: str):
     )
 
 
+def q_geo_idw(sf_dir: str):
+    """gdal_grid invdist (stages/clip.idw_stage — IDW interpolation of
+    scattered points onto the raster grid, pixel-snapped integer-exact
+    variant: num += (v*1e6)//d2, den += 1e6//d2 within radius 12).
+    Points = the corpus point geometries (pixel-center closed forms),
+    values = (k*37)%1000+1.  EXACT SQL oracle: the point CTE's global
+    pixel indices + a windowed distance join replay both floored sums;
+    per-tile BIGINT checksums incl. position-weighted."""
+    from rioxarray_ray.stages import clip as cstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 16)
+    pts = _geoms("point")
+    vals = [
+        (int(g["geom_id"][4:]) * 37) % 1000 + 1 for g in pts
+    ]
+    rows = cstage.idw_stage(
+        small, [g["geometry"] for g in pts], vals,
+        radius_px=12, concurrency=2,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "win_row_off": [], "win_col_off": [],
+               "sum_num": [], "wsum_num": [], "sum_den": [],
+               "n_covered": []}
+        ids = batch["image_id"].to_pylist()
+        ro = batch["win_row_off"].to_numpy(zero_copy_only=False)
+        co = batch["win_col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        nc = batch["idw_num"].combine_chunks()
+        dc = batch["idw_den"].combine_chunks()
+        pcnt = batch["n_pts"].combine_chunks()
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            num = np.asarray(nc[i].values, np.int64).reshape(h, w)
+            den = np.asarray(dc[i].values, np.int64).reshape(h, w)
+            np_ = np.asarray(pcnt[i].values, np.int64).reshape(h, w)
+            gr = np.arange(h, dtype=np.int64)[:, None] + int(ro[i])
+            gc = np.arange(w, dtype=np.int64)[None, :] + int(co[i])
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            out["image_id"].append(ids[i])
+            out["win_row_off"].append(int(ro[i]))
+            out["win_col_off"].append(int(co[i]))
+            out["sum_num"].append(int(num.sum()))
+            out["wsum_num"].append(int((num * wgt).sum()))
+            out["sum_den"].append(int(den.sum()))
+            n_cov = int((np_ > 0).sum())
+            if n_cov == 0:
+                # oracle groups only covered pixels — skip empty windows
+                for kk in ("image_id", "win_row_off", "win_col_off",
+                           "sum_num", "wsum_num", "sum_den"):
+                    out[kk].pop()
+                continue
+            out["n_covered"].append(n_cov)
+        return pa.Table.from_pydict(
+            {k: pa.array(out[k],
+                         pa.string() if k == "image_id" else pa.int64())
+             for k in out}
+        )
+
+    return rows.map_batches(summarize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -4192,6 +4256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_focal_mode": q_geo_focal_mode,
         "geo_percentile_stretch": q_geo_percentile_stretch,
         "geo_terrain_indices": q_geo_terrain_indices,
+        "geo_idw": q_geo_idw,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -5124,6 +5189,47 @@ SELECT image_id, CAST(b AS BIGINT) AS band,
        CAST(SUM(tpi) AS BIGINT) AS sum_tpi,
        CAST(SUM(rough) AS BIGINT) AS sum_rough
 FROM agg GROUP BY image_id, b
+""",
+        "geo_idw": f"""
+WITH {_allpx_cte("doc_id < 16 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT *, (idx % 64) * w AS gx0, ((idx // 64) % 64) * h AS gy0 FROM img
+),
+{_GEOMS_CTE.strip().lstrip()},
+ptv AS (
+  SELECT CAST(floor((px + 6e1) / 5e-3) AS BIGINT) AS gpx,
+         CAST(floor((4e1 - py) / 5e-3) AS BIGINT) AS gpy,
+         (CAST(substr(geom_id, 5) AS BIGINT) * 37) % 1000 + 1 AS v
+  FROM points
+),
+pr2 AS (SELECT idx, image_id, gx0, gy0, h, w, unnest(range(0, h)) AS r
+        FROM imj),
+pxg AS (SELECT idx, image_id, gx0, gy0, r, unnest(range(0, w)) AS c
+        FROM pr2),
+pairs AS (
+  SELECT g.image_id, g.r, g.c, p.v,
+         (g.gy0 + g.r - p.gpy) * (g.gy0 + g.r - p.gpy)
+         + (g.gx0 + g.c - p.gpx) * (g.gx0 + g.c - p.gpx) AS d2
+  FROM pxg g JOIN ptv p
+    ON p.gpx BETWEEN g.gx0 + g.c - 12 AND g.gx0 + g.c + 12
+   AND p.gpy BETWEEN g.gy0 + g.r - 12 AND g.gy0 + g.r + 12
+),
+acc AS (
+  SELECT image_id, r, c,
+         SUM(CASE WHEN d2 = 0 THEN v * 1000000
+                  ELSE (v * 1000000) // d2 END) AS num,
+         SUM(CASE WHEN d2 = 0 THEN 1000000 ELSE 1000000 // d2 END) AS den
+  FROM pairs WHERE d2 <= 144 GROUP BY 1, 2, 3
+)
+SELECT image_id,
+       CAST((r // 64) * 64 AS BIGINT) AS win_row_off,
+       CAST((c // 64) * 64 AS BIGINT) AS win_col_off,
+       CAST(SUM(num) AS BIGINT) AS sum_num,
+       CAST(SUM(num * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_num,
+       CAST(SUM(den) AS BIGINT) AS sum_den,
+       CAST(COUNT(*) AS BIGINT) AS n_covered
+FROM acc GROUP BY image_id, win_row_off, win_col_off
 """,
         "geo_composite_median": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},

@@ -189,6 +189,7 @@ def run_bench() -> dict:
         "events_window",
         "geo_reclassify",
         "geo_rasterize",
+        "geo_idw",
         "geo_cell_rollup",
         "geo_zorder_layout",
         "geo_band_stats",

@@ -722,6 +722,14 @@ class RasterDataset:
             self.ds, threshold=threshold, units=units, **kwargs
         )
 
+    def idw(self, points, values, radius_px: int = 12, **kwargs):
+        """gdal_grid invdist: IDW-interpolate scattered points onto
+        every tile's grid (integer-exact variant)."""
+        from .stages import clip as clip_stage_mod2
+
+        return clip_stage_mod2.idw_stage(self.ds, points, values,
+                                         radius_px=radius_px, **kwargs)
+
     def rasterize(self, geometries, values, geom_crs=None, fill: int = 0,
                   all_touched: bool = False, merge: str = "replace",
                   **kwargs):

@@ -435,3 +435,118 @@ def rasterize_stage(ds, geometries, values, geom_crs=None, fill: int = 0,
         concurrency=concurrency,
         **kwargs,
     )
+
+
+IDW_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("idw_num", pa.list_(pa.int64())),
+        ("idw_den", pa.list_(pa.int64())),
+        ("n_pts", pa.list_(pa.int32())),
+    ]
+)
+
+
+class IdwActor:
+    """Inverse-distance-weighted gridding of scattered points onto every
+    tile's pixel grid — gdal_grid's ``invdist`` algorithm (power=2,
+    hard search radius) in a pixel-snapped INTEGER-EXACT variant:
+
+    each point maps to its containing pixel index (floor rule — corpus
+    points sit on pixel centers so this is lossless there); for every
+    grid pixel within ``radius_px`` (euclidean, in pixels) of a point,
+
+        idw_num += (v * scale) // d2        (d2 = squared pixel distance)
+        idw_den += scale // d2
+        (d2 == 0: num += v * scale, den += scale — the exact-hit rule)
+
+    Consumers read the estimate as idw_num / idw_den (gdal_grid's
+    sum(w·v)/sum(w) with the floored integer weights); ``n_pts`` = 0
+    marks pixels outside every search radius (gdal_grid nodata).
+
+    Points are broadcast once per actor (the gdal_grid scatter set is
+    small by contract — same broadcast rule as rasterize); tiles stream,
+    zero shuffle.  Points OUTSIDE an image still influence its edge
+    pixels when within radius — the per-tile search window is expanded
+    by ``radius_px``, so tiling never changes the result.
+    """
+
+    def __init__(self, points, values, radius_px: int = 12,
+                 scale: int = 1000000):
+        self.pts = [
+            (g["coordinates"][0], g["coordinates"][1])
+            if g.get("type") == "Point"
+            else (_ for _ in ()).throw(
+                ValueError("IdwActor needs Point geometries")
+            )
+            for g in points
+        ]
+        self.vals = [int(v) for v in values]
+        if len(self.pts) != len(self.vals):
+            raise ValueError("points and values must align")
+        self.r = int(radius_px)
+        self.r2 = self.r * self.r
+        self.scale = int(scale)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {n: [] for n in IDW_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row in meta:
+            t = row["transform"]
+            xres, yres = t[0], t[4]
+            left, top = t[2], t[5]
+            h, w = row["h"], row["w"]
+            num = np.zeros((h, w), np.int64)
+            den = np.zeros((h, w), np.int64)
+            npts = np.zeros((h, w), np.int32)
+            rr = np.arange(h, dtype=np.int64)[:, None]
+            cc = np.arange(w, dtype=np.int64)[None, :]
+            for (x, y), v in zip(self.pts, self.vals):
+                pc_ = int(np.floor((x - left) / xres))
+                pr_ = int(np.floor((y - top) / yres))  # yres < 0
+                if not (-self.r <= pr_ < h + self.r
+                        and -self.r <= pc_ < w + self.r):
+                    continue
+                d2 = (rr - pr_) ** 2 + (cc - pc_) ** 2
+                m = d2 <= self.r2
+                hit = m & (d2 == 0)
+                far = m & (d2 > 0)
+                num[far] += (v * self.scale) // d2[far]
+                den[far] += self.scale // d2[far]
+                num[hit] += v * self.scale
+                den[hit] += self.scale
+                npts[m] += 1
+            out["image_id"].append(row["image_id"])
+            out["tile_row"].append(row["tile_row"])
+            out["tile_col"].append(row["tile_col"])
+            out["win_row_off"].append(row["win_row_off"])
+            out["win_col_off"].append(row["win_col_off"])
+            out["h"].append(h)
+            out["w"].append(w)
+            out["idw_num"].append(num.ravel())
+            out["idw_den"].append(den.ravel())
+            out["n_pts"].append(npts.ravel())
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in IDW_SCHEMA],
+            schema=IDW_SCHEMA,
+        )
+
+
+def idw_stage(ds, points, values, radius_px: int = 12,
+              scale: int = 1000000, concurrency=(1, 4), **map_kwargs):
+    """gdal_grid invdist onto every tile's grid (see IdwActor)."""
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return ds.map_batches(
+        IdwActor,
+        fn_constructor_kwargs=dict(points=points, values=values,
+                                   radius_px=radius_px, scale=scale),
+        concurrency=concurrency,
+        **kwargs,
+    )

@@ -2856,3 +2856,75 @@ def test_terrain_indices_tiled_equals_whole_image(ray_session):
             )
             seen[sl] = True
         assert seen.all()
+
+
+def test_idw_stage_matches_bruteforce(rds):
+    """IDW grids equal a per-pixel brute force over ALL points (incl.
+    points outside the tile still influencing edge pixels), with the exact-hit
+    and radius rules; tiling never changes the result."""
+    from rioxarray_ray.stages import clip as cstage
+    from rioxarray_ray.sources import corpus as corpus_mod
+
+    KEEP = {"img00000000", "img00000001"}
+    pts_rows = [g for g in corpus_mod.geometry_table(200)
+                if g["kind"] == "point"]
+    pts = [g["geometry"] for g in pts_rows]
+    vals = [(int(g["geom_id"][4:]) * 37) % 1000 + 1 for g in pts_rows]
+    R, SCALE = 12, 1000000
+
+    ds = rds["tiles"].filter(lambda r: r["image_id"] in KEEP)
+    out = cstage.idw_stage(ds, pts, vals, radius_px=R, concurrency=2)
+
+    checked = 0
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(
+            ["idw_num", "idw_den", "n_pts"]
+        ).to_pylist()
+        nc = batch["idw_num"].combine_chunks()
+        dc = batch["idw_den"].combine_chunks()
+        pcnt = batch["n_pts"].combine_chunks()
+        # brute force per tile from the tile transform
+        tile_meta = {
+            (r["image_id"], r["tile_row"], r["tile_col"]): r
+            for r in rds["tiles"].filter(
+                lambda r: r["image_id"] in KEEP
+            ).select_columns(
+                ["image_id", "tile_row", "tile_col", "transform", "h", "w"]
+            ).take_all()
+        }
+        for i, r in enumerate(meta):
+            t = tile_meta[(r["image_id"], r["tile_row"], r["tile_col"])][
+                "transform"]
+            h, w = r["h"], r["w"]
+            num = np.zeros((h, w), np.int64)
+            den = np.zeros((h, w), np.int64)
+            npts = np.zeros((h, w), np.int64)
+            for g, v in zip(pts, vals):
+                x, y = g["coordinates"]
+                pc_ = int(np.floor((x - t[2]) / t[0]))
+                pr_ = int(np.floor((y - t[5]) / t[4]))
+                for rr in range(h):
+                    for cc in range(w):
+                        d2 = (rr - pr_) ** 2 + (cc - pc_) ** 2
+                        if d2 > R * R:
+                            continue
+                        npts[rr, cc] += 1
+                        if d2 == 0:
+                            num[rr, cc] += v * SCALE
+                            den[rr, cc] += SCALE
+                        else:
+                            num[rr, cc] += (v * SCALE) // d2
+                            den[rr, cc] += SCALE // d2
+            np.testing.assert_array_equal(
+                np.asarray(nc[i].values, np.int64).reshape(h, w), num
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dc[i].values, np.int64).reshape(h, w), den
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pcnt[i].values, np.int64).reshape(h, w), npts
+            )
+            checked += 1
+            if npts.any():
+                checked += 100  # at least one covered tile seen
+    assert checked > 100
