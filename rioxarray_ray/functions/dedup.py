@@ -885,7 +885,6 @@ def chunk_dedup(
     size: int = 32,
     overlap: int = 8,
     max_chunks_per_doc: int = 1 << 20,
-    num_partitions: int = 8,
 ):
     """Chunk-granularity exact dedup — the RefinedWeb/FineWeb line-level
     dedup shape: documents are split into fixed-size token chunks (the
@@ -897,15 +896,22 @@ def chunk_dedup(
     keep/trim/drop curation rule (n_kept == 0 means the whole document
     is assembled from content seen earlier in id order).
 
-    100-TB shape: chunking is a pure flat_map (no shuffle, text never
-    leaves the task); the dedup moves only (chunk_md5, packed_position)
-    rows through ONE ``groupby(chunk_md5)`` Min (canonical = min of
-    ``doc_id * max_chunks_per_doc + chunk_id`` — order-isomorphic to the
-    pair ordering, overflow-checked); per-doc rollups are slim groupby
-    Sums and the final merge is a native hash join on ``doc_id`` with a
-    COALESCE-to-0 left side.  Nothing document-sized crosses the wire
-    after the first map.  ``num_partitions`` sizes the rollup/join
-    exchange — raise it to ~2x cluster cores on real clusters.
+    100-TB shape — exactly TWO shuffles, no join:
+
+    1. ``groupby(chunk_md5)`` Min over the packed position
+       ``doc_id * max_chunks_per_doc + chunk_id`` (order-isomorphic to
+       the (doc, chunk) pair ordering, overflow-checked) finds each
+       chunk's canonical owner; only (md5, packed) rows move.
+    2. the per-doc rollup is ONE ``groupby(doc_id)`` over the UNION of
+       two slim partial streams: (doc, n_chunks, 0) rows — complete per
+       batch because a document's chunks are emitted inside one batch,
+       so they need NO shuffle of their own — and (doc, 0, 1) rows from
+       the canonical owners.  Two Sums fold them; a doc whose kept
+       partials are absent sums n_kept = 0 for free (this replaces the
+       earlier join + COALESCE, which cost a third shuffle plus two
+       schema-repair repartitions).
+
+    Nothing document-sized crosses the wire after the first map.
     """
     import functools
 
@@ -913,13 +919,17 @@ def chunk_dedup(
 
     from .text import chunk_batch
 
+    # chunk rows carry NO text (id, chunk_id, md5 only) — materializing
+    # this bounded metadata table lets both downstream branches (owner
+    # groupby + per-doc partials) consume it without re-running the
+    # chunking lineage twice
     chunks = ds.map_batches(
         functools.partial(
             chunk_batch, col=col, id_col=id_col, size=size, overlap=overlap
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
 
     def pack(batch: pa.Table) -> pa.Table:
         cid = batch["chunk_id"].to_numpy(zero_copy_only=False)
@@ -935,57 +945,51 @@ def chunk_dedup(
                 "packed": pa.array(
                     did * max_chunks_per_doc + cid, pa.int64()
                 ),
-                id_col: batch[id_col],
-                "one": pa.array(np.ones(batch.num_rows, np.int64)),
             }
         )
 
-    packed = chunks.map_batches(pack, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    owners = packed.groupby("chunk_md5").aggregate(
-        Min("packed", alias_name="packed")
-    )
-
-    def owner_doc(batch: pa.Table) -> pa.Table:
-        p = batch["packed"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_col: pa.array(p // max_chunks_per_doc, pa.int64()),
-                "one": pa.array(np.ones(len(p), np.int64)),
-            }
-        )
-
-    # repartition after each aggregate: groupby emits zero-column EMPTY
-    # blocks that poison the downstream hash join ("no match for key
-    # field doc_id"), and map_batches skips empty blocks so a schema-fix
-    # UDF can't normalize them — repartition merges them away (same
-    # contract as connected_components' edge-join repartition)
-    n_kept = (
-        owners.map_batches(owner_doc, batch_format="pyarrow",
+    owners = (
+        chunks.map_batches(pack, batch_format="pyarrow",
                            zero_copy_batch=True)
-        .groupby(id_col)
-        .aggregate(Sum("one", alias_name="n_kept"))
-        .repartition(num_partitions)
+        .groupby("chunk_md5")
+        .aggregate(Min("packed", alias_name="packed"))
     )
-    n_chunks = (
-        packed.select_columns([id_col, "one"])
-        .groupby(id_col)
-        .aggregate(Sum("one", alias_name="n_chunks"))
-        .repartition(num_partitions)
-    )
-    joined = n_chunks.join(n_kept, "left_outer", num_partitions,
-                           on=(id_col,))
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_chunks": pc.cast(batch["n_chunks"], pa.int64()),
-                "n_kept": pc.cast(
-                    pc.fill_null(batch["n_kept"], 0), pa.int64()
-                ),
-            }
+    partial_schema = pa.schema(
+        [(id_col, pa.int64()), ("n_chunks", pa.int64()),
+         ("n_kept", pa.int64())]
+    )
+
+    def chunk_partial(batch: pa.Table) -> pa.Table:
+        # a doc's chunks are all inside this batch: bincount is the
+        # COMPLETE per-doc chunk count — no shuffle needed for it
+        did = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(did, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()), pa.array(cnt, pa.int64()),
+             pa.array(np.zeros(len(uniq), np.int64))],
+            schema=partial_schema,
         )
 
-    return joined.map_batches(finalize, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    def owner_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # groupby-emitted empty block
+            return partial_schema.empty_table()
+        p = batch["packed"].to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(p // max_chunks_per_doc, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(uniq, pa.int64()),
+             pa.array(np.zeros(len(uniq), np.int64)),
+             pa.array(cnt, pa.int64())],
+            schema=partial_schema,
+        )
+
+    partials = chunks.map_batches(
+        chunk_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        owners.map_batches(owner_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    )
+    return partials.groupby(id_col).aggregate(
+        Sum("n_chunks", alias_name="n_chunks"),
+        Sum("n_kept", alias_name="n_kept"),
+    )
