@@ -3698,6 +3698,54 @@ def q_geo_idw(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_geo_pansharpen(sf_dir: str):
+    """Brovey pansharpening (stages/stats.pansharpen_stage — the
+    gdal_pansharpen weighted-Brovey algorithm, integer-exact cross
+    -multiplied variant) over the 3-band scenes: band 0 plays pan,
+    bands 1-2 are sharpened by the pan/intensity ratio.  EXACT SQL
+    oracle: the pixel spec pivoted per (r, c) with a count-3 all-valid
+    rule, the same floor chain, per-(image, out-band, 64-window)
+    checksums."""
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    FILL = -(1 << 62)  # unreachable by any computed ratio value
+    small = _keep_idx(
+        _tiles_4326(sf_dir), lambda idx: (idx < 40) & (idx % 5 == 0)
+    )
+    out = sstage.pansharpen_stage(small, pan_band=0, scale=1000,
+                                  fill=FILL)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = []
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for r, px in zip(meta, pixel_views(batch)):
+            for b in range(px.shape[0]):
+                v = px[b]
+                m = v != FILL
+                if not m.any():
+                    continue
+                gr = np.arange(px.shape[1], dtype=np.int64)[:, None] \
+                    + int(r["win_row_off"])
+                gc = np.arange(px.shape[2], dtype=np.int64)[None, :] \
+                    + int(r["win_col_off"])
+                wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "band": b,
+                        "win_row_off": int(r["win_row_off"]),
+                        "win_col_off": int(r["win_col_off"]),
+                        "checksum": int(v[m].sum()),
+                        "wsum": int((v[m] * wgt[m]).sum()),
+                        "n_valid": int(m.sum()),
+                    }
+                )
+        return pa.Table.from_pylist(rows)
+
+    return out.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -4257,6 +4305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_percentile_stretch": q_geo_percentile_stretch,
         "geo_terrain_indices": q_geo_terrain_indices,
         "geo_idw": q_geo_idw,
+        "geo_pansharpen": q_geo_pansharpen,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -5230,6 +5279,33 @@ SELECT image_id,
        CAST(SUM(den) AS BIGINT) AS sum_den,
        CAST(COUNT(*) AS BIGINT) AS n_covered
 FROM acc GROUP BY image_id, win_row_off, win_col_off
+""",
+        "geo_pansharpen": f"""
+WITH {_allpx_cte("doc_id < 40 AND doc_id % 5 = 0 AND doc_id % 7 <> 6")},
+px3 AS (
+  SELECT idx, image_id, r, c,
+         MAX(CASE WHEN b = 0 THEN px END) AS z0,
+         MAX(CASE WHEN b = 1 THEN px END) AS z1,
+         MAX(CASE WHEN b = 2 THEN px END) AS z2
+  FROM allpx GROUP BY idx, image_id, r, c HAVING COUNT(*) = 3
+),
+outv AS (
+  SELECT image_id, r, c, 0 AS ob,
+         (z1 * z0 * 1000 * 2) // GREATEST(z1 + z2, 1) AS v
+  FROM px3
+  UNION ALL
+  SELECT image_id, r, c, 1,
+         (z2 * z0 * 1000 * 2) // GREATEST(z1 + z2, 1)
+  FROM px3
+)
+SELECT image_id, CAST(ob AS BIGINT) AS band,
+       CAST((r // 64) * 64 AS BIGINT) AS win_row_off,
+       CAST((c // 64) * 64 AS BIGINT) AS win_col_off,
+       CAST(SUM(v) AS BIGINT) AS checksum,
+       CAST(SUM(v * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum,
+       CAST(COUNT(*) AS BIGINT) AS n_valid
+FROM outv GROUP BY image_id, ob, win_row_off, win_col_off
 """,
         "geo_composite_median": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},

@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "geo_point_sample",
         "geo_histogram",
         "geo_band_math",
+        "geo_pansharpen",
         "geo_overviews",
         "geo_temporal_trend",
         "geo_contour_edges",

@@ -674,6 +674,14 @@ class RasterDataset:
             self.ds, threshold=threshold, min_size=min_size, **kwargs
         ))
 
+    def pansharpen(self, pan_band: int = 0, scale: int = 1000, **kwargs):
+        """Brovey pansharpening (integer-exact trunc-division variant)."""
+        from .stages import stats as stats_stage_mod
+
+        return self._wrap(stats_stage_mod.pansharpen_stage(
+            self.ds, pan_band=pan_band, scale=scale, **kwargs
+        ))
+
     def percentile_stretch(self, lo_permille: int = 20,
                            hi_permille: int = 980, **kwargs):
         """2-98%-style percentile contrast stretch (cumulative count

@@ -1048,3 +1048,72 @@ def percentile_stretch_stage(tiles_ds, lo_permille: int = 20,
     return tiles_ds.groupby("image_id").map_groups(
         stretch_group, batch_format="pyarrow", **map_kwargs
     )
+
+
+def pansharpen_stage(tiles_ds, pan_band: int = 0, scale: int = 1000,
+                     fill: int = -1, **map_kwargs):
+    """Brovey pansharpening (the ``gdal_pansharpen`` weighted-Brovey
+    algorithm) in an INTEGER-EXACT variant: one band plays the
+    panchromatic channel, the remaining multispectral bands are scaled
+    by the pan/intensity ratio,
+
+        out_i = trunc((ms_i * pan * scale * n_ms) / max(sum_ms, 1))
+
+    (intensity = mean of the ms bands, folded in by cross-multiplication
+    so everything stays integer; ``scale`` keeps ratio precision;
+    division TRUNCATES toward zero — C / DuckDB ``//`` semantics, which
+    matters on negative radiance values).  A
+    pixel invalid in ANY band maps to ``fill`` in every output band —
+    the ratio is undefined there (gdal_pansharpen's nodata contract).
+
+    Zero shuffle: bands of a tile live in one row (band-major pixels),
+    so this is a pure map_batches; single-band inputs raise.
+    """
+    from ..kernels.nodata import valid_mask
+    from .schema import TILE_SCHEMA, pixel_views, pixels_to_bytes
+
+    def run(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {name: [] for name in TILE_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            nb = px.shape[0]
+            if nb < 2:
+                raise ValueError(
+                    "pansharpen needs >= 2 bands (pan + multispectral); "
+                    f"{row['image_id']} has {nb}"
+                )
+            if not 0 <= pan_band < nb:
+                raise ValueError(f"pan_band {pan_band} out of range")
+            vm = valid_mask(px, _row_nodata(row))
+            allv = vm.all(axis=0)
+            ms_idx = [b for b in range(nb) if b != pan_band]
+            z = px.astype(np.int64)
+            pan = z[pan_band]
+            sum_ms = np.zeros(pan.shape, np.int64)
+            for b in ms_idx:
+                sum_ms += z[b]
+            burned = np.full((len(ms_idx),) + pan.shape, np.int64(fill),
+                             np.int64)
+            den = np.maximum(sum_ms, 1)
+            for j, b in enumerate(ms_idx):
+                num = z[b] * pan * scale * len(ms_idx)
+                # trunc-toward-zero (C / DuckDB //), not numpy floor
+                val = np.sign(num) * (np.abs(num) // den)
+                burned[j] = np.where(allv, val, fill)
+            arr = burned.astype(np.int64)
+            for name in TILE_SCHEMA.names:
+                if name == "pixels":
+                    out[name].append(pixels_to_bytes(arr))
+                elif name == "dtype":
+                    out[name].append("int64")
+                elif name == "nodata":
+                    out[name].append(float(fill))
+                elif name == "band_count":
+                    out[name].append(len(ms_idx))
+                else:
+                    out[name].append(row[name])
+        return pa.Table.from_pydict(out, schema=TILE_SCHEMA)
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(run, **kwargs)

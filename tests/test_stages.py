@@ -2928,3 +2928,54 @@ def test_idw_stage_matches_bruteforce(rds):
             if npts.any():
                 checked += 100  # at least one covered tile seen
     assert checked > 100
+
+
+def test_pansharpen_brovey_reference(rds):
+    """Pansharpened bands equal the Brovey trunc-division reference per
+    pixel (pan = band 0, 3-band scenes); any-band-invalid maps to fill;
+    single-band inputs raise."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    three = rds["tiles"].filter(
+        lambda r: int(r["image_id"][3:]) % 5 == 0
+    )
+    FILL = -(1 << 62)
+    out = sstage.pansharpen_stage(three, pan_band=0, scale=1000,
+                                  fill=FILL)
+    src: dict = {}
+    for batch in three.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            src[(row["image_id"], row["tile_row"], row["tile_col"])] = (
+                px.copy(), valid_mask(px, nod)
+            )
+    checked = 0
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            spx, svm = src[(row["image_id"], row["tile_row"],
+                            row["tile_col"])]
+            assert row["band_count"] == 2 and px.shape[0] == 2
+            z = spx.astype(np.int64)
+            allv = svm.all(axis=0)
+            den = np.maximum(z[1] + z[2], 1)
+            for j, b in enumerate((1, 2)):
+                num = z[b] * z[0] * 1000 * 2
+                expect = np.where(
+                    allv, np.sign(num) * (np.abs(num) // den), FILL
+                )
+                np.testing.assert_array_equal(px[j].astype(np.int64),
+                                              expect)
+            checked += 1
+    assert checked
+    with pytest.raises(Exception, match=">= 2 bands"):
+        sstage.pansharpen_stage(
+            rds["tiles"].filter(
+                lambda r: int(r["image_id"][3:]) % 5 != 0
+            ).limit(2)
+        ).materialize()
