@@ -2393,6 +2393,22 @@ def q_image_near_dup(sf_dir: str):
     return pairs
 
 
+def q_image_dedup_apply(sf_dir: str):
+    """APPLY the image dedup: connected components over the aHash
+    banded-LSH pair list (pure composition of two gated operators —
+    multimodal.image_near_dup edges into dedup.connected_components'
+    min-label propagation), canonical = min media id per cluster.
+    Oracle: recursive reachability CTE over the identical image-pair
+    SQL."""
+    from rioxarray_ray.functions import dedup, multimodal
+
+    pairs = multimodal.image_near_dup(
+        _ahash_media(sf_dir), id_col="media_id", max_hamming=3, bands=4
+    )
+    ids = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return dedup.connected_components(pairs, ids)
+
+
 def q_multimodal_joint_near_dup(sf_dir: str):
     """Joint image+caption near-dup scoring — the cross-modal dedup shape
     of an image+caption corpus: aHash banded-LSH image pairs, then the
@@ -4275,6 +4291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_topk": q_text_token_topk,
         "image_ahash": q_image_ahash,
         "image_near_dup": q_image_near_dup,
+        "image_dedup_apply": q_image_dedup_apply,
         "multimodal_joint_near_dup": q_multimodal_joint_near_dup,
         "text_repetition": q_text_repetition,
         "text_redact": q_text_redact,
@@ -7317,6 +7334,22 @@ sconn(n, m) AS (
 SELECT n AS vec_id, CAST(MIN(m) AS BIGINT) AS cluster_id,
        MIN(m) = n AS keep
 FROM sconn GROUP BY n
+"""
+    sql["image_dedup_apply"] = f"""
+WITH RECURSIVE ipairs AS ({sql["image_near_dup"]}),
+iedges AS (
+  SELECT doc_a AS a, doc_b AS b FROM ipairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM ipairs
+),
+iconn(n, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, c.m FROM iedges e JOIN iconn c ON c.n = e.a
+)
+SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster_id,
+       MIN(m) = n AS keep
+FROM iconn GROUP BY n
 """
     sql["dedup_clusters"] = f"""
 WITH RECURSIVE pairs AS ({sql["dedup_minhash_md5"]}),
