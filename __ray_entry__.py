@@ -3935,6 +3935,25 @@ def q_embedding_lsh_near_dup(sf_dir: str):
     )
 
 
+def q_embedding_diverse_sample(sf_dir: str):
+    """Diversity-balanced subset — per-semantic-cluster quota sampling
+    (the corpus-curation move: cluster first, take n per cluster so rare
+    topics survive).  Pure composition of gated operators:
+    cluster.kmedians labels -> sample.stratified_sample (content-stable
+    md5 rank quota per cluster).  Oracle: the kmedians replay CTE + the
+    same row_number window."""
+    from rioxarray_ray.functions import cluster, sample
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    labeled = cluster.kmedians(ds, k=8, iters=2)
+    picked = sample.stratified_sample(
+        labeled, group_col="cluster", n_per_group=16,
+        key_col="vec_id", seed=7,
+    )
+    return picked.select_columns(["vec_id", "cluster"])
+
+
 def q_embedding_gram(sf_dir: str):
     """Distributed Gram/scatter matrix (functions/cluster.gram_matrix):
     per-batch int64 w.T@w partials over the x2-quantized embeddings ->
@@ -4314,6 +4333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_semantic_dedup": q_embedding_semantic_dedup,
         "embedding_gram": q_embedding_gram,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
+        "embedding_diverse_sample": q_embedding_diverse_sample,
         "embedding_semantic_clusters": q_embedding_semantic_clusters,
         "geo_region_label": q_geo_region_label,
         "geo_sieve": q_geo_sieve,
@@ -7334,6 +7354,19 @@ sconn(n, m) AS (
 SELECT n AS vec_id, CAST(MIN(m) AS BIGINT) AS cluster_id,
        MIN(m) = n AS keep
 FROM sconn GROUP BY n
+"""
+    sql["embedding_diverse_sample"] = f"""
+WITH km AS ({sql["embedding_kmedians"]}),
+ranked AS (
+  SELECT vec_id, cluster,
+         row_number() OVER (
+           PARTITION BY cluster
+           ORDER BY md5_number_upper('7:' || CAST(vec_id AS VARCHAR)),
+                    vec_id) AS rk
+  FROM km
+)
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+FROM ranked WHERE rk <= 16
 """
     sql["image_dedup_apply"] = f"""
 WITH RECURSIVE ipairs AS ({sql["image_near_dup"]}),
