@@ -3762,6 +3762,55 @@ def q_geo_pansharpen(sf_dir: str):
     return out.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_composite_argmax(sf_dir: str):
+    """Best-pixel (argmax) compositing across overlapping scenes
+    (stages/merge.composite_argmax — max-NDVI-style best-observation
+    mosaics with WINNER identity, ties to the smallest image id).
+    EXACT SQL oracle: per-global-pixel MAX + min-winner over the
+    regenerated pixel spec, per-composite-tile BIGINT checksums incl. a
+    position-weighted winner sum."""
+    from rioxarray_ray.stages import merge as mstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 64)
+    comp = mstage.composite_argmax(
+        small, origin=(-60.0, 40.0), res=5e-3, comp_px=64
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        rows = []
+        pxc = batch["pixels"].combine_chunks()
+        wnc = batch["winner"].combine_chunks()
+        imc = batch["images"].combine_chunks()
+        for i in range(batch.num_rows):
+            px = np.asarray(pxc[i].values, np.float64).reshape(64, 64)
+            wn = np.asarray(wnc[i].values, np.int64).reshape(64, 64)
+            imgs = [int(v[3:]) for v in imc[i].as_py()]
+            ok = ~np.isnan(px)
+            if not ok.any():
+                continue
+            ctx = int(batch["ctx"][i].as_py())
+            cty = int(batch["cty"][i].as_py())
+            gr = np.arange(64, dtype=np.int64)[:, None] + cty * 64
+            gc = np.arange(64, dtype=np.int64)[None, :] + ctx * 64
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            widx = np.where(ok, np.asarray(imgs, np.int64)[
+                np.maximum(wn, 0)], 0)
+            rows.append(
+                {
+                    "ctx": ctx,
+                    "cty": cty,
+                    "band": int(batch["band"][i].as_py()),
+                    "n_defined": int(ok.sum()),
+                    "sum_max": int(np.rint(px[ok]).astype(np.int64).sum()),
+                    "wsum_winner": int((widx[ok] * wgt[ok]).sum()),
+                    "n_values": int(batch["n_values"][i].as_py()),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return comp.map_batches(summarize, batch_format="pyarrow")
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -4343,6 +4392,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_terrain_indices": q_geo_terrain_indices,
         "geo_idw": q_geo_idw,
         "geo_pansharpen": q_geo_pansharpen,
+        "geo_composite_argmax": q_geo_composite_argmax,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -5363,6 +5413,34 @@ SELECT CAST(gx // 64 AS BIGINT) AS ctx, CAST(gy // 64 AS BIGINT) AS cty,
        CAST(round(SUM(2 * m)) AS BIGINT) AS sum2_median,
        CAST(SUM(nv) AS BIGINT) AS n_values
 FROM med GROUP BY 1, 2, 3
+""",
+        "geo_composite_argmax": f"""
+WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT *, (idx % 64) * w AS gx0, ((idx // 64) % 64) * h AS gy0 FROM img
+),
+gpx AS (
+  SELECT i.gx0 + p.c AS gx, i.gy0 + p.r AS gy, p.b, p.px, p.idx
+  FROM allpx p JOIN imj i ON p.idx = i.idx
+),
+mx AS (
+  SELECT gx, gy, b, MAX(px) AS m, COUNT(*) AS nv
+  FROM gpx GROUP BY gx, gy, b
+),
+win AS (
+  SELECT x.gx, x.gy, x.b, x.m, x.nv, MIN(g.idx) AS widx
+  FROM mx x JOIN gpx g
+    ON g.gx = x.gx AND g.gy = x.gy AND g.b = x.b AND g.px = x.m
+  GROUP BY x.gx, x.gy, x.b, x.m, x.nv
+)
+SELECT CAST(gx // 64 AS BIGINT) AS ctx, CAST(gy // 64 AS BIGINT) AS cty,
+       CAST(b AS INT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_defined,
+       CAST(SUM(m) AS BIGINT) AS sum_max,
+       CAST(SUM(widx * ((gy * 1315423911 + gx * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_winner,
+       CAST(SUM(nv) AS BIGINT) AS n_values
+FROM win GROUP BY 1, 2, 3
 """,
         "geo_point_sample": f"""
 WITH {_allpx_cte("doc_id < 448 AND doc_id % 7 <> 6")},

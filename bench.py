@@ -144,6 +144,7 @@ def run_bench() -> dict:
         "geo_merge",
         "geo_clip_geometry",
         "geo_composite_median",
+        "geo_composite_argmax",
         "geo_change_crosstab",
         "geo_focal_mean",
         "geo_focal_mode",

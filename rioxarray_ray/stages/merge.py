@@ -667,3 +667,82 @@ def composite_to_rasters(comp_ds, origin: tuple[float, float], res: float,
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return comp_ds.map_batches(lift, **kwargs)
+
+
+def composite_argmax(
+    tiles_ds,
+    origin: tuple[float, float],
+    res: float,
+    comp_px: int = 64,
+    **map_kwargs,
+):
+    """Best-pixel (argmax) compositing: per global pixel take the MAX
+    valid value across overlapping scenes and record WHICH scene won —
+    the max-NDVI / quality-band compositing recipe (MODIS-style "best
+    observation" mosaics; the reference's merge stops at the pairwise
+    max fold, which loses the winner identity).  Ties go to the
+    lexicographically smallest image_id (deterministic).
+
+    Same split/shuffle plan as :func:`composite_median` (the input moves
+    exactly once; reducer memory = overlap_factor x one composite tile).
+
+    Returns one row per (composite tile, band):
+    ``(ctx, cty, band, w, h, pixels: list<double> max values (NaN where
+    no valid input), winner: list<int64> index into ``images`` (-1 where
+    undefined), images: list<string> the group's sorted scene ids,
+    n_values: total contributing valid pixels)``.
+    """
+    split = _grid_split_fn(origin, res, comp_px)
+
+    def reduce(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        ids = group["image_id"].to_pylist()
+        order = sorted(range(n), key=lambda i: ids[i])
+        images = sorted(set(ids))
+        img_idx = {iid: j for j, iid in enumerate(images)}
+        acc = np.full((n, comp_px, comp_px), np.nan, dtype=np.float64)
+        layer_img = np.empty(n, np.int64)
+        x0 = group["x0"].to_numpy(zero_copy_only=False)
+        y0 = group["y0"].to_numpy(zero_copy_only=False)
+        bw = group["bw"].to_numpy(zero_copy_only=False)
+        bh = group["bh"].to_numpy(zero_copy_only=False)
+        flat = group["vals"].combine_chunks()
+        for k, i in enumerate(order):
+            block = np.asarray(flat[i].values).reshape(int(bh[i]),
+                                                       int(bw[i]))
+            acc[k, y0[i] : y0[i] + bh[i], x0[i] : x0[i] + bw[i]] = block
+            layer_img[k] = img_idx[ids[i]]
+        valid = ~np.isnan(acc)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            vmax = np.nanmax(acc, axis=0)
+        any_valid = valid.any(axis=0)
+        # first (smallest-image_id, then paste order) layer achieving the
+        # max — layers are id-sorted, so argmax's first match = min id
+        is_max = valid & (acc == vmax[None, :, :])
+        first = is_max.argmax(axis=0)
+        winner = np.where(any_valid, layer_img[first], -1)
+        return pa.Table.from_pydict(
+            {
+                "ctx": pa.array([int(group["ctx"][0].as_py())], pa.int64()),
+                "cty": pa.array([int(group["cty"][0].as_py())], pa.int64()),
+                "band": pa.array([int(group["band"][0].as_py())],
+                                 pa.int32()),
+                "w": pa.array([comp_px], pa.int32()),
+                "h": pa.array([comp_px], pa.int32()),
+                "pixels": pa.array([vmax.ravel()], pa.list_(pa.float64())),
+                "winner": pa.array([winner.ravel().astype(np.int64)],
+                                   pa.list_(pa.int64())),
+                "images": pa.array([images], pa.list_(pa.string())),
+                "n_values": pa.array([int(valid.sum())], pa.int64()),
+            }
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    blocks = tiles_ds.map_batches(split, **kwargs)
+    return blocks.groupby(["ctx", "cty", "band"]).map_groups(
+        reduce, batch_format="pyarrow"
+    )

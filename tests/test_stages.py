@@ -2979,3 +2979,58 @@ def test_pansharpen_brovey_reference(rds):
                 lambda r: int(r["image_id"][3:]) % 5 != 0
             ).limit(2)
         ).materialize()
+
+
+def test_composite_argmax_winner_and_ties(ray_session):
+    """Per-pixel max + winner identity equal a whole-grid reference over
+    overlapping synthetic scenes; ties go to the smallest image_id."""
+    import ray.data as rd
+
+    from rioxarray_ray.stages import merge as mstage
+    from rioxarray_ray.stages.schema import TILE_SCHEMA, pixels_to_bytes
+
+    RES, P = 0.01, 8
+
+    def tile_row(iid, gx, gy, vals):
+        arr = np.asarray(vals, np.int16)[None]
+        return {
+            "image_id": iid,
+            "band_count": 1, "h": arr.shape[1], "w": arr.shape[2],
+            "dtype": "int16", "nodata": -28672.0,
+            "crs": "EPSG:4326",
+            "transform": [RES, 0.0, gx * RES, 0.0, -RES, -gy * RES],
+            "pixels": pixels_to_bytes(arr),
+            "caption": None, "phash": None,
+            "tile_row": 0, "tile_col": 0, "cell": 0,
+            "win_row_off": 0, "win_col_off": 0,
+            "core_roff": 0, "core_coff": 0,
+            "core_h": arr.shape[1], "core_w": arr.shape[2],
+        }
+
+    a = np.full((4, 4), 10); a[0, 0] = 50
+    b = np.full((4, 4), 10); b[1, 1] = 99; b[0, 0] = 50  # tie at (0,0)
+    c = np.full((2, 2), -28672)  # all nodata
+    rows = [
+        tile_row("imgA", 0, 0, a),
+        tile_row("imgB", 0, 0, b),      # exact overlap with A
+        tile_row("imgC", 2, 2, c),      # nodata-only, offset
+    ]
+    ds = rd.from_arrow(
+        pa.Table.from_pylist(rows, schema=TILE_SCHEMA)
+    )
+    out = mstage.composite_argmax(ds, origin=(0.0, 0.0), res=RES,
+                                  comp_px=P).take_all()
+    assert len(out) == 1
+    r = out[0]
+    px = np.asarray(r["pixels"]).reshape(P, P)
+    wn = np.asarray(r["winner"]).reshape(P, P)
+    imgs = r["images"]
+    # the all-nodata scene contributes no sub-blocks (split drops them)
+    assert imgs == ["imgA", "imgB"]
+    # covered region = 4x4 at origin
+    assert np.isnan(px[4:, :]).all() and np.isnan(px[:, 4:]).all()
+    assert (wn[4:, :] == -1).all()
+    assert px[1, 1] == 99 and imgs[wn[1, 1]] == "imgB"
+    assert px[0, 0] == 50 and imgs[wn[0, 0]] == "imgA"  # tie -> min id
+    assert px[2, 3] == 10 and imgs[wn[2, 3]] == "imgA"
+    assert r["n_values"] == 32  # two 4x4 valid scenes, C contributes 0
