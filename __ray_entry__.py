@@ -4003,6 +4003,25 @@ def q_embedding_diverse_sample(sf_dir: str):
     return picked.select_columns(["vec_id", "cluster"])
 
 
+def q_embedding_outliers(sf_dir: str):
+    """Per-cluster outlier mining — the farthest members of each
+    semantic cluster (curation: inspect/drop low-coherence points; the
+    inverse of diversity sampling's quota).  Composition:
+    cluster.kmedians (integer L1 distances) -> agg.topk_per_group
+    (k=8 farthest per cluster, ties to the smallest id).  Oracle: the
+    kmedians replay CTE + a distance-ranked window."""
+    from rioxarray_ray.functions import agg, cluster
+
+    ds = _read_pq(f"{sf_dir}/embeddings.parquet",
+                  columns=["vec_id", "embedding"])
+    labeled = cluster.kmedians(ds, k=8, iters=2)
+    top = agg.topk_per_group(
+        labeled, group_col="cluster", order_col="l1_dist", k=8,
+        descending=True, tiebreak_col="vec_id",
+    )
+    return top.select_columns(["cluster", "vec_id", "l1_dist"])
+
+
 def q_embedding_gram(sf_dir: str):
     """Distributed Gram/scatter matrix (functions/cluster.gram_matrix):
     per-batch int64 w.T@w partials over the x2-quantized embeddings ->
@@ -4383,6 +4402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": q_embedding_gram,
         "embedding_lsh_near_dup": q_embedding_lsh_near_dup,
         "embedding_diverse_sample": q_embedding_diverse_sample,
+        "embedding_outliers": q_embedding_outliers,
         "embedding_semantic_clusters": q_embedding_semantic_clusters,
         "geo_region_label": q_geo_region_label,
         "geo_sieve": q_geo_sieve,
@@ -7445,6 +7465,18 @@ ranked AS (
 )
 SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
 FROM ranked WHERE rk <= 16
+"""
+    sql["embedding_outliers"] = f"""
+WITH km AS ({sql["embedding_kmedians"]}),
+ranked AS (
+  SELECT cluster, vec_id, l1_dist,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY l1_dist DESC, vec_id ASC) AS rk
+  FROM km
+)
+SELECT CAST(cluster AS BIGINT) AS cluster, vec_id,
+       CAST(l1_dist AS BIGINT) AS l1_dist
+FROM ranked WHERE rk <= 8
 """
     sql["image_dedup_apply"] = f"""
 WITH RECURSIVE ipairs AS ({sql["image_near_dup"]}),
