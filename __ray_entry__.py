@@ -3811,6 +3811,76 @@ def q_geo_composite_argmax(sf_dir: str):
     return comp.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_flowdir(sf_dir: str):
+    """D8 steepest-descent flow direction (stages/focal.
+    flow_direction_stage — the hydrology front end of the terrain
+    family; ESRI codes, ties to the smallest code, flat/pit = 0).
+    Irrational-free: straight-vs-diagonal slope comparison decided by
+    the integer key 2*drop^2 vs drop^2.  EXACT SQL oracle: shift-join
+    neighbors ranked by (key DESC, code ASC) with the count-9 interior
+    rule; per-(image, band) code checksums incl. position-weighted."""
+    from rioxarray_ray.pipelines import flagship as fpipe
+    from rioxarray_ray.stages import decode as dstage
+    from rioxarray_ray.stages import focal as fstage
+    from rioxarray_ray.stages import tile as tstage
+
+    n = min(_ndocs(sf_dir), 16)
+    ds = fpipe.read_corpus(n, override_num_blocks=8)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(batch["image_id"], 3, 99), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(idx % 7 != 6))
+
+    small = ds.map_batches(keep, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    tiles = tstage.tile_stage(
+        dstage.decode_stage(small), tile_size=_TILE, cell_res=_CELL_RES,
+        halo=1,
+    )
+    rows = fstage.flow_direction_stage(tiles)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "band": [], "n_defined": [],
+               "sum_dir": [], "wsum_dir": []}
+        ids = batch["image_id"].to_pylist()
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        ro = batch["win_row_off"].to_numpy(zero_copy_only=False)
+        co = batch["win_col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        fdc = batch["flowdir"].combine_chunks()
+        dfc = batch["defined"].combine_chunks()
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            fd = np.asarray(fdc[i].values, np.int64).reshape(h, w)
+            d = np.asarray(dfc[i].values, bool).reshape(h, w)
+            gr = np.arange(h, dtype=np.int64)[:, None] + int(ro[i])
+            gc = np.arange(w, dtype=np.int64)[None, :] + int(co[i])
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            out["image_id"].append(ids[i])
+            out["band"].append(int(bands[i]))
+            out["n_defined"].append(int(d.sum()))
+            out["sum_dir"].append(int(fd[d].sum()))
+            out["wsum_dir"].append(int((fd[d] * wgt[d]).sum()))
+        return pa.Table.from_pydict(
+            {k: pa.array(out[k],
+                         pa.string() if k == "image_id" else pa.int64())
+             for k in out}
+        )
+
+    from ray.data.aggregate import Sum
+
+    partial = rows.map_batches(summarize, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return partial.groupby(["image_id", "band"]).aggregate(
+        Sum("n_defined", alias_name="n_defined"),
+        Sum("sum_dir", alias_name="sum_dir"),
+        Sum("wsum_dir", alias_name="wsum_dir"),
+    )
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -4413,6 +4483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_idw": q_geo_idw,
         "geo_pansharpen": q_geo_pansharpen,
         "geo_composite_argmax": q_geo_composite_argmax,
+        "geo_flowdir": q_geo_flowdir,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -5413,6 +5484,50 @@ SELECT image_id, CAST(ob AS BIGINT) AS band,
             AS BIGINT) AS wsum,
        CAST(COUNT(*) AS BIGINT) AS n_valid
 FROM outv GROUP BY image_id, ob, win_row_off, win_col_off
+""",
+        "geo_flowdir": f"""
+WITH {_allpx_cte("doc_id < 16 AND doc_id % 7 <> 6")},
+d8 AS (
+  -- (dr, dc) are SHIFT offsets: source+shift = center, so the neighbor
+  -- sits at (-dr, -dc) from the center — each shift carries the code of
+  -- that INVERTED direction (E code 1 rides shift (0,-1), etc.)
+  SELECT * FROM (VALUES
+    (0, -1, 1, FALSE), (-1, -1, 2, TRUE), (-1, 0, 4, FALSE),
+    (-1, 1, 8, TRUE), (0, 1, 16, FALSE), (1, 1, 32, TRUE),
+    (1, 0, 64, FALSE), (1, -1, 128, TRUE)
+  ) t(dr, dc, code, diag)
+),
+shifted AS MATERIALIZED (
+  SELECT idx, b, r + o.dr AS r, c + o.dc AS c, px AS nv,
+         o.code, o.diag
+  FROM allpx CROSS JOIN d8 o
+),
+nbr AS (
+  SELECT a.image_id, a.b, a.r, a.c, a.px AS cv, s.nv, s.code, s.diag
+  FROM shifted s JOIN allpx a
+    ON a.idx = s.idx AND a.b = s.b AND a.r = s.r AND a.c = s.c
+),
+ranked AS (
+  SELECT image_id, b, r, c, code,
+         CASE WHEN cv - nv > 0
+              THEN (cv - nv) * (cv - nv) * (CASE WHEN diag THEN 1 ELSE 2 END)
+              ELSE 0 END AS key,
+         COUNT(*) OVER (PARTITION BY image_id, b, r, c) AS n8
+  FROM nbr
+),
+win AS (
+  SELECT image_id, b, r, c,
+         CASE WHEN MAX(key) = 0 THEN 0
+              ELSE MIN(CASE WHEN key = mkey THEN code END) END AS dir
+  FROM (SELECT *, MAX(key) OVER (PARTITION BY image_id, b, r, c) AS mkey
+        FROM ranked WHERE n8 = 8) GROUP BY image_id, b, r, c
+)
+SELECT image_id, CAST(b AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_defined,
+       CAST(SUM(dir) AS BIGINT) AS sum_dir,
+       CAST(SUM(dir * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_dir
+FROM win GROUP BY image_id, b
 """,
         "geo_composite_median": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},

@@ -149,6 +149,7 @@ def run_bench() -> dict:
         "geo_focal_mean",
         "geo_focal_mode",
         "geo_terrain_indices",
+        "geo_flowdir",
         "geo_point_sample",
         "geo_histogram",
         "geo_band_math",

@@ -714,6 +714,12 @@ class RasterDataset:
 
         return focal_stage_mod.terrain_indices_stage(self.ds, **kwargs)
 
+    def flow_direction(self, **kwargs):
+        """D8 steepest-descent flow direction (ESRI codes)."""
+        from .stages import focal as focal_stage_mod
+
+        return focal_stage_mod.flow_direction_stage(self.ds, **kwargs)
+
     def focal_mode(self, radius: int = 1, **kwargs):
         """Focal majority (windowed mode, ties to the smallest value)."""
         from .stages import focal as focal_stage_mod

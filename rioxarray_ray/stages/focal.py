@@ -512,3 +512,118 @@ def terrain_indices_stage(tiles_ds, **map_kwargs):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return tiles_ds.map_batches(run, **kwargs)
+
+
+FLOWDIR_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("tile_row", pa.int32()),
+        ("tile_col", pa.int32()),
+        ("band", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("flowdir", pa.list_(pa.int64())),
+        ("defined", pa.list_(pa.bool_())),
+    ]
+)
+
+#: D8 direction codes (ESRI convention): E=1, SE=2, S=4, SW=8, W=16,
+#: NW=32, N=64, NE=128; 0 = flat or pit (no positive drop).
+_D8 = (
+    (0, 1, 1, False),    # E
+    (1, 1, 2, True),     # SE
+    (1, 0, 4, False),    # S
+    (1, -1, 8, True),    # SW
+    (0, -1, 16, False),  # W
+    (-1, -1, 32, True),  # NW
+    (-1, 0, 64, False),  # N
+    (-1, 1, 128, True),  # NE
+)
+
+
+def flow_direction(values: np.ndarray, vm: np.ndarray):
+    """D8 steepest-descent flow direction (ESRI codes; the hydrology
+    front end of the gdaldem/richdem family), INTEGER-EXACT:
+
+    slope to a straight neighbor = drop/1, to a diagonal = drop/sqrt(2);
+    among neighbors with POSITIVE drop the comparison
+    ``drop_s / 1 > drop_d / sqrt(2)`` is decided by the integer key
+    ``2*drop^2`` (straight) vs ``drop^2`` (diagonal) — no irrational
+    arithmetic, so the oracle replays it in SQL.  Ties break to the
+    SMALLEST direction code; no positive drop -> 0 (flat/pit).  Defined
+    only where the full 3x3 window is valid (the terrain-stage interior
+    contract).
+
+    Returns (flowdir int64, defined bool)."""
+    b, h, w = values.shape
+    z = values.astype(np.int64, copy=False)
+    zp = np.pad(np.where(vm, z, 0), ((0, 0), (1, 1), (1, 1)))
+    vp = np.pad(vm, ((0, 0), (1, 1), (1, 1)))
+    best_key = np.zeros((b, h, w), np.int64)
+    best_dir = np.zeros((b, h, w), np.int64)
+    cnt = vm.astype(np.int64).copy()
+    for dr, dc, code, diag in _D8:
+        nz = zp[:, 1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        nv = vp[:, 1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w]
+        cnt += nv
+        drop = np.where(nv, z - nz, 0)
+        key = np.where(drop > 0,
+                       drop * drop * (1 if diag else 2), 0)
+        better = key > best_key  # codes iterate ascending: ties keep min
+        best_key = np.where(better, key, best_key)
+        best_dir = np.where(better, code, best_dir)
+    defined = (cnt == 9) & vm
+    return np.where(defined, best_dir, 0), defined
+
+
+def flow_direction_stage(tiles_ds, **map_kwargs):
+    """D8 flow direction over every tile's core region — same
+    zero-shuffle halo>=1 contract as the terrain stages."""
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = {name: [] for name in FLOWDIR_SCHEMA.names}
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, pixels in zip(meta, pixel_views(batch)):
+            cr, cc = row["core_roff"], row["core_coff"]
+            ch, cw = row["core_h"], row["core_w"]
+            for off, name in ((cr, "row"), (cc, "col")):
+                if off < 1 and row[f"win_{name}_off"] != off:
+                    raise ValueError(
+                        "flow_direction_stage needs tiles cut with "
+                        "halo >= 1 (stages/tile.py tile_stage halo=...); "
+                        f"got a {off}-px {name} margin"
+                    )
+            nod = row["nodata"]
+            if nod != nod:
+                nod = (
+                    None
+                    if np.dtype(row["dtype"]).kind in "iu"
+                    else float("nan")
+                )
+            vm = valid_mask(pixels, nod)
+            fd, defined = flow_direction(pixels, vm)
+            sl = np.s_[:, cr : cr + ch, cc : cc + cw]
+            fd, defined = fd[sl], defined[sl]
+            for b in range(pixels.shape[0]):
+                out["image_id"].append(row["image_id"])
+                out["tile_row"].append(row["tile_row"])
+                out["tile_col"].append(row["tile_col"])
+                out["band"].append(b)
+                out["win_row_off"].append(row["win_row_off"])
+                out["win_col_off"].append(row["win_col_off"])
+                out["h"].append(ch)
+                out["w"].append(cw)
+                out["flowdir"].append(fd[b].ravel())
+                out["defined"].append(defined[b].ravel())
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in FLOWDIR_SCHEMA],
+            schema=FLOWDIR_SCHEMA,
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(run, **kwargs)

@@ -3034,3 +3034,38 @@ def test_composite_argmax_winner_and_ties(ray_session):
     assert px[0, 0] == 50 and imgs[wn[0, 0]] == "imgA"  # tie -> min id
     assert px[2, 3] == 10 and imgs[wn[2, 3]] == "imgA"
     assert r["n_values"] == 32  # two 4x4 valid scenes, C contributes 0
+
+
+def test_flow_direction_tiled_equals_whole_image(ray_session):
+    """Halo'd tiled D8 flow direction == whole-image kernel pass (the
+    kernel is float-slope brute-force verified in its own check)."""
+    import ray.data as rd
+
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import decode, focal, tile
+
+    ids = [0, 3, 8]
+    ds = rd.from_arrow(corpus.corpus_table(ids))
+    tiles = tile.tile_stage(decode.decode_stage(ds), tile_size=64, halo=1)
+    rows = focal.flow_direction_stage(tiles, concurrency=2).take_all()
+    assert rows
+
+    for idx in ids:
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        f_ref, d_ref = focal.flow_direction(ras.pixels, vm)
+        seen = np.zeros(ras.pixels.shape, dtype=bool)
+        for r in rows:
+            if r["image_id"] != corpus.image_id(idx):
+                continue
+            b = r["band"]
+            h, w, r0, c0 = r["h"], r["w"], r["win_row_off"], r["win_col_off"]
+            sl = np.s_[b, r0 : r0 + h, c0 : c0 + w]
+            assert np.array_equal(
+                np.asarray(r["defined"]).reshape(h, w), d_ref[sl]
+            )
+            assert np.array_equal(
+                np.asarray(r["flowdir"]).reshape(h, w), f_ref[sl]
+            )
+            seen[sl] = True
+        assert seen.all()
