@@ -150,6 +150,7 @@ def run_bench() -> dict:
         "geo_focal_mode",
         "geo_terrain_indices",
         "geo_flowdir",
+        "geo_flowacc",
         "geo_point_sample",
         "geo_histogram",
         "geo_band_math",

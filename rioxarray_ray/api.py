@@ -720,6 +720,12 @@ class RasterDataset:
 
         return focal_stage_mod.flow_direction_stage(self.ds, **kwargs)
 
+    def flow_accumulation(self, **kwargs):
+        """D8 flow accumulation (upstream cell counts, image-global)."""
+        from .stages import focal as focal_stage_mod
+
+        return focal_stage_mod.flow_accumulation_stage(self.ds, **kwargs)
+
     def focal_mode(self, radius: int = 1, **kwargs):
         """Focal majority (windowed mode, ties to the smallest value)."""
         from .stages import focal as focal_stage_mod

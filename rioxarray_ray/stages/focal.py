@@ -627,3 +627,107 @@ def flow_direction_stage(tiles_ds, **map_kwargs):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return tiles_ds.map_batches(run, **kwargs)
+
+
+FLOWACC_SCHEMA = pa.schema(
+    [
+        ("image_id", pa.string()),
+        ("band", pa.int32()),
+        ("win_row_off", pa.int32()),
+        ("win_col_off", pa.int32()),
+        ("h", pa.int32()),
+        ("w", pa.int32()),
+        ("flowacc", pa.list_(pa.int64())),
+        ("defined", pa.list_(pa.bool_())),
+    ]
+)
+
+_D8_BY_CODE = {code: (dr, dc) for dr, dc, code, _ in _D8}
+
+
+def flow_accumulation(fd: np.ndarray, defined: np.ndarray) -> np.ndarray:
+    """Upstream cell count per cell (the cell itself included — ESRI
+    flow accumulation + 1) over a D8 direction grid: acc(c) = 1 + sum of
+    acc over cells draining into c.  Cells with undefined direction
+    still RECEIVE inflow but contribute nothing downstream (their code
+    is 0 = pit) — matching the per-cell defined mask.
+
+    Vectorized fixpoint: one shifted add per direction per round; rounds
+    = longest flow path (bounded by the image diagonal; the D8 graph is
+    acyclic because flow strictly descends)."""
+    h, w = fd.shape
+    acc = np.ones((h, w), np.int64)
+    while True:
+        inflow = np.zeros((h, w), np.int64)
+        for code, (dr, dc) in _D8_BY_CODE.items():
+            # cells with code drain TOWARD (dr, dc): their acc arrives at
+            # the neighbor in that direction
+            src = fd == code
+            rs = slice(max(-dr, 0), h + min(-dr, 0))
+            cs = slice(max(-dc, 0), w + min(-dc, 0))
+            rd = slice(max(dr, 0), h + min(dr, 0))
+            cd = slice(max(dc, 0), w + min(dc, 0))
+            inflow[rd, cd] += np.where(src[rs, cs], acc[rs, cs], 0)
+        new = 1 + inflow
+        if np.array_equal(new, acc):
+            return np.where(defined, acc, 0)
+        acc = new
+
+
+def flow_accumulation_stage(tiles_ds, **map_kwargs):
+    """D8 flow accumulation — image-global (water crosses tiles), so ONE
+    ``groupby(image_id)`` co-shuffle assembles each image (the
+    region_label_stage shape), directions come from the shared
+    :func:`flow_direction` kernel, and the upstream-count fixpoint runs
+    vectorized in the task.  Output rows are per (image, band, 64-window)
+    with ``flowacc`` payloads (0 where direction undefined)."""
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def acc_group(group: pa.Table) -> pa.Table:
+        meta = group.drop_columns(["pixels"]).to_pylist()
+        views = list(pixel_views(group))
+        if not meta:
+            return FLOWACC_SCHEMA.empty_table()
+        H = max(r["win_row_off"] + r["h"] for r in meta)
+        W = max(r["win_col_off"] + r["w"] for r in meta)
+        bands = views[0].shape[0]
+        iid = meta[0]["image_id"]
+        out: dict[str, list] = {n: [] for n in FLOWACC_SCHEMA.names}
+        full = np.zeros((bands, H, W), np.int64)
+        fvm = np.zeros((bands, H, W), bool)
+        for row, px in zip(meta, views):
+            nod = row["nodata"]
+            if nod != nod:
+                nod = (None if np.dtype(row["dtype"]).kind in "iu"
+                       else float("nan"))
+            vm = valid_mask(px, nod)
+            ro, co = row["win_row_off"], row["win_col_off"]
+            full[:, ro:ro + row["h"], co:co + row["w"]] = \
+                px.astype(np.int64)
+            fvm[:, ro:ro + row["h"], co:co + row["w"]] = vm
+        fd, defined = flow_direction(full, fvm)
+        for b in range(bands):
+            acc = flow_accumulation(fd[b], defined[b])
+            for ro in range(0, H, 64):
+                for co in range(0, W, 64):
+                    blk = acc[ro:ro + 64, co:co + 64]
+                    dblk = defined[b, ro:ro + 64, co:co + 64]
+                    if not dblk.any():
+                        continue
+                    out["image_id"].append(iid)
+                    out["band"].append(b)
+                    out["win_row_off"].append(ro)
+                    out["win_col_off"].append(co)
+                    out["h"].append(blk.shape[0])
+                    out["w"].append(blk.shape[1])
+                    out["flowacc"].append(blk.ravel())
+                    out["defined"].append(dblk.ravel())
+        return pa.Table.from_arrays(
+            [pa.array(out[f.name], f.type) for f in FLOWACC_SCHEMA],
+            schema=FLOWACC_SCHEMA,
+        )
+
+    return tiles_ds.groupby("image_id").map_groups(
+        acc_group, batch_format="pyarrow", **map_kwargs
+    )

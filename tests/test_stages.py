@@ -3069,3 +3069,38 @@ def test_flow_direction_tiled_equals_whole_image(ray_session):
             )
             seen[sl] = True
         assert seen.all()
+
+
+def test_flow_accumulation_stage_image_global(rds):
+    """Tiled flow accumulation equals the whole-image kernel chain —
+    flow paths crossing tile boundaries must accumulate correctly."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import focal
+
+    KEEP = {"img00000000", "img00000003"}
+    out = focal.flow_accumulation_stage(
+        rds["tiles"].filter(lambda r: r["image_id"] in KEEP)
+    ).take_all()
+    assert out
+
+    for iid in KEEP:
+        idx = int(iid[3:])
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        fd, d = focal.flow_direction(ras.pixels, vm)
+        crossings = 0
+        for r in out:
+            if r["image_id"] != iid:
+                continue
+            b = r["band"]
+            acc_ref = focal.flow_accumulation(fd[b], d[b])
+            h, w = r["h"], r["w"]
+            r0, c0 = r["win_row_off"], r["win_col_off"]
+            got = np.asarray(r["flowacc"]).reshape(h, w)
+            np.testing.assert_array_equal(
+                got, acc_ref[r0 : r0 + h, c0 : c0 + w]
+            )
+            # cross-tile accumulation: some boundary cell must exceed 1
+            edge = np.concatenate([got[0], got[-1], got[:, 0], got[:, -1]])
+            crossings += int((edge > 1).sum())
+        assert crossings > 0
