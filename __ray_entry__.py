@@ -3931,6 +3931,56 @@ def q_geo_flowacc(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_geo_watershed(sf_dir: str):
+    """Watershed delineation (stages/focal.watershed_stage — basin label
+    = the flat index of the terminal each cell's D8 path drains to; the
+    hydrology trio's third member).  Pointer jumping converges in
+    O(log path) vectorized rounds; labels are schedule-independent.
+    EXACT SQL oracle: the flow-path recursive CTE keeps only terminal
+    reaches (no outgoing step) and labels each start with the terminal's
+    flat index; per-(image, band, 64-window) label checksums."""
+    from rioxarray_ray.stages import focal as fstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 2)
+    rows = fstage.watershed_stage(small)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        out = {"image_id": [], "band": [], "win_row_off": [],
+               "win_col_off": [], "n_defined": [], "sum_basin": [],
+               "wsum_basin": [], "n_basins": []}
+        ids = batch["image_id"].to_pylist()
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        ro = batch["win_row_off"].to_numpy(zero_copy_only=False)
+        co = batch["win_col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["h"].to_numpy(zero_copy_only=False)
+        ws = batch["w"].to_numpy(zero_copy_only=False)
+        bsc = batch["basin"].combine_chunks()
+        dfc = batch["defined"].combine_chunks()
+        for i in range(batch.num_rows):
+            h, w = int(hs[i]), int(ws[i])
+            bs = np.asarray(bsc[i].values, np.int64).reshape(h, w)
+            d = np.asarray(dfc[i].values, bool).reshape(h, w)
+            gr = np.arange(h, dtype=np.int64)[:, None] + int(ro[i])
+            gc = np.arange(w, dtype=np.int64)[None, :] + int(co[i])
+            wgt = (gr * 1315423911 + gc * 2654435761) % 1000003
+            out["image_id"].append(ids[i])
+            out["band"].append(int(bands[i]))
+            out["win_row_off"].append(int(ro[i]))
+            out["win_col_off"].append(int(co[i]))
+            out["n_defined"].append(int(d.sum()))
+            out["sum_basin"].append(int(bs[d].sum()))
+            out["wsum_basin"].append(int((bs[d] * wgt[d]).sum()))
+            out["n_basins"].append(int(len(np.unique(bs[d]))))
+        return pa.Table.from_pydict(
+            {k: pa.array(out[k],
+                         pa.string() if k == "image_id" else pa.int64())
+             for k in out}
+        )
+
+    return rows.map_batches(summarize, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -4535,6 +4585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_composite_argmax": q_geo_composite_argmax,
         "geo_flowdir": q_geo_flowdir,
         "geo_flowacc": q_geo_flowacc,
+        "geo_watershed": q_geo_watershed,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -5647,6 +5698,77 @@ SELECT image_id, CAST(b AS BIGINT) AS band,
        CAST(SUM(acc * ((r * 1315423911 + c * 2654435761) % 1000003))
             AS BIGINT) AS wsum_acc
 FROM masked GROUP BY image_id, b, win_row_off, win_col_off
+""",
+        "geo_watershed": f"""
+WITH RECURSIVE {_allpx_cte("doc_id < 2 AND doc_id % 7 <> 6")},
+d8 AS (
+  -- inverted shift offsets (see geo_flowdir)
+  SELECT * FROM (VALUES
+    (0, -1, 1, FALSE), (-1, -1, 2, TRUE), (-1, 0, 4, FALSE),
+    (-1, 1, 8, TRUE), (0, 1, 16, FALSE), (1, 1, 32, TRUE),
+    (1, 0, 64, FALSE), (1, -1, 128, TRUE)
+  ) t(dr, dc, code, diag)
+),
+shifted AS MATERIALIZED (
+  SELECT idx, b, r + o.dr AS r, c + o.dc AS c, px AS nv,
+         o.code, o.diag
+  FROM allpx CROSS JOIN d8 o
+),
+nbr AS (
+  SELECT a.idx, a.b, a.r, a.c, a.px AS cv, s.nv, s.code, s.diag
+  FROM shifted s JOIN allpx a
+    ON a.idx = s.idx AND a.b = s.b AND a.r = s.r AND a.c = s.c
+),
+ranked AS (
+  SELECT idx, b, r, c, code,
+         CASE WHEN cv - nv > 0
+              THEN (cv - nv) * (cv - nv) * (CASE WHEN diag THEN 1 ELSE 2 END)
+              ELSE 0 END AS key,
+         COUNT(*) OVER (PARTITION BY idx, b, r, c) AS n8
+  FROM nbr
+),
+win AS MATERIALIZED (
+  SELECT idx, b, r, c,
+         CASE WHEN MAX(key) = 0 THEN 0
+              ELSE MIN(CASE WHEN key = mkey THEN code END) END AS dir
+  FROM (SELECT *, MAX(key) OVER (PARTITION BY idx, b, r, c) AS mkey
+        FROM ranked WHERE n8 = 8) GROUP BY idx, b, r, c
+),
+dirstep AS MATERIALIZED (
+  -- forward step of the flow graph: code -> the (dr, dc) it points AT
+  -- (the NON-inverted direction, so negate the shift offsets back)
+  SELECT w.idx, w.b, w.r, w.c, -o.dr AS dr, -o.dc AS dc
+  FROM win w JOIN d8 o ON o.code = w.dir WHERE w.dir <> 0
+),
+walk(idx, b, sr, sc, r, c) AS (
+  SELECT w.idx, w.b, w.r, w.c, w.r, w.c FROM win w
+  UNION
+  SELECT v.idx, v.b, v.sr, v.sc, v.r + s.dr, v.c + s.dc
+  FROM walk v JOIN dirstep s
+    ON s.idx = v.idx AND s.b = v.b AND s.r = v.r AND s.c = v.c
+),
+terminal AS (
+  -- the reach with no outgoing step = the basin terminal
+  SELECT v.idx, v.b, v.sr, v.sc, v.r, v.c
+  FROM walk v LEFT JOIN dirstep s
+    ON s.idx = v.idx AND s.b = v.b AND s.r = v.r AND s.c = v.c
+  WHERE s.idx IS NULL
+),
+img2 AS (SELECT idx, image_id, w AS iw FROM img),
+labeled AS (
+  SELECT i.image_id, t.b, t.sr AS r, t.sc AS c,
+         t.r * i.iw + t.c AS basin
+  FROM terminal t JOIN img2 i ON i.idx = t.idx
+)
+SELECT image_id, CAST(b AS BIGINT) AS band,
+       CAST((r // 64) * 64 AS BIGINT) AS win_row_off,
+       CAST((c // 64) * 64 AS BIGINT) AS win_col_off,
+       CAST(COUNT(*) AS BIGINT) AS n_defined,
+       CAST(SUM(basin) AS BIGINT) AS sum_basin,
+       CAST(SUM(basin * ((r * 1315423911 + c * 2654435761) % 1000003))
+            AS BIGINT) AS wsum_basin,
+       CAST(COUNT(DISTINCT basin) AS BIGINT) AS n_basins
+FROM labeled GROUP BY image_id, b, win_row_off, win_col_off
 """,
         "geo_composite_median": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},

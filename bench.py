@@ -151,6 +151,7 @@ def run_bench() -> dict:
         "geo_terrain_indices",
         "geo_flowdir",
         "geo_flowacc",
+        "geo_watershed",
         "geo_point_sample",
         "geo_histogram",
         "geo_band_math",

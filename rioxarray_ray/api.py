@@ -726,6 +726,12 @@ class RasterDataset:
 
         return focal_stage_mod.flow_accumulation_stage(self.ds, **kwargs)
 
+    def watershed(self, **kwargs):
+        """Watershed basins over the D8 flow graph (image-global)."""
+        from .stages import focal as focal_stage_mod
+
+        return focal_stage_mod.watershed_stage(self.ds, **kwargs)
+
     def focal_mode(self, radius: int = 1, **kwargs):
         """Focal majority (windowed mode, ties to the smallest value)."""
         from .stages import focal as focal_stage_mod

@@ -3104,3 +3104,32 @@ def test_flow_accumulation_stage_image_global(rds):
             edge = np.concatenate([got[0], got[-1], got[:, 0], got[:, -1]])
             crossings += int((edge > 1).sum())
         assert crossings > 0
+
+
+def test_watershed_stage_image_global(rds):
+    """Tiled watershed labels equal the whole-image kernel chain — a
+    basin straddling tiles must carry one terminal label."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import focal
+
+    KEEP = {"img00000000", "img00000003"}
+    out = focal.watershed_stage(
+        rds["tiles"].filter(lambda r: r["image_id"] in KEEP)
+    ).take_all()
+    assert out
+    for iid in KEEP:
+        idx = int(iid[3:])
+        ras = corpus.raster_for(idx)
+        vm = valid_mask(ras.pixels, ras.nodata)
+        fd, d = focal.flow_direction(ras.pixels, vm)
+        for r in out:
+            if r["image_id"] != iid:
+                continue
+            b = r["band"]
+            ref = focal.watershed_labels(fd[b], d[b])
+            h, w = r["h"], r["w"]
+            r0, c0 = r["win_row_off"], r["win_col_off"]
+            np.testing.assert_array_equal(
+                np.asarray(r["basin"]).reshape(h, w),
+                ref[r0 : r0 + h, c0 : c0 + w],
+            )
