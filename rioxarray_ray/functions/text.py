@@ -975,54 +975,65 @@ def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
 
     from .agg import topk_per_group
 
-    def partials(which):
-        def fn(batch: pa.Table) -> pa.Table:
-            _, flat, parents, nonempty = _tokenize(batch[col])
-            ft = flat.filter(pa.array(nonempty))
-            fp = parents[nonempty]
-            enc = pc.dictionary_encode(ft)
-            codes = (
-                enc.indices.to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            vocab = enc.dictionary
-            if which == "uni":
-                uniq, cnt = np.unique(codes, return_counts=True)
-                return pa.table(
-                    {
-                        "token": vocab.take(pa.array(uniq, pa.int64())),
-                        "n": pa.array(cnt, pa.int64()),
-                    }
-                )
-            m = np.zeros(len(fp), bool)
-            if len(fp) > 1:
-                m[:-1] = fp[1:] == fp[:-1]
-            a = codes[:-1][m[:-1]] if len(fp) > 1 else codes[:0]
-            b = codes[1:][m[:-1]] if len(fp) > 1 else codes[:0]
-            key = a * len(vocab) + b
-            uniq, cnt = np.unique(key, return_counts=True)
-            return pa.table(
-                {
-                    "w1": vocab.take(pa.array(uniq // len(vocab),
-                                              pa.int64())),
-                    "w2": vocab.take(pa.array(uniq % len(vocab),
-                                              pa.int64())),
-                    "n": pa.array(cnt, pa.int64()),
-                }
-            )
+    def partials(batch: pa.Table) -> pa.Table:
+        # ONE tokenize pass emits BOTH count kinds (kind 0 = unigram,
+        # kind 1 = bigram; w2 = "" on unigram rows); the slim combined
+        # partial table is materialized once and filtered per branch, so
+        # the corpus text is scanned exactly once
+        _, flat, parents, nonempty = _tokenize(batch[col])
+        ft = flat.filter(pa.array(nonempty))
+        fp = parents[nonempty]
+        enc = pc.dictionary_encode(ft)
+        codes = (
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        vocab = enc.dictionary
+        uu, ucnt = np.unique(codes, return_counts=True)
+        m = np.zeros(len(fp), bool)
+        if len(fp) > 1:
+            m[:-1] = fp[1:] == fp[:-1]
+        a = codes[:-1][m[:-1]] if len(fp) > 1 else codes[:0]
+        b = codes[1:][m[:-1]] if len(fp) > 1 else codes[:0]
+        key = a * len(vocab) + b
+        bu, bcnt = np.unique(key, return_counts=True)
+        w1 = pa.concat_arrays([
+            vocab.take(pa.array(uu, pa.int64())),
+            vocab.take(pa.array(bu // len(vocab), pa.int64())),
+        ])
+        w2 = pa.concat_arrays([
+            pa.array([""] * len(uu), pa.string()),
+            vocab.take(pa.array(bu % len(vocab), pa.int64())).cast(
+                pa.string()
+            ),
+        ])
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(len(uu), np.int8),
+                                    np.ones(len(bu), np.int8)])
+                ),
+                "w1": w1.cast(pa.string()),
+                "w2": w2,
+                "n": pa.array(np.concatenate([ucnt, bcnt]), pa.int64()),
+            }
+        )
 
-        return fn
-
+    combined = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # slim count rows, no text
     uni = (
-        ds.map_batches(partials("uni"), batch_format="pyarrow",
-                       zero_copy_batch=True)
+        combined.filter(expr="kind == 0")
+        .map_batches(
+            lambda t: pa.table({"token": t["w1"], "n": t["n"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .repartition(num_partitions)  # empty blocks poison joins
     )
     bi = (
-        ds.map_batches(partials("bi"), batch_format="pyarrow",
-                       zero_copy_batch=True)
+        combined.filter(expr="kind == 1")
+        .select_columns(["w1", "w2", "n"])
         .groupby(["w1", "w2"])
         .aggregate(Sum("n", alias_name="c12"))
         .repartition(num_partitions)
@@ -1132,84 +1143,92 @@ def fluency(ds, scale: int = 1000, col: str = "text",
     """
     from ray.data.aggregate import Sum
 
-    def partials(which):
-        def fn(batch: pa.Table) -> pa.Table:
-            _, flat, parents, nonempty = _tokenize(batch[col])
-            ft = flat.filter(pa.array(nonempty))
-            fp = parents[nonempty]
-            enc = pc.dictionary_encode(ft)
-            codes = (
-                enc.indices.to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-            )
-            vocab = enc.dictionary
-            if which == "uni":
-                uniq, cnt = np.unique(codes, return_counts=True)
-                return pa.table(
-                    {
-                        "token": vocab.take(pa.array(uniq, pa.int64())),
-                        "n": pa.array(cnt, pa.int64()),
-                    }
-                )
-            m = np.zeros(len(fp), bool)
-            if len(fp) > 1:
-                m[:-1] = fp[1:] == fp[:-1]
-            a = codes[:-1][m[:-1]] if len(fp) > 1 else codes[:0]
-            b = codes[1:][m[:-1]] if len(fp) > 1 else codes[:0]
-            if which == "bi":
-                key = a * len(vocab) + b
-                uniq, cnt = np.unique(key, return_counts=True)
-                return pa.table(
-                    {
-                        "w1": vocab.take(pa.array(uniq // len(vocab),
-                                                  pa.int64())),
-                        "w2": vocab.take(pa.array(uniq % len(vocab),
-                                                  pa.int64())),
-                        "n": pa.array(cnt, pa.int64()),
-                    }
-                )
-            # which == "doc": per-doc bigram occurrence counts (complete
-            # within the batch — a doc is one row)
-            docs = batch[id_col].to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            da = docs[fp[:-1][m[:-1]]] if len(fp) > 1 else docs[:0]
-            key = (da * len(vocab) + a) * len(vocab) + b
-            uniq, occ = np.unique(key, return_counts=True)
-            return pa.table(
-                {
-                    id_col: pa.array(uniq // (len(vocab) * len(vocab)),
-                                     pa.int64()),
-                    "w1": vocab.take(
-                        pa.array((uniq // len(vocab)) % len(vocab),
-                                 pa.int64())
-                    ),
-                    "w2": vocab.take(pa.array(uniq % len(vocab),
-                                              pa.int64())),
-                    "occ": pa.array(occ, pa.int64()),
-                }
-            )
-
-        return fn
+    def partials(batch: pa.Table) -> pa.Table:
+        # ONE tokenize pass emits all THREE count kinds (0 = unigram,
+        # 1 = corpus bigram, 2 = per-doc bigram occurrence — complete
+        # within the batch because a doc is one row); the slim combined
+        # table is materialized once and filtered per branch
+        _, flat, parents, nonempty = _tokenize(batch[col])
+        ft = flat.filter(pa.array(nonempty))
+        fp = parents[nonempty]
+        enc = pc.dictionary_encode(ft)
+        codes = (
+            enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        vocab = enc.dictionary
+        uu, ucnt = np.unique(codes, return_counts=True)
+        m = np.zeros(len(fp), bool)
+        if len(fp) > 1:
+            m[:-1] = fp[1:] == fp[:-1]
+        a = codes[:-1][m[:-1]] if len(fp) > 1 else codes[:0]
+        b = codes[1:][m[:-1]] if len(fp) > 1 else codes[:0]
+        key = a * len(vocab) + b
+        bu, bcnt = np.unique(key, return_counts=True)
+        docs = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = docs[fp[:-1][m[:-1]]] if len(fp) > 1 else docs[:0]
+        dkey = (da * len(vocab) + a) * len(vocab) + b
+        du, docc = np.unique(dkey, return_counts=True)
+        v = len(vocab)
+        kind = np.concatenate([
+            np.zeros(len(uu), np.int8), np.ones(len(bu), np.int8),
+            np.full(len(du), 2, np.int8),
+        ])
+        did = np.concatenate([
+            np.full(len(uu), -1, np.int64), np.full(len(bu), -1, np.int64),
+            du // (v * v),
+        ])
+        w1 = pa.concat_arrays([
+            vocab.take(pa.array(uu, pa.int64())).cast(pa.string()),
+            vocab.take(pa.array(bu // v, pa.int64())).cast(pa.string()),
+            vocab.take(pa.array((du // v) % v, pa.int64())).cast(
+                pa.string()
+            ),
+        ])
+        w2 = pa.concat_arrays([
+            pa.array([""] * len(uu), pa.string()),
+            vocab.take(pa.array(bu % v, pa.int64())).cast(pa.string()),
+            vocab.take(pa.array(du % v, pa.int64())).cast(pa.string()),
+        ])
+        return pa.table(
+            {
+                "kind": pa.array(kind),
+                id_col: pa.array(did, pa.int64()),
+                "w1": w1,
+                "w2": w2,
+                "n": pa.array(np.concatenate([ucnt, bcnt, docc]),
+                              pa.int64()),
+            }
+        )
 
     import ray.data as rd
 
+    combined = ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # slim count rows, no text
     uni = (
-        ds.map_batches(partials("uni"), batch_format="pyarrow",
-                       zero_copy_batch=True)
+        combined.filter(expr="kind == 0")
+        .map_batches(
+            lambda t: pa.table({"token": t["w1"], "n": t["n"]}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
         .repartition(num_partitions)
     )
     bi = (
-        ds.map_batches(partials("bi"), batch_format="pyarrow",
-                       zero_copy_batch=True)
+        combined.filter(expr="kind == 1")
+        .select_columns(["w1", "w2", "n"])
         .groupby(["w1", "w2"])
         .aggregate(Sum("n", alias_name="c12"))
         .repartition(num_partitions)
     )
-    docbi = ds.map_batches(partials("doc"), batch_format="pyarrow",
-                           zero_copy_batch=True).union(
+    docbi = combined.filter(expr="kind == 2").map_batches(
+        lambda t: pa.table(
+            {id_col: t[id_col], "w1": t["w1"], "w2": t["w2"],
+             "occ": t["n"]}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).union(
         # join sentinel (see collocations): every stage stays non-empty
         rd.from_arrow(
             pa.table({id_col: pa.array([-1], pa.int64()),
