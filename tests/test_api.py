@@ -460,3 +460,31 @@ def test_accessor_region_ops(ray_session):
     assert labs and all(r["area"] >= 1 for r in labs)
     sv = rds.sieve(threshold=120, min_size=64)
     assert sv.histogram(bucket=64).count() > 0
+
+
+def test_accessor_session_round4_ops(ray_session):
+    """Every round-4 accessor hook is reachable and returns rows:
+    sieve/proximity/match_histograms/percentile_stretch/pansharpen/idw
+    on flat tiles; terrain_indices/focal_mode/flow_direction/
+    flow_accumulation/watershed on halo'd tiles."""
+    from rioxarray_ray import api
+
+    flat = api.open_corpus(6).tile(64)
+    halo = api.open_corpus(4).tile(64, halo=1)
+
+    assert flat.sieve(threshold=120, min_size=16).ds.count() > 0
+    assert flat.proximity(threshold=120).count() > 0
+    ref = flat.band_value_counts()
+    assert flat.match_histograms(ref).ds.count() > 0
+    assert flat.percentile_stretch().ds.count() > 0
+    three = api.RasterDataset(
+        flat.ds.filter(lambda r: int(r["image_id"][3:]) % 5 == 0)
+    )
+    assert three.pansharpen().ds.count() > 0
+    pt = {"type": "Point", "coordinates": [-59.9, 39.9]}
+    assert flat.idw([pt], [7], radius_px=6).count() > 0
+    assert halo.terrain_indices().count() > 0
+    assert halo.focal_mode().count() > 0
+    assert halo.flow_direction().count() > 0
+    assert halo.flow_accumulation().count() > 0
+    assert halo.watershed().count() > 0
