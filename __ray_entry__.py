@@ -2721,6 +2721,19 @@ def q_text_fluency(sf_dir: str):
     return text.fluency(ds)
 
 
+def q_text_pack(sf_dir: str):
+    """Sequence-packing offsets (functions/text.pack_sequences — GPT
+    concat-then-cut): global token offset per doc via a distributed
+    exclusive scan (deterministic doc-id bucketing; the only driver
+    state is the tiny per-bucket total table), plus the training
+    sequence span each doc lands in.  Oracle: SUM() OVER (ORDER BY
+    doc_id) exclusive window + the same floor arithmetic."""
+    from rioxarray_ray.functions import text
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return text.pack_sequences(ds, seq_len=512, bucket_size=64)
+
+
 def q_text_rarest_term(sf_dir: str):
     """Most distinctive token per document (functions/text.rarest_term):
     distinct (doc, token) explode -> native hash join to the df table ->
@@ -4562,6 +4575,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_bm25": q_text_bm25,
         "text_collocations": q_text_collocations,
         "text_fluency": q_text_fluency,
+        "text_pack": q_text_pack,
         "text_weighted_sample": q_text_weighted_sample,
         "embedding_quantize": q_embedding_quantize,
         "ann_topk_int8": q_ann_topk_int8,
@@ -6848,6 +6862,27 @@ FROM bipos p
 JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
 JOIN uni ON uni.token = p.w1
 GROUP BY p.doc_id
+""",
+        "text_pack": r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(coalesce(text, '')), '[a-z'']+'))
+           AS n_tokens
+  FROM documents
+),
+nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+scanned AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS tok_offset
+  FROM nz
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // 512 AS BIGINT) AS seq_first,
+       CAST((tok_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+FROM scanned
 """,
         "text_stratified_sample": """
 WITH d AS (

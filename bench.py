@@ -186,6 +186,7 @@ def run_bench() -> dict:
         "text_redact",
         "text_decontaminate",
         "text_chunk",
+        "text_pack",
         "embedding_kmedians",
         "embedding_quantize",
         "ann_topk_int8",

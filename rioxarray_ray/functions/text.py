@@ -1300,3 +1300,87 @@ def fluency(ds, scale: int = 1000, col: str = "text",
             Sum("fluency_sum", alias_name="fluency_sum"),
         )
     )
+
+
+def pack_sequences(ds, seq_len: int = 2048, bucket_size: int = 4096,
+                   col: str = "text", id_col: str = "doc_id"):
+    """GPT-style sequence packing offsets — concatenate every document's
+    tokens in id order and cut the stream every ``seq_len`` tokens; each
+    doc gets its global token offset and the training-sequence span it
+    lands in (the step before writing tokenized shards):
+
+        tok_offset(d) = sum of n_tokens over docs with id < d
+        seq_first     = tok_offset // seq_len
+        seq_last      = (tok_offset + n_tokens - 1) // seq_len
+
+    (empty docs emit no row; the shared [a-z']+ token rule keeps the
+    oracle exact.)
+
+    100-TB shape — a textbook DISTRIBUTED EXCLUSIVE SCAN with
+    deterministic bucketing (Ray Data has no native running-sum; block
+    order is not deterministic, ``doc_id // bucket_size`` is):
+
+    1. one streaming pass computes slim (doc_id, n_tokens) counts;
+    2. ONE groupby(bucket) Sum yields per-bucket totals — the ONLY
+       driver-side state is this n_docs/bucket_size-row table (pick
+       ``bucket_size`` so it stays ~1e6 rows at any corpus size), whose
+       cumsum gives each bucket's base offset;
+    3. ONE groupby(bucket).map_groups adds the within-bucket cumsum to
+       the broadcast base — reducer memory = one bucket's counts.
+
+    Returns (doc_id, n_tokens, tok_offset, seq_first, seq_last).
+    """
+    from ray.data.aggregate import Sum
+
+    if seq_len < 1 or bucket_size < 1:
+        raise ValueError("seq_len and bucket_size must be >= 1")
+
+    def counts(batch: pa.Table) -> pa.Table:
+        _, flat, parents, nonempty = _tokenize(batch[col])
+        n = np.bincount(parents[nonempty],
+                        minlength=batch.num_rows).astype(np.int64)
+        did = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0
+        return pa.table(
+            {
+                id_col: pa.array(did[keep], pa.int64()),
+                "n_tokens": pa.array(n[keep], pa.int64()),
+                "bucket": pa.array(did[keep] // bucket_size, pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(counts, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    totals = (
+        slim.select_columns(["bucket", "n_tokens"])
+        .groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="total"))
+        .take_all()  # n_docs / bucket_size rows — driver-safe by design
+    )
+    totals.sort(key=lambda r: r["bucket"])
+    base, acc = {}, 0
+    for r in totals:
+        base[r["bucket"]] = acc
+        acc += int(r["total"])
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        did = group[id_col].to_numpy(zero_copy_only=False)
+        n = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(did, kind="stable")
+        did, n = did[order], n[order]
+        off = base[int(group["bucket"][0].as_py())] + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        return pa.table(
+            {
+                id_col: pa.array(did, pa.int64()),
+                "n_tokens": pa.array(n, pa.int64()),
+                "tok_offset": pa.array(off, pa.int64()),
+                "seq_first": pa.array(off // seq_len, pa.int64()),
+                "seq_last": pa.array((off + n - 1) // seq_len, pa.int64()),
+            }
+        )
+
+    return slim.groupby("bucket").map_groups(
+        scan_bucket, batch_format="pyarrow"
+    )

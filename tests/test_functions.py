@@ -1952,3 +1952,39 @@ def test_fluency_bigram_lm_reference(ray_session):
     assert avg[2] == 1000.0          # singleton vocab: P(w2|w1) = 1
     # 'the' continues two ways (cat/mat), so its transitions score 1/2
     assert exp[0][1] == 2 * 500 + 3 * 1000 and exp[0][0] == 5
+
+
+def test_pack_sequences_prefix_scan(ray_session):
+    """Token offsets equal a sequential reference regardless of
+    partitioning or bucket size; seq spans use the concat-then-cut rule;
+    empty docs emit no row."""
+    import re
+
+    import ray.data as rd
+
+    from rioxarray_ray.functions import text
+
+    rng = np.random.default_rng(9)
+    docs = [
+        {"doc_id": i,
+         "text": " ".join(f"w{j}" for j in range(int(rng.integers(0, 9))))}
+        for i in range(57)
+    ]
+    ref, off = {}, 0
+    for d in docs:
+        n = len(re.findall(r"[a-z']+", d["text"].lower()))
+        if n == 0:
+            continue
+        ref[d["doc_id"]] = (n, off, off // 7, (off + n - 1) // 7)
+        off += n
+
+    for nparts, bs in ((1, 4096), (5, 8), (3, 1)):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["tok_offset"],
+                          r["seq_first"], r["seq_last"])
+            for r in text.pack_sequences(
+                rd.from_items(docs).repartition(nparts),
+                seq_len=7, bucket_size=bs,
+            ).take_all()
+        }
+        assert got == ref
