@@ -3994,6 +3994,19 @@ def q_geo_watershed(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_geo_xyz(sf_dir: str):
+    """Raster -> XYZ point-table export (stages/stats.to_xyz_stage — the
+    gdal2xyz / to_dataframe bridge): one row per valid pixel with exact
+    affine CENTER coordinates.  EXACT SQL oracle incl. bit-identical
+    float coordinates: DuckDB rebuilds x = res*(c+0.5) + tile_left from
+    the same IEEE chain (commutativity-safe) and the pixel values from
+    the spec."""
+    from rioxarray_ray.stages import stats as sstage
+
+    small = _keep_idx(_tiles_4326(sf_dir), lambda idx: idx < 2)
+    return sstage.to_xyz_stage(small)
+
+
 def q_geo_proximity(sf_dir: str):
     """gdal_proximity: per-pixel euclidean distance to the nearest
     over-threshold pixel, image-global (stages/stats.proximity_stage —
@@ -4600,6 +4613,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_flowdir": q_geo_flowdir,
         "geo_flowacc": q_geo_flowacc,
         "geo_watershed": q_geo_watershed,
+        "geo_xyz": q_geo_xyz,
         "geo_match_histograms": q_geo_match_histograms,
         "geo_zorder_layout": q_geo_zorder_layout,
         "geo_band_stats": q_geo_band_stats,
@@ -5783,6 +5797,22 @@ SELECT image_id, CAST(b AS BIGINT) AS band,
             AS BIGINT) AS wsum_basin,
        CAST(COUNT(DISTINCT basin) AS BIGINT) AS n_basins
 FROM labeled GROUP BY image_id, b, win_row_off, win_col_off
+""",
+        "geo_xyz": f"""
+WITH {_allpx_cte("doc_id < 2 AND doc_id % 7 <> 6")},
+imj AS (
+  SELECT idx, image_id, w, h,
+         (-6e1 + ((idx % 64) * w) * 5e-3) AS left_x,
+         (4e1 - (((idx // 64) % 64) * h) * 5e-3) AS top_y
+  FROM img
+)
+SELECT i.image_id, CAST(p.b AS INT) AS band,
+       (5e-3 * ((p.c % 64) + 5e-1)
+        + (5e-3 * ((p.c // 64) * 64) + i.left_x)) AS x,
+       ((-5e-3) * ((p.r % 64) + 5e-1)
+        + ((-5e-3) * ((p.r // 64) * 64) + i.top_y)) AS y,
+       CAST(p.px AS DOUBLE) AS value
+FROM allpx p JOIN imj i ON i.idx = p.idx
 """,
         "geo_composite_median": f"""
 WITH {_allpx_cte("doc_id < 64 AND doc_id % 7 <> 6")},

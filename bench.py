@@ -152,6 +152,7 @@ def run_bench() -> dict:
         "geo_flowdir",
         "geo_flowacc",
         "geo_watershed",
+        "geo_xyz",
         "geo_point_sample",
         "geo_histogram",
         "geo_band_math",

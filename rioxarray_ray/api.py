@@ -702,6 +702,14 @@ class RasterDataset:
             self.ds, ref_counts, fill=fill, **kwargs
         ))
 
+    def to_xyz(self, skip_nodata: bool = True, **kwargs):
+        """gdal2xyz: one row per (valid) pixel with center coords."""
+        from .stages import stats as stats_stage_mod
+
+        return stats_stage_mod.to_xyz_stage(
+            self.ds, skip_nodata=skip_nodata, **kwargs
+        )
+
     def band_value_counts(self, **kwargs):
         """Exact per-band valid-pixel value counts (band, value, n)."""
         from .stages import stats as stats_stage_mod

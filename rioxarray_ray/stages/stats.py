@@ -1117,3 +1117,64 @@ def pansharpen_stage(tiles_ds, pan_band: int = 0, scale: int = 1000,
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return tiles_ds.map_batches(run, **kwargs)
+
+
+def to_xyz_stage(tiles_ds, skip_nodata: bool = True, **map_kwargs):
+    """Raster → point-table export (``gdal2xyz`` / the xarray
+    ``to_dataframe`` recipe): one row per (valid) pixel with its
+    CENTER coordinates — the raster→vector bridge for joins against
+    point tooling.
+
+    Zero shuffle, pure flat-map shape; output volume = pixels x row
+    width, so at 100 TB this is a format conversion you stream straight
+    into a partitioned write (never collect).  Coordinates are the
+    affine closed form ``x = c3 + (col + 0.5) * a`` / ``y = c5 +
+    (row + 0.5) * e`` — bit-reproducible, so the gate compares float
+    columns exactly."""
+    from ..kernels.nodata import valid_mask
+    from .schema import pixel_views
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids, bs, xs, ys, vs = [], [], [], [], []
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            t = row["transform"]
+            h, w = row["h"], row["w"]
+            vm = (valid_mask(px, _row_nodata(row)) if skip_nodata
+                  else np.ones(px.shape, bool))
+            cols = np.arange(w, dtype=np.float64)
+            rows_ = np.arange(h, dtype=np.float64)
+            gx = t[2] + (cols + 0.5) * t[0]
+            gy = t[5] + (rows_ + 0.5) * t[4]
+            for b in range(px.shape[0]):
+                m = vm[b]
+                n = int(m.sum())
+                if n == 0:
+                    continue
+                rr, cc = np.nonzero(m)
+                ids.append(np.repeat(row["image_id"], n))
+                bs.append(np.full(n, b, np.int32))
+                xs.append(gx[cc])
+                ys.append(gy[rr])
+                vs.append(px[b][m].astype(np.float64))
+        if not ids:
+            return pa.table(
+                {"image_id": pa.array([], pa.string()),
+                 "band": pa.array([], pa.int32()),
+                 "x": pa.array([], pa.float64()),
+                 "y": pa.array([], pa.float64()),
+                 "value": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "image_id": pa.array(np.concatenate(ids)),
+                "band": pa.array(np.concatenate(bs), pa.int32()),
+                "x": pa.array(np.concatenate(xs), pa.float64()),
+                "y": pa.array(np.concatenate(ys), pa.float64()),
+                "value": pa.array(np.concatenate(vs), pa.float64()),
+            }
+        )
+
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return tiles_ds.map_batches(run, **kwargs)

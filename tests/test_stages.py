@@ -3133,3 +3133,38 @@ def test_watershed_stage_image_global(rds):
                 np.asarray(r["basin"]).reshape(h, w),
                 ref[r0 : r0 + h, c0 : c0 + w],
             )
+
+
+def test_to_xyz_export(rds):
+    """XYZ rows cover exactly the valid pixels (or all pixels with
+    skip_nodata=False) with affine center coordinates."""
+    from rioxarray_ray.kernels.nodata import valid_mask
+    from rioxarray_ray.stages import stats as sstage
+    from rioxarray_ray.stages.schema import pixel_views
+
+    one = rds["tiles"].filter(lambda r: r["image_id"] == "img00000003")
+    got = sstage.to_xyz_stage(one).take_all()
+    total_valid = 0
+    some_checked = 0
+    for batch in one.iter_batches(batch_format="pyarrow"):
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        for row, px in zip(meta, pixel_views(batch)):
+            nod = row["nodata"]
+            nod = None if nod != nod and np.dtype(row["dtype"]).kind in "iu" \
+                else nod
+            vm = valid_mask(px, nod)
+            total_valid += int(vm.sum())
+            t = row["transform"]
+            by_xy = {(r["x"], r["y"], r["band"]): r["value"] for r in got}
+            for b in range(px.shape[0]):
+                rr, cc = np.nonzero(vm[b])
+                for k in range(0, len(rr), 97):  # sample
+                    x = t[2] + (cc[k] + 0.5) * t[0]
+                    y = t[5] + (rr[k] + 0.5) * t[4]
+                    assert by_xy[(x, y, b)] == float(px[b][rr[k], cc[k]])
+                    some_checked += 1
+    assert len(got) == total_valid and some_checked > 50
+    n_all = sstage.to_xyz_stage(one, skip_nodata=False).count()
+    rowsum = sum(r["band_count"] * r["h"] * r["w"] for r in
+                 one.select_columns(["band_count", "h", "w"]).take_all())
+    assert n_all == rowsum
