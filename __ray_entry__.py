@@ -2379,6 +2379,24 @@ def q_image_ahash(sf_dir: str):
     return hashed.map_batches(rename, batch_format="pyarrow")
 
 
+def q_image_phash(sf_dir: str):
+    """DCT perceptual hash (functions/multimodal.phash64 — the
+    imagehash/imagededup standard, integerized: quantized 2^14 DCT
+    basis + lower-median threshold, all integer).  Oracle: the SAME
+    basis integers inlined as literals, the 64 low-frequency
+    coefficients as SUM(t_u * v * t_v), and the rank-32 median replayed
+    with a window — the hash must match bit for bit."""
+    from rioxarray_ray.functions import multimodal
+
+    hashed = multimodal.phash_stage(_ahash_media(sf_dir),
+                                    id_col="media_id")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["doc_id", "phash64"])
+
+    return hashed.map_batches(rename, batch_format="pyarrow")
+
+
 def q_image_near_dup(sf_dir: str):
     """Image near-duplicate pairs (functions/multimodal.image_near_dup):
     decode -> aHash actor pool -> certified banded hamming-LSH (the
@@ -4574,6 +4592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_token_topk": q_text_token_topk,
         "image_ahash": q_image_ahash,
         "image_near_dup": q_image_near_dup,
+        "image_phash": q_image_phash,
         "image_dedup_apply": q_image_dedup_apply,
         "multimodal_joint_near_dup": q_multimodal_joint_near_dup,
         "text_repetition": q_text_repetition,
@@ -7413,6 +7432,59 @@ SELECT doc_a, doc_b,
          AS hamming
 FROM cand
 WHERE bit_count(xor(CAST(ua AS UBIGINT), CAST(ub AS UBIGINT))) <= 3
+""",
+        "image_phash": f"""
+WITH {_AHASH_CTE},
+tmat(u, j, t) AS (
+  SELECT * FROM (VALUES
+    (0, 0, 4096), (0, 1, 4096), (0, 2, 4096), (0, 3, 4096), (0, 4, 4096), (0, 5, 4096), (0, 6, 4096), (0, 7, 4096), (0, 8, 4096), (0, 9, 4096), (0, 10, 4096), (0, 11, 4096), (0, 12, 4096), (0, 13, 4096), (0, 14, 4096), (0, 15, 4096),
+    (1, 0, 5765), (1, 1, 5543), (1, 2, 5109), (1, 3, 4478), (1, 4, 3675), (1, 5, 2731), (1, 6, 1682), (1, 7, 568), (1, 8, -568), (1, 9, -1682), (1, 10, -2731), (1, 11, -3675), (1, 12, -4478), (1, 13, -5109), (1, 14, -5543), (1, 15, -5765),
+    (2, 0, 5681), (2, 1, 4816), (2, 2, 3218), (2, 3, 1130), (2, 4, -1130), (2, 5, -3218), (2, 6, -4816), (2, 7, -5681), (2, 8, -5681), (2, 9, -4816), (2, 10, -3218), (2, 11, -1130), (2, 12, 1130), (2, 13, 3218), (2, 14, 4816), (2, 15, 5681),
+    (3, 0, 5543), (3, 1, 3675), (3, 2, 568), (3, 3, -2731), (3, 4, -5109), (3, 5, -5765), (3, 6, -4478), (3, 7, -1682), (3, 8, 1682), (3, 9, 4478), (3, 10, 5765), (3, 11, 5109), (3, 12, 2731), (3, 13, -568), (3, 14, -3675), (3, 15, -5543),
+    (4, 0, 5352), (4, 1, 2217), (4, 2, -2217), (4, 3, -5352), (4, 4, -5352), (4, 5, -2217), (4, 6, 2217), (4, 7, 5352), (4, 8, 5352), (4, 9, 2217), (4, 10, -2217), (4, 11, -5352), (4, 12, -5352), (4, 13, -2217), (4, 14, 2217), (4, 15, 5352),
+    (5, 0, 5109), (5, 1, 568), (5, 2, -4478), (5, 3, -5543), (5, 4, -1682), (5, 5, 3675), (5, 6, 5765), (5, 7, 2731), (5, 8, -2731), (5, 9, -5765), (5, 10, -3675), (5, 11, 1682), (5, 12, 5543), (5, 13, 4478), (5, 14, -568), (5, 15, -5109),
+    (6, 0, 4816), (6, 1, -1130), (6, 2, -5681), (6, 3, -3218), (6, 4, 3218), (6, 5, 5681), (6, 6, 1130), (6, 7, -4816), (6, 8, -4816), (6, 9, 1130), (6, 10, 5681), (6, 11, 3218), (6, 12, -3218), (6, 13, -5681), (6, 14, -1130), (6, 15, 4816),
+    (7, 0, 4478), (7, 1, -2731), (7, 2, -5543), (7, 3, 568), (7, 4, 5765), (7, 5, 1682), (7, 6, -5109), (7, 7, -3675), (7, 8, 3675), (7, 9, 5109), (7, 10, -1682), (7, 11, -5765), (7, 12, -568), (7, 13, 5543), (7, 14, 2731), (7, 15, -4478),
+    (8, 0, 4096), (8, 1, -4096), (8, 2, -4096), (8, 3, 4096), (8, 4, 4096), (8, 5, -4096), (8, 6, -4096), (8, 7, 4096), (8, 8, 4096), (8, 9, -4096), (8, 10, -4096), (8, 11, 4096), (8, 12, 4096), (8, 13, -4096), (8, 14, -4096), (8, 15, 4096),
+    (9, 0, 3675), (9, 1, -5109), (9, 2, -1682), (9, 3, 5765), (9, 4, -568), (9, 5, -5543), (9, 6, 2731), (9, 7, 4478), (9, 8, -4478), (9, 9, -2731), (9, 10, 5543), (9, 11, 568), (9, 12, -5765), (9, 13, 1682), (9, 14, 5109), (9, 15, -3675),
+    (10, 0, 3218), (10, 1, -5681), (10, 2, 1130), (10, 3, 4816), (10, 4, -4816), (10, 5, -1130), (10, 6, 5681), (10, 7, -3218), (10, 8, -3218), (10, 9, 5681), (10, 10, -1130), (10, 11, -4816), (10, 12, 4816), (10, 13, 1130), (10, 14, -5681), (10, 15, 3218),
+    (11, 0, 2731), (11, 1, -5765), (11, 2, 3675), (11, 3, 1682), (11, 4, -5543), (11, 5, 4478), (11, 6, 568), (11, 7, -5109), (11, 8, 5109), (11, 9, -568), (11, 10, -4478), (11, 11, 5543), (11, 12, -1682), (11, 13, -3675), (11, 14, 5765), (11, 15, -2731),
+    (12, 0, 2217), (12, 1, -5352), (12, 2, 5352), (12, 3, -2217), (12, 4, -2217), (12, 5, 5352), (12, 6, -5352), (12, 7, 2217), (12, 8, 2217), (12, 9, -5352), (12, 10, 5352), (12, 11, -2217), (12, 12, -2217), (12, 13, 5352), (12, 14, -5352), (12, 15, 2217),
+    (13, 0, 1682), (13, 1, -4478), (13, 2, 5765), (13, 3, -5109), (13, 4, 2731), (13, 5, 568), (13, 6, -3675), (13, 7, 5543), (13, 8, -5543), (13, 9, 3675), (13, 10, -568), (13, 11, -2731), (13, 12, 5109), (13, 13, -5765), (13, 14, 4478), (13, 15, -1682),
+    (14, 0, 1130), (14, 1, -3218), (14, 2, 4816), (14, 3, -5681), (14, 4, 5681), (14, 5, -4816), (14, 6, 3218), (14, 7, -1130), (14, 8, -1130), (14, 9, 3218), (14, 10, -4816), (14, 11, 5681), (14, 12, -5681), (14, 13, 4816), (14, 14, -3218), (14, 15, 1130),
+    (15, 0, 568), (15, 1, -1682), (15, 2, 2731), (15, 3, -3675), (15, 4, 4478), (15, 5, -5109), (15, 6, 5543), (15, 7, -5765), (15, 8, 5765), (15, 9, -5543), (15, 10, 5109), (15, 11, -4478), (15, 12, 3675), (15, 13, -2731), (15, 14, 1682), (15, 15, -568)
+  ) x(u, j, t)
+),
+g AS (SELECT doc_id, i // 16 AS r, i % 16 AS c, v FROM px),
+coef AS (
+  SELECT g.doc_id, tu.u AS cu, tv.u AS cv,
+         SUM(tu.t * g.v * tv.t) AS coef
+  FROM g
+  JOIN tmat tu ON tu.j = g.r
+  JOIN tmat tv ON tv.j = g.c
+  WHERE tu.u < 8 AND tv.u < 8
+  GROUP BY g.doc_id, tu.u, tv.u
+),
+med AS (
+  SELECT doc_id, coef AS m FROM (
+    SELECT doc_id, coef,
+           row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rk
+    FROM coef WHERE NOT (cu = 0 AND cv = 0)
+  ) WHERE rk = 32
+),
+hp AS (
+  SELECT c.doc_id,
+         SUM(CASE WHEN c.coef > m.m
+                  THEN CAST(1 AS HUGEINT) << CAST(c.cu * 8 + c.cv AS INT)
+                  ELSE CAST(0 AS HUGEINT) END) AS u
+  FROM coef c JOIN med m ON m.doc_id = c.doc_id
+  GROUP BY c.doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN u >= CAST('9223372036854775808' AS HUGEINT)
+                 THEN u - CAST('18446744073709551616' AS HUGEINT)
+                 ELSE u END AS BIGINT) AS phash64
+FROM hp
 """,
         "multimodal_joint_near_dup": f"""
 WITH {_AHASH_CTE},

@@ -179,6 +179,7 @@ def run_bench() -> dict:
         "dedup_exact",
         "dedup_chunks",
         "dedup_minhash",
+        "image_phash",
         "embedding_near_dup",
         "ann_topk",
         "ann_topk_blocked",

@@ -642,3 +642,86 @@ def patchify_stage(tiles_ds, patch: int = 16, **map_kwargs):
 
     return tiles_ds.map_batches(run, batch_format="pyarrow",
                                 zero_copy_batch=True, **map_kwargs)
+
+
+_PHASH_SCALE = 1 << 14
+
+
+def phash_dct_matrix() -> np.ndarray:
+    """Integerized 16-point DCT-II basis: T[u, j] = round(2^14 * c_u *
+    cos(pi*(2j+1)u/32)), c_0 = sqrt(1/16), else sqrt(2/16).  The
+    literals are the SHARED CONSTANTS of the pHash contract — the SQL
+    oracle inlines exactly these integers (like JPEG's integer DCT, the
+    quantized basis IS the spec; no transcendental functions at query
+    time on either side)."""
+    j = np.arange(16, dtype=np.float64)[None, :]
+    u = np.arange(16, dtype=np.float64)[:, None]
+    c = np.where(u == 0, np.sqrt(1.0 / 16.0), np.sqrt(2.0 / 16.0))
+    return np.rint(
+        _PHASH_SCALE * c * np.cos(np.pi * (2 * j + 1) * u / 32.0)
+    ).astype(np.int64)
+
+
+_PHASH_T = phash_dct_matrix()
+
+
+def phash64(arr: np.ndarray) -> np.int64:
+    """64-bit pHash (DCT perceptual hash, the imagehash/imagededup
+    standard) of a decoded (bands, 16, 16) image, INTEGER-EXACT:
+
+    grayscale = integer band sum; C = T @ gray @ T.T with the
+    integerized DCT basis (phash_dct_matrix); bits = the 8x8 low-
+    frequency block compared to the LOWER MEDIAN of its 63 non-DC
+    coefficients (sorted index 31 — deterministic, no float mean);
+    bit k = u*8 + v, strictly-greater rule.  Images of other sizes
+    resize to 16x16 first (resize_stage's nearest gather).
+    """
+    b, h, w = arr.shape
+    if (h, w) != (16, 16):
+        raise ValueError(f"phash64 needs a 16x16 image, got {h}x{w}")
+    gray = arr.astype(np.int64).sum(axis=0)
+    coef = _PHASH_T @ gray @ _PHASH_T.T
+    low = coef[:8, :8]
+    ac = np.sort(np.delete(low.ravel(), 0))
+    med = int(ac[31])
+    bits = (low.ravel() > med).astype(np.uint64)
+    k = np.arange(64, dtype=np.uint64)
+    return np.bitwise_or.reduce(bits << k).view(np.int64)
+
+
+class PHasher:
+    """Actor-pool pHash stage (decode table pinned in __init__, same
+    shape as AHasher); output = the slim (id, phash) relation."""
+
+    def __init__(self, id_col: str = "media_id",
+                 payload_col: str = "payload"):
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..kernels import codecs
+
+        hashes = []
+        for payload in batch[self.payload_col].to_pylist():
+            arr = codecs.decode(payload)
+            hashes.append(int(phash64(arr)))
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "phash64": pa.array(hashes, pa.int64()),
+            }
+        )
+
+
+def phash_stage(media_ds, id_col: str = "media_id",
+                payload_col: str = "payload", concurrency=(1, 4),
+                **map_kwargs):
+    """Decode -> 64-bit pHash per image (see PHasher)."""
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    kwargs.update(map_kwargs)
+    return media_ds.map_batches(
+        PHasher,
+        fn_constructor_kwargs=dict(id_col=id_col, payload_col=payload_col),
+        concurrency=concurrency,
+        **kwargs,
+    )

@@ -1988,3 +1988,37 @@ def test_pack_sequences_prefix_scan(ray_session):
             ).take_all()
         }
         assert got == ref
+
+
+def test_phash64_locality_and_contract(ray_session):
+    """pHash: one nudged pixel flips few bits, an unrelated image many;
+    the integerized basis matches its closed form; non-16x16 raises."""
+    from rioxarray_ray.functions.multimodal import (
+        phash64, phash_dct_matrix, _PHASH_SCALE,
+    )
+
+    T = phash_dct_matrix()
+    j = np.arange(16, dtype=np.float64)[None, :]
+    u = np.arange(16, dtype=np.float64)[:, None]
+    c = np.where(u == 0, np.sqrt(1 / 16), np.sqrt(2 / 16))
+    np.testing.assert_array_equal(
+        T, np.rint(_PHASH_SCALE * c
+                   * np.cos(np.pi * (2 * j + 1) * u / 32)).astype(np.int64)
+    )
+    # orthogonality of the underlying basis survives quantization (~1e-3)
+    Q = T.astype(np.float64) / _PHASH_SCALE
+    np.testing.assert_allclose(Q @ Q.T, np.eye(16), atol=2e-3)
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (1, 16, 16))
+    near = base.copy()
+    near[0, 9, 4] = (near[0, 9, 4] + 96) % 256
+    far = rng.integers(0, 256, (1, 16, 16))
+    h = {k: int(np.uint64(np.int64(phash64(v))))
+         for k, v in (("b", base), ("n", near), ("f", far))}
+    d_near = bin(h["b"] ^ h["n"]).count("1")
+    d_far = bin(h["b"] ^ h["f"]).count("1")
+    assert d_near < 8 <= d_far
+
+    with pytest.raises(ValueError, match="16x16"):
+        phash64(np.zeros((1, 8, 8), np.uint8))
