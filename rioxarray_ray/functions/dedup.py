@@ -885,6 +885,7 @@ def chunk_dedup(
     size: int = 32,
     overlap: int = 8,
     max_chunks_per_doc: int = 1 << 20,
+    materialize_chunks: bool = True,
 ):
     """Chunk-granularity exact dedup — the RefinedWeb/FineWeb line-level
     dedup shape: documents are split into fixed-size token chunks (the
@@ -920,16 +921,20 @@ def chunk_dedup(
     from .text import chunk_batch
 
     # chunk rows carry NO text (id, chunk_id, md5 only) — materializing
-    # this bounded metadata table lets both downstream branches (owner
-    # groupby + per-doc partials) consume it without re-running the
-    # chunking lineage twice
+    # this metadata table lets both downstream branches (owner groupby +
+    # per-doc partials) consume it without re-running the chunking
+    # lineage twice.  It is ~60 bytes/chunk: at corpus scales where even
+    # that exceeds the object store, pass materialize_chunks=False to
+    # trade a second streaming text scan for zero residency.
     chunks = ds.map_batches(
         functools.partial(
             chunk_batch, col=col, id_col=id_col, size=size, overlap=overlap
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).materialize()
+    )
+    if materialize_chunks:
+        chunks = chunks.materialize()
 
     def pack(batch: pa.Table) -> pa.Table:
         cid = batch["chunk_id"].to_numpy(zero_copy_only=False)

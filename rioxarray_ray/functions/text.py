@@ -953,7 +953,8 @@ def decontaminate_bloom_stage(ds, bloom_ref, m_bits: int, k: int,
 
 
 def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
-                 col: str = "text", num_partitions: int = 8):
+                 col: str = "text", num_partitions: int = 8,
+                 materialize_partials: bool = True):
     """Top-k word-bigram collocations by an INTEGER-EXACT PMI surrogate:
 
         score(w1 w2) = (c_12 * N * scale) // (c_1 * c_2)
@@ -1020,7 +1021,12 @@ def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
 
     combined = ds.map_batches(
         partials, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # slim count rows, no text
+    )
+    if materialize_partials:
+        # count rows, no text — pin once so the two branches skip a
+        # second tokenize; pass False at scales where even counts
+        # exceed the object store (costs one more streaming text scan)
+        combined = combined.materialize()
     uni = (
         combined.filter(expr="kind == 0")
         .map_batches(
@@ -1122,7 +1128,8 @@ def collocations(ds, k: int = 25, min_count: int = 5, scale: int = 1000,
 
 
 def fluency(ds, scale: int = 1000, col: str = "text",
-            id_col: str = "doc_id", num_partitions: int = 8):
+            id_col: str = "doc_id", num_partitions: int = 8,
+            materialize_partials: bool = True):
     """Per-document bigram-LM fluency score — the INTEGER-EXACT analogue
     of the CCNet / Gopher perplexity quality filter: documents whose
     word transitions are rare in the corpus score low.
@@ -1204,7 +1211,10 @@ def fluency(ds, scale: int = 1000, col: str = "text",
 
     combined = ds.map_batches(
         partials, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # slim count rows, no text
+    )
+    if materialize_partials:
+        # see collocations: pinned count rows vs a second text scan
+        combined = combined.materialize()
     uni = (
         combined.filter(expr="kind == 0")
         .map_batches(
@@ -1303,7 +1313,8 @@ def fluency(ds, scale: int = 1000, col: str = "text",
 
 
 def pack_sequences(ds, seq_len: int = 2048, bucket_size: int = 4096,
-                   col: str = "text", id_col: str = "doc_id"):
+                   col: str = "text", id_col: str = "doc_id",
+                   materialize_counts: bool = True):
     """GPT-style sequence packing offsets — concatenate every document's
     tokens in id order and cut the stream every ``seq_len`` tokens; each
     doc gets its global token offset and the training-sequence span it
@@ -1350,7 +1361,10 @@ def pack_sequences(ds, seq_len: int = 2048, bucket_size: int = 4096,
         )
 
     slim = ds.map_batches(counts, batch_format="pyarrow",
-                          zero_copy_batch=True).materialize()
+                          zero_copy_batch=True)
+    if materialize_counts:
+        # 24 bytes/doc; pass False to re-derive per phase instead
+        slim = slim.materialize()
     totals = (
         slim.select_columns(["bucket", "n_tokens"])
         .groupby("bucket")
