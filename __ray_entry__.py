@@ -2411,6 +2411,22 @@ def q_image_near_dup(sf_dir: str):
     return pairs
 
 
+def q_image_near_dup_verify(sf_dir: str):
+    """EXACT pixel verification of the image near-dup candidates
+    (functions/multimodal.verify_mse_pairs — the image analogue of the
+    text Jaccard verify): aHash-LSH pairs re-join the media payloads,
+    decode, and compare by integer MSE numerators.  Oracle: the image
+    pair CTE joined back to the closed-form pixel spec, SUM((va-vb)^2)
+    per pair."""
+    from rioxarray_ray.functions import multimodal
+
+    media = _ahash_media(sf_dir).materialize()  # tiny; consumed 3x
+    pairs = multimodal.image_near_dup(
+        media, id_col="media_id", max_hamming=3, bands=4
+    )
+    return multimodal.verify_mse_pairs(pairs, media)
+
+
 def q_image_dedup_apply(sf_dir: str):
     """APPLY the image dedup: connected components over the aHash
     banded-LSH pair list (pure composition of two gated operators —
@@ -4594,6 +4610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup": q_image_near_dup,
         "image_phash": q_image_phash,
         "image_dedup_apply": q_image_dedup_apply,
+        "image_near_dup_verify": q_image_near_dup_verify,
         "multimodal_joint_near_dup": q_multimodal_joint_near_dup,
         "text_repetition": q_text_repetition,
         "text_redact": q_text_redact,
@@ -7970,6 +7987,25 @@ ranked AS (
 SELECT CAST(cluster AS BIGINT) AS cluster, vec_id,
        CAST(l1_dist AS BIGINT) AS l1_dist
 FROM ranked WHERE rk <= 8
+"""
+    sql["image_near_dup_verify"] = f"""
+WITH ipairs AS ({sql["image_near_dup"]}),
+pxv AS (
+  SELECT d.doc_id, t.i,
+         CASE WHEN d.doc_id % 3 = 1 AND t.i = 37
+                THEN ((d.doc_id // 3) * 53 + t.i * t.i + 128) % 256
+              WHEN d.doc_id % 3 = 2 AND t.i = 74
+                THEN ((d.doc_id // 3) * 53 + t.i * t.i + 128) % 256
+              ELSE ((d.doc_id // 3) * 53 + t.i * t.i) % 256 END AS v
+  FROM documents d CROSS JOIN generate_series(0, 255) t(i)
+)
+SELECT p.doc_a, p.doc_b,
+       CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS mse_num,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM ipairs p
+JOIN pxv a ON a.doc_id = p.doc_a
+JOIN pxv b ON b.doc_id = p.doc_b AND b.i = a.i
+GROUP BY p.doc_a, p.doc_b
 """
     sql["image_dedup_apply"] = f"""
 WITH RECURSIVE ipairs AS ({sql["image_near_dup"]}),

@@ -23,6 +23,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -724,4 +725,120 @@ def phash_stage(media_ds, id_col: str = "media_id",
         fn_constructor_kwargs=dict(id_col=id_col, payload_col=payload_col),
         concurrency=concurrency,
         **kwargs,
+    )
+
+
+def verify_mse_pairs(pairs_ds, media_ds, id_col: str = "media_id",
+                     payload_col: str = "payload", a_col: str = "doc_a",
+                     b_col: str = "doc_b", num_partitions: int = 8):
+    """EXACT pixel-space verification of image near-dup candidates — the
+    image analogue of ``dedup.verify_jaccard_pairs``: candidate pairs
+    (from aHash/pHash banded LSH) re-join the media table twice and each
+    pair's images are decoded and compared by INTEGER MSE numerators
+    (``mse_num`` = sum over band-summed pixels of the squared
+    difference, ``n_px`` = pixel count; consumers threshold
+    mse_num/n_px, or convert to PSNR downstream — kernels/psnr).
+
+    Shape: decode runs ONCE PER IMAGE on the join sides (the joined
+    relation carries band-summed int64 pixel bytes — Ray's join accepts
+    binary non-key fields; an unmatchable (-1) sentinel keeps every
+    join stage non-empty, see cluster.hyperplane_lsh_near_dup), so the
+    candidate fan-out never multiplies codec work.  Same-geometry
+    images are the contract; mismatched pixel counts raise.
+    """
+    import ray.data as rd
+
+    from ..kernels import codecs
+
+    sentinel = rd.from_arrow(
+        pa.table({a_col: pa.array([-1], pa.int64()),
+                  b_col: pa.array([-1], pa.int64())})
+    )
+
+    def as_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                a_col: pc.cast(batch[a_col], pa.int64()),
+                b_col: pc.cast(batch[b_col], pa.int64()),
+            }
+        )
+
+    pairs = pairs_ds.map_batches(
+        as_pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(sentinel).repartition(num_partitions)
+
+    def side(name):
+        # decode ONCE PER IMAGE here (not once per pair after the join):
+        # the joined relation carries band-summed int64 pixel bytes, so
+        # verify() is a pure numpy diff — candidate fan-out never
+        # multiplies codec work
+        def ren(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {name: pa.array([], pa.int64()),
+                     f"px_{name}": pa.array([], pa.binary())}
+                )
+            ids = np.concatenate(
+                [batch[id_col].to_numpy(zero_copy_only=False)
+                 .astype(np.int64), [-1]]
+            )
+            grays = [
+                codecs.decode(p).astype(np.int64).sum(axis=0)
+                .astype("<i8").tobytes()
+                for p in batch[payload_col].to_pylist()
+            ]
+            grays.append(b"")
+            return pa.table(
+                {name: pa.array(ids, pa.int64()),
+                 f"px_{name}": pa.array(grays, pa.binary())}
+            )
+
+        return ren
+
+    ea = media_ds.map_batches(side(a_col), batch_format="pyarrow",
+                              zero_copy_batch=True).repartition(
+        num_partitions)
+    eb = media_ds.map_batches(side(b_col), batch_format="pyarrow",
+                              zero_copy_batch=True).repartition(
+        num_partitions)
+    joined = (
+        pairs.join(ea, "inner", num_partitions, on=(a_col,))
+        .repartition(num_partitions)
+        .join(eb, "inner", num_partitions, on=(b_col,))
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        out = {a_col: [], b_col: [], "mse_num": [], "n_px": []}
+        if batch.num_rows:
+            da = batch[a_col].to_numpy(zero_copy_only=False)
+            db = batch[b_col].to_numpy(zero_copy_only=False)
+            pla = batch[f"px_{a_col}"].to_pylist()
+            plb = batch[f"px_{b_col}"].to_pylist()
+            for i in range(batch.num_rows):
+                if da[i] < 0:  # join sentinel
+                    continue
+                ga = np.frombuffer(pla[i], dtype="<i8")
+                gb = np.frombuffer(plb[i], dtype="<i8")
+                if ga.size != gb.size:
+                    raise ValueError(
+                        f"pair ({da[i]}, {db[i]}) pixel counts differ: "
+                        f"{ga.size} vs {gb.size}"
+                    )
+                out[a_col].append(int(da[i]))
+                out[b_col].append(int(db[i]))
+                out["mse_num"].append(int(((ga - gb) ** 2).sum()))
+                out["n_px"].append(int(ga.size))
+        return pa.table(
+            {
+                a_col: pa.array(out[a_col], pa.int64()),
+                b_col: pa.array(out[b_col], pa.int64()),
+                "mse_num": pa.array(out["mse_num"], pa.int64()),
+                "n_px": pa.array(out["n_px"], pa.int64()),
+            }
+        )
+
+    # spread the per-pair double-decode across the cluster: the join
+    # emits few blocks, a repartition turns the decode into wide tasks
+    return joined.repartition(4 * num_partitions).map_batches(
+        verify, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -2022,3 +2022,35 @@ def test_phash64_locality_and_contract(ray_session):
 
     with pytest.raises(ValueError, match="16x16"):
         phash64(np.zeros((1, 8, 8), np.uint8))
+
+
+def test_verify_mse_pairs_exact(ray_session):
+    """Pair MSE numerators equal the direct pixel diff; planted
+    one-pixel variants verify tiny; sentinel/empty paths are clean."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import multimodal
+    from rioxarray_ray.kernels.png import encode_png
+
+    rng = np.random.default_rng(13)
+    imgs = {i: rng.integers(0, 256, (1, 12, 12)).astype(np.uint8)
+            for i in range(4)}
+    imgs[9] = imgs[0].copy()
+    imgs[9][0, 5, 5] = (imgs[9][0, 5, 5] + 50) % 256
+    media = rd.from_items([
+        {"media_id": k, "payload": encode_png(v)} for k, v in imgs.items()
+    ])
+    pairs = rd.from_items([
+        {"doc_a": 0, "doc_b": 9}, {"doc_a": 1, "doc_b": 2},
+    ])
+    got = {(r["doc_a"], r["doc_b"]): (r["mse_num"], r["n_px"])
+           for r in multimodal.verify_mse_pairs(pairs, media).take_all()}
+    for a, b in ((0, 9), (1, 2)):
+        d = imgs[a].astype(np.int64).sum(0) - imgs[b].astype(np.int64).sum(0)
+        assert got[(a, b)] == (int((d ** 2).sum()), 144)
+    assert got[(0, 9)][0] < got[(1, 2)][0]  # planted variant is near
+
+    none = multimodal.verify_mse_pairs(
+        rd.from_items([{"doc_a": 1, "doc_b": 777}]), media  # b unmatched
+    ).take_all()
+    assert none == []
