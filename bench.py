@@ -279,8 +279,38 @@ def run_scaling():
     print(json.dumps(rec))
 
 
+def _emit(rec: dict) -> None:
+    """Emission contract: ONE compact JSON line on stdout.
+
+    Round 4's single line carried 76 per-op timings and outgrew the
+    driver's tail-capture window (BENCH_r04.json recorded ``parsed:
+    null``).  The headline record stays small on stdout; the full
+    per-op timing dict goes to ``BENCH_DETAIL.json`` next to this file
+    and to stderr for humans.
+    """
+    detail = dict(rec)
+    queries = detail.get("queries", {})
+    compact = {k: detail[k] for k in (
+        "metric", "value", "unit", "sf", "num_cpus", "images_per_sec",
+        "warped_tiles",
+    ) if k in detail}
+    compact["queries"] = {"flagship": queries.get("flagship",
+                                                  detail.get("value"))}
+    compact["n_queries_detail"] = len(queries)
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_DETAIL.json")
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        compact["detail_file"] = path
+    except OSError:
+        pass
+    print(json.dumps(detail), file=sys.stderr)
+    print(json.dumps(compact), flush=True)
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        print(json.dumps(run_bench()))
+        _emit(run_bench())

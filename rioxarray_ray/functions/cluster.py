@@ -434,10 +434,7 @@ def hyperplane_lsh_near_dup(
 
     def side(name):
         # Ray's hash join rejects list<> non-key fields — the vectors
-        # ride the join as little-endian float64 BINARY payloads.  Each
-        # batch appends its own id=-1 zero-vector sentinel so the pair
-        # sentinel inner-matches and every join stage stays non-empty
-        # (cos(0, 0) = 0 < threshold drops them all in verify).
+        # ride the join as little-endian float64 BINARY payloads.
         def ren(batch: pa.Table) -> pa.Table:
             from .ann import _embedding_matrix
 
@@ -447,13 +444,9 @@ def hyperplane_lsh_near_dup(
                      f"emb_{name}": pa.array([], pa.binary())}
                 )
             m = _embedding_matrix(batch, col)
-            d = m.shape[1]
-            ids = np.concatenate(
-                [batch[id_col].to_numpy(zero_copy_only=False)
-                 .astype(np.int64), [-1]]
-            )
+            ids = (batch[id_col].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
             payloads = [row.astype("<f8").tobytes() for row in m]
-            payloads.append(np.zeros(d, "<f8").tobytes())
             return pa.table(
                 {
                     name: pa.array(ids, pa.int64()),
@@ -463,10 +456,24 @@ def hyperplane_lsh_near_dup(
 
         return ren
 
+    def _side_sentinel(name):
+        # ONE id=-1 sentinel row per side (unioned once, NOT per batch:
+        # a per-batch sentinel cross-joins into O(batches^2) rows in the
+        # sentinel's hash partition at corpus scale).  Empty payload —
+        # verify drops sentinel rows before any matrix reshape.
+        return rd.from_arrow(
+            pa.table({name: pa.array([-1], pa.int64()),
+                      f"emb_{name}": pa.array([b""], pa.binary())})
+        )
+
     ea = ds.map_batches(side("vec_a"), batch_format="pyarrow",
-                        zero_copy_batch=True).repartition(num_partitions)
+                        zero_copy_batch=True).union(
+                            _side_sentinel("vec_a")
+                        ).repartition(num_partitions)
     eb = ds.map_batches(side("vec_b"), batch_format="pyarrow",
-                        zero_copy_batch=True).repartition(num_partitions)
+                        zero_copy_batch=True).union(
+                            _side_sentinel("vec_b")
+                        ).repartition(num_partitions)
     # repartition between the joins: a join emits schema-less empty
     # partitions that poison the NEXT join's left side
     joined = (
@@ -482,6 +489,13 @@ def hyperplane_lsh_near_dup(
         return flat.reshape(len(colv), -1) if len(colv) else flat.reshape(0, 1)
 
     def verify(batch: pa.Table) -> pa.Table:
+        # drop the (-1, -1) sentinel BEFORE matrix reshape: its payload
+        # is empty binary, not a d-float vector
+        if batch.num_rows:
+            real = pa.array(
+                batch["vec_a"].to_numpy(zero_copy_only=False) >= 0
+            )
+            batch = batch.filter(real)
         if batch.num_rows == 0:
             return pa.table(
                 {"vec_a": pa.array([], pa.int64()),
@@ -492,8 +506,7 @@ def hyperplane_lsh_near_dup(
         a = _normalize(_mat(batch["emb_vec_a"].combine_chunks()))
         b = _normalize(_mat(batch["emb_vec_b"].combine_chunks()))
         cos = np.einsum("ij,ij->i", a, b)
-        real = batch["vec_a"].to_numpy(zero_copy_only=False) >= 0
-        keep = pa.array((cos >= threshold) & real)
+        keep = pa.array(cos >= threshold)
         return pa.table(
             {
                 "vec_a": batch["vec_a"].filter(keep),

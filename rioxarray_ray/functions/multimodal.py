@@ -778,16 +778,13 @@ def verify_mse_pairs(pairs_ds, media_ds, id_col: str = "media_id",
                     {name: pa.array([], pa.int64()),
                      f"px_{name}": pa.array([], pa.binary())}
                 )
-            ids = np.concatenate(
-                [batch[id_col].to_numpy(zero_copy_only=False)
-                 .astype(np.int64), [-1]]
-            )
+            ids = (batch[id_col].to_numpy(zero_copy_only=False)
+                   .astype(np.int64))
             grays = [
                 codecs.decode(p).astype(np.int64).sum(axis=0)
                 .astype("<i8").tobytes()
                 for p in batch[payload_col].to_pylist()
             ]
-            grays.append(b"")
             return pa.table(
                 {name: pa.array(ids, pa.int64()),
                  f"px_{name}": pa.array(grays, pa.binary())}
@@ -795,12 +792,22 @@ def verify_mse_pairs(pairs_ds, media_ds, id_col: str = "media_id",
 
         return ren
 
+    def _side_sentinel(name):
+        # ONE id=-1 row per side, unioned once — NOT appended per batch,
+        # which would let the single (-1, -1) pair sentinel cross-join
+        # all A-side sentinels x all B-side sentinels (O(batches^2) rows
+        # in one hash partition at corpus scale)
+        return rd.from_arrow(
+            pa.table({name: pa.array([-1], pa.int64()),
+                      f"px_{name}": pa.array([b""], pa.binary())})
+        )
+
     ea = media_ds.map_batches(side(a_col), batch_format="pyarrow",
-                              zero_copy_batch=True).repartition(
-        num_partitions)
+                              zero_copy_batch=True).union(
+        _side_sentinel(a_col)).repartition(num_partitions)
     eb = media_ds.map_batches(side(b_col), batch_format="pyarrow",
-                              zero_copy_batch=True).repartition(
-        num_partitions)
+                              zero_copy_batch=True).union(
+        _side_sentinel(b_col)).repartition(num_partitions)
     joined = (
         pairs.join(ea, "inner", num_partitions, on=(a_col,))
         .repartition(num_partitions)

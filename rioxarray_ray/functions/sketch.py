@@ -57,9 +57,14 @@ def hll_partial(batch_col, p: int) -> pa.Table:
     m = np.uint64(1 << p)
     reg = (hv % m).astype(np.int64)
     w = (hv >> np.uint64(p)).astype(np.uint64)
-    # exact bit length: w < 2^52 for p >= 12 is float64-representable;
-    # frexp exponent == bit length (0 for w == 0)
-    bitlen = np.frexp(w.astype(np.float64))[1]
+    # exact bit length for any p in [4, 18]: w has up to 60 bits, beyond
+    # float64's 53-bit mantissa, so a single frexp would round values just
+    # below a power of two UP and report a bit length one too large.
+    # Split into 32-bit halves (each exactly float64-representable);
+    # frexp exponent == bit length (0 for w == 0).
+    hi = (w >> np.uint64(32)).astype(np.float64)
+    lo = (w & np.uint64(0xFFFFFFFF)).astype(np.float64)
+    bitlen = np.where(hi > 0, 32 + np.frexp(hi)[1], np.frexp(lo)[1])
     rho = (64 - p) - bitlen + 1
     maxes = np.zeros(1 << p, dtype=np.int64)
     np.maximum.at(maxes, reg, rho)

@@ -1173,28 +1173,39 @@ def fluency(ds, scale: int = 1000, col: str = "text",
         bu, bcnt = np.unique(key, return_counts=True)
         docs = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         da = docs[fp[:-1][m[:-1]]] if len(fp) > 1 else docs[:0]
-        dkey = (da * len(vocab) + a) * len(vocab) + b
-        du, docc = np.unique(dkey, return_counts=True)
         v = len(vocab)
+        # (doc_id*V + a)*V + b overflows int64 once doc_id >= 2^63/V^2
+        # (V ~ 1e5 -> doc_id ~ 9e8, reachable at corpus scale): pack only
+        # when provably safe, else unique over the stacked 2-D triples
+        max_doc = int(da.max()) + 1 if len(da) else 0
+        if v and max_doc and max_doc >= (1 << 62) // (v * v):
+            trip = np.stack([da, a, b], axis=1)
+            du3, docc = np.unique(trip, axis=0, return_counts=True)
+            du = (du3[:, 0], du3[:, 1], du3[:, 2])
+        else:
+            dkey = (da * v + a) * v + b
+            du1, docc = np.unique(dkey, return_counts=True)
+            du = (du1 // (v * v) if v else du1,
+                  (du1 // v) % v if v else du1,
+                  du1 % v if v else du1)
+        d_doc, d_a, d_b = du
         kind = np.concatenate([
             np.zeros(len(uu), np.int8), np.ones(len(bu), np.int8),
-            np.full(len(du), 2, np.int8),
+            np.full(len(d_doc), 2, np.int8),
         ])
         did = np.concatenate([
             np.full(len(uu), -1, np.int64), np.full(len(bu), -1, np.int64),
-            du // (v * v),
+            d_doc,
         ])
         w1 = pa.concat_arrays([
             vocab.take(pa.array(uu, pa.int64())).cast(pa.string()),
             vocab.take(pa.array(bu // v, pa.int64())).cast(pa.string()),
-            vocab.take(pa.array((du // v) % v, pa.int64())).cast(
-                pa.string()
-            ),
+            vocab.take(pa.array(d_a, pa.int64())).cast(pa.string()),
         ])
         w2 = pa.concat_arrays([
             pa.array([""] * len(uu), pa.string()),
             vocab.take(pa.array(bu % v, pa.int64())).cast(pa.string()),
-            vocab.take(pa.array(du % v, pa.int64())).cast(pa.string()),
+            vocab.take(pa.array(d_b, pa.int64())).cast(pa.string()),
         ])
         return pa.table(
             {

@@ -312,10 +312,17 @@ def contour_edges_stage(tiles_ds, threshold: float,
                     own_v = np.zeros_like(dif_v)
                     own_v[cr : cr + ch - 0, cc : cc + cw] = True
                     dif_v = dif_v & own_v[: dif_v.shape[0], :]
-                else:
-                    # restrict to the core window on non-halo tiles too
-                    # (no-op when core == window)
-                    pass
+                elif (cr, cc) != (0, 0) or (ch, cw) != pixels.shape[1:]:
+                    # per-window edges over halo-cut tiles double-count
+                    # every edge falling in two tiles' overlap — that
+                    # mode is what global_edges=True (with ownership)
+                    # is for
+                    raise ValueError(
+                        "global_edges=False requires halo=0 tiles "
+                        f"(tile window {pixels.shape[1:]} != core "
+                        f"({ch}, {cw}) at offset ({cr}, {cc})); cut "
+                        "tiles without halo or pass global_edges=True"
+                    )
                 if not (dif_h.any() or dif_v.any()):
                     continue
                 hr, hc = np.nonzero(dif_h)
@@ -947,7 +954,15 @@ def match_histograms_stage(tiles_ds, ref_counts, fill: int = -1,
             csrc = np.cumsum(counts)
             ns = int(csrc[-1])
             u, d, nr = ref[b]
-            j = np.searchsorted(d * ns, csrc * nr, side="left")
+            if ns * nr < 2**63:
+                j = np.searchsorted(d * ns, csrc * nr, side="left")
+            else:
+                # cross-multiplied ranks overflow int64 once
+                # n_src*n_ref >= 2^63 (~3e9 valid px/side, reachable at
+                # corpus scale): fall back to exact Python-int compare
+                j = np.searchsorted(d.astype(object) * ns,
+                                    csrc.astype(object) * nr,
+                                    side="left")
             luts.append((vals, u[j]))
         out: dict[str, list] = {name: [] for name in TILE_SCHEMA.names}
         for row, px, vm in zip(meta, views, vms):
