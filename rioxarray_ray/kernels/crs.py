@@ -89,6 +89,139 @@ def _meridional_arc(phi, a=None, e2=None):
     )
 
 
+# ---- exact transverse Mercator (Engsager & Poder 2007) -------------------
+#
+# The algorithm PROJ maps ``+proj=utm`` / EPSG method 9807 onto since v6
+# ("etmerc"): Gauss-Schreiber -> Gauss-Krueger via 6th-order trig series in
+# the third flattening n, accurate to nanometers across a whole zone.  The
+# Snyder 8-term series this replaces disagreed with PROJ by ~0.05 m, enough
+# to flip ~0.2% of nearest-resampled pixels against the reference's
+# GDAL-produced golden grids (test_data/compare/MODIS_ARRAY_UTM*.nc).
+
+def _etmerc_setup(k0: float, phi0: float) -> dict:
+    """Precompute etmerc series coefficients for the WGS84 ellipsoid."""
+    key = (k0, phi0)
+    st = _ETMERC_CACHE.get(key)
+    if st is not None:
+        return st
+    f = 1.0 - math.sqrt(1.0 - _E2)
+    n = f / (2.0 - f)  # third flattening
+    # geodetic -> Gaussian (cbg) and Gaussian -> geodetic (cgb) latitudes
+    cgb = np.empty(6)
+    cbg = np.empty(6)
+    cgb[0] = n * (2 + n * (-2 / 3.0 + n * (-2 + n * (116 / 45.0 + n * (
+        26 / 45.0 + n * (-2854 / 675.0))))))
+    cbg[0] = n * (-2 + n * (2 / 3.0 + n * (4 / 3.0 + n * (-82 / 45.0 + n * (
+        32 / 45.0 + n * (4642 / 4725.0))))))
+    p = n * n
+    cgb[1] = p * (7 / 3.0 + n * (-8 / 5.0 + n * (-227 / 45.0 + n * (
+        2704 / 315.0 + n * (2323 / 945.0)))))
+    cbg[1] = p * (5 / 3.0 + n * (-16 / 15.0 + n * (-13 / 9.0 + n * (
+        904 / 315.0 + n * (-1522 / 945.0)))))
+    p *= n
+    cgb[2] = p * (56 / 15.0 + n * (-136 / 35.0 + n * (-1262 / 105.0 + n * (
+        73814 / 2835.0))))
+    cbg[2] = p * (-26 / 15.0 + n * (34 / 21.0 + n * (8 / 5.0 + n * (
+        -12686 / 2835.0))))
+    p *= n
+    cgb[3] = p * (4279 / 630.0 + n * (-332 / 35.0 + n * (-399572 / 14175.0)))
+    cbg[3] = p * (1237 / 630.0 + n * (-12 / 5.0 + n * (-24832 / 14175.0)))
+    p *= n
+    cgb[4] = p * (4174 / 315.0 + n * (-144838 / 6237.0))
+    cbg[4] = p * (-734 / 315.0 + n * (109598 / 31185.0))
+    p *= n
+    cgb[5] = p * (601676 / 22275.0)
+    cbg[5] = p * (444337 / 155925.0)
+    # normalized meridian quadrant
+    p = n * n
+    qn = k0 / (1 + n) * (1 + p * (1 / 4.0 + p * (1 / 64.0 + p / 256.0)))
+    # Gauss-Schreiber <-> Gauss-Krueger series
+    utg = np.empty(6)
+    gtu = np.empty(6)
+    utg[0] = n * (-0.5 + n * (2 / 3.0 + n * (-37 / 96.0 + n * (1 / 360.0
+        + n * (81 / 512.0 + n * (-96199 / 604800.0))))))
+    gtu[0] = n * (0.5 + n * (-2 / 3.0 + n * (5 / 16.0 + n * (41 / 180.0
+        + n * (-127 / 288.0 + n * (7891 / 37800.0))))))
+    p = n * n
+    utg[1] = p * (-1 / 48.0 + n * (-1 / 15.0 + n * (437 / 1440.0 + n * (
+        -46 / 105.0 + n * (1118711 / 3870720.0)))))
+    gtu[1] = p * (13 / 48.0 + n * (-3 / 5.0 + n * (557 / 1440.0 + n * (
+        281 / 630.0 + n * (-1983433 / 1935360.0)))))
+    p *= n
+    utg[2] = p * (-17 / 480.0 + n * (37 / 840.0 + n * (209 / 4480.0 + n * (
+        -5569 / 90720.0))))
+    gtu[2] = p * (61 / 240.0 + n * (-103 / 140.0 + n * (15061 / 26880.0
+        + n * (167603 / 181440.0))))
+    p *= n
+    utg[3] = p * (-4397 / 161280.0 + n * (11 / 504.0 + n * (
+        830251 / 7257600.0)))
+    gtu[3] = p * (49561 / 161280.0 + n * (-179 / 168.0 + n * (
+        6601661 / 7257600.0)))
+    p *= n
+    utg[4] = p * (-4583 / 161280.0 + n * (108847 / 3991680.0))
+    gtu[4] = p * (34729 / 80640.0 + n * (-3418889 / 1995840.0))
+    p *= n
+    utg[5] = p * (-20648693 / 638668800.0)
+    gtu[5] = p * (212378941 / 319334400.0)
+    # origin-latitude offset
+    z = float(_gatg(cbg, np.float64(phi0)))
+    zb = -qn * (z + float(_clen(gtu, np.float64(2.0 * z))))
+    st = {"cgb": cgb, "cbg": cbg, "utg": utg, "gtu": gtu, "qn": qn, "zb": zb}
+    _ETMERC_CACHE[key] = st
+    return st
+
+
+_ETMERC_CACHE: dict = {}
+
+
+def _gatg(p: np.ndarray, b):
+    """b + sum p[k] * sin(2*(k+1)*b) via Clenshaw summation."""
+    cos_2b = np.cos(2.0 * b)
+    sin_2b = np.sin(2.0 * b)
+    two_cos = 2.0 * cos_2b
+    h1 = np.zeros_like(cos_2b) + p[5]
+    h2 = np.zeros_like(cos_2b)
+    for k in range(4, -1, -1):
+        h = two_cos * h1 - h2 + p[k]
+        h2 = h1
+        h1 = h
+    return b + h1 * sin_2b
+
+
+def _clen(p: np.ndarray, arg):
+    """sum p[k] * sin((k+1)*arg) via Clenshaw summation."""
+    cos_a = np.cos(arg)
+    sin_a = np.sin(arg)
+    two_cos = 2.0 * cos_a
+    h1 = np.zeros_like(cos_a) + p[5]
+    h2 = np.zeros_like(cos_a)
+    for k in range(4, -1, -1):
+        h = two_cos * h1 - h2 + p[k]
+        h2 = h1
+        h1 = h
+    return h1 * sin_a
+
+
+def _clen_s(a: np.ndarray, arg_r, arg_i):
+    """Complex Clenshaw: Re/Im of sum a[k] * sin((k+1)*(arg_r + i*arg_i))."""
+    sin_r, cos_r = np.sin(arg_r), np.cos(arg_r)
+    sinh_i, cosh_i = np.sinh(arg_i), np.cosh(arg_i)
+    r = 2.0 * cos_r * cosh_i
+    im = -2.0 * sin_r * sinh_i
+    hr = np.zeros_like(r) + a[5]
+    hi = np.zeros_like(r)
+    hr1 = np.zeros_like(r)
+    hi1 = np.zeros_like(r)
+    for k in range(4, -1, -1):
+        hr2, hi2 = hr1, hi1
+        hr1, hi1 = hr, hi
+        hi = -hi2 + im * hr1 + r * hi1
+        hr = -hr2 + r * hr1 - im * hi1 + a[k]
+    rr = sin_r * cosh_i
+    ri = cos_r * sinh_i
+    return rr * hr - ri * hi, rr * hi + ri * hr
+
+
 def merc_ell_forward(lon, lat, lon_0=0.0, x_0=0.0, y_0=0.0, a=None, e=None):
     """Ellipsoidal Mercator forward (Snyder 1987 eqs 7-6..7-8) — the
     EPSG:3395 family.  NOT spherical web mercator: the ellipsoidal y
@@ -549,73 +682,37 @@ class CRS:
         lat_0, lon_0, k_0, x_0, y_0 = self._tm_params()
         phi = np.asarray(lat, dtype=np.float64) * _D2R
         lam = (np.asarray(lon, dtype=np.float64) - lon_0) * _D2R
-        sin_p, cos_p = np.sin(phi), np.cos(phi)
-        tan_p = np.tan(phi)
-        N = _A / np.sqrt(1.0 - _E2 * sin_p**2)
-        T = tan_p**2
-        C = _EP2 * cos_p**2
-        Aa = lam * cos_p
-        M = _meridional_arc(phi)
-        M0 = _meridional_arc(lat_0 * _D2R)
-        x = (
-            k_0
-            * N
-            * (
-                Aa
-                + (1 - T + C) * Aa**3 / 6
-                + (5 - 18 * T + T**2 + 72 * C - 58 * _EP2) * Aa**5 / 120
-            )
-            + x_0
-        )
-        y = y_0 + k_0 * (
-            M
-            - M0
-            + N
-            * tan_p
-            * (
-                Aa**2 / 2
-                + (5 - T + 9 * C + 4 * C**2) * Aa**4 / 24
-                + (61 - 58 * T + T**2 + 600 * C - 330 * _EP2) * Aa**6 / 720
-            )
-        )
+        st = _etmerc_setup(k_0, lat_0 * _D2R)
+        cn = _gatg(st["cbg"], phi)
+        sin_cn, cos_cn = np.sin(cn), np.cos(cn)
+        sin_ce, cos_ce = np.sin(lam), np.cos(lam)
+        cos_cn_cos_ce = cos_cn * cos_ce
+        cn = np.arctan2(sin_cn, cos_cn_cos_ce)
+        tan_ce = sin_ce * cos_cn / np.hypot(sin_cn, cos_cn_cos_ce)
+        ce = np.arcsinh(tan_ce)
+        d_cn, d_ce = _clen_s(st["gtu"], 2.0 * cn, 2.0 * ce)
+        cn = cn + d_cn
+        ce = ce + d_ce
+        x = _A * st["qn"] * ce + x_0
+        y = _A * (st["qn"] * cn + st["zb"]) + y_0
         return x, y
 
     def _tm_inverse(self, x, y):
         lat_0, lon_0, k_0, x_0, y_0 = self._tm_params()
-        x = np.asarray(x, dtype=np.float64) - x_0
-        y = np.asarray(y, dtype=np.float64) - y_0
-        e4, e6 = _E2**2, _E2**3
-        M = _meridional_arc(lat_0 * _D2R) + y / k_0
-        mu = M / (_A * (1 - _E2 / 4 - 3 * e4 / 64 - 5 * e6 / 256))
-        e1 = (1 - math.sqrt(1 - _E2)) / (1 + math.sqrt(1 - _E2))
-        phi1 = (
-            mu
-            + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
-            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
-            + (151 * e1**3 / 96) * np.sin(6 * mu)
-            + (1097 * e1**4 / 512) * np.sin(8 * mu)
+        st = _etmerc_setup(k_0, lat_0 * _D2R)
+        cn = ((np.asarray(y, dtype=np.float64) - y_0) / _A - st["zb"]) \
+            / st["qn"]
+        ce = (np.asarray(x, dtype=np.float64) - x_0) / _A / st["qn"]
+        d_cn, d_ce = _clen_s(st["utg"], 2.0 * cn, 2.0 * ce)
+        cn = cn + d_cn
+        ce = np.arctan(np.sinh(ce + d_ce))
+        sin_cn, cos_cn = np.sin(cn), np.cos(cn)
+        sin_ce, cos_ce = np.sin(ce), np.cos(ce)
+        lam = np.arctan2(sin_ce, cos_ce * cos_cn)
+        phi = _gatg(
+            st["cgb"],
+            np.arctan2(cos_ce * sin_cn, np.hypot(sin_ce, cos_ce * cos_cn)),
         )
-        sin1, cos1 = np.sin(phi1), np.cos(phi1)
-        tan1 = np.tan(phi1)
-        C1 = _EP2 * cos1**2
-        T1 = tan1**2
-        N1 = _A / np.sqrt(1 - _E2 * sin1**2)
-        R1 = _A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
-        D = x / (N1 * k_0)
-        phi = phi1 - (N1 * tan1 / R1) * (
-            D**2 / 2
-            - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * _EP2) * D**4 / 24
-            + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * _EP2 - 3 * C1**2)
-            * D**6
-            / 720
-        )
-        lam = (
-            D
-            - (1 + 2 * T1 + C1) * D**3 / 6
-            + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * _EP2 + 24 * T1**2)
-            * D**5
-            / 120
-        ) / cos1
         return lon_0 + lam * _R2D, phi * _R2D
 
 

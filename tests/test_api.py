@@ -270,6 +270,63 @@ def test_open_corpus_vrt_params_warp_at_open(ray_session):
         api.open_corpus(2, vrt_params={"resampling": "nearest"})
 
 
+def test_open_netcdfs_rows_flow_through_engine(ray_session):
+    """netCDF4/HDF5 container bytes -> engine raster rows -> reproject +
+    clip_box work unchanged (the open_rasterio-on-netCDF parity path; the
+    reference's golden corpus is this format)."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from rioxarray_ray.kernels import hdf5
+
+    h, w = 20, 20
+    x = -58.0 + (np.arange(w) + 0.5) * 0.01
+    y = 39.0 - (np.arange(h) + 0.5) * 0.01
+    rows = []
+    for i in range(4):
+        arr = ((np.arange(2 * h * w, dtype=np.int64) % 97) + i).astype(
+            np.int16).reshape(2, h, w)
+        payload = hdf5.write_netcdf({
+            "x": (x, ("x",), {}),
+            "y": (y, ("y",), {}),
+            "temp": (arr, ("band", "y", "x"),
+                     {"_FillValue": np.int16(-99), "crs": "EPSG:4326"}),
+        })
+        rows.append({"image_id": f"n{i}", "payload": payload})
+    rds = api.open_netcdfs(rd.from_items(rows))
+    out = rds.reproject("EPSG:3857").take_all()
+    assert len(out) == 4 and all(r["crs"] == "EPSG:3857" for r in out)
+    assert all(r["image_id"].endswith("/temp") for r in out)
+    clipped = rds.clip_box(-58.0, 38.9, -57.95, 39.0).take_all()
+    assert len(clipped) == 4
+    assert all(r["h"] == 10 and r["w"] == 5 for r in clipped)
+
+    with pytest.raises(Exception, match="no spatial variable"):
+        api.open_netcdfs(rd.from_items(rows), variable="nope").take_all()
+
+
+def test_open_netcdfs_reads_reference_modis(ray_session):
+    """The reference's own golden input opens through the Ray path."""
+    import os
+
+    import ray.data as rd
+
+    fp = "/root/reference/test/test_data/input/MODIS_ARRAY.nc"
+    if not os.path.exists(fp):
+        import pytest
+
+        pytest.skip("reference data not present")
+    rows = [{"image_id": "modis", "payload": open(fp, "rb").read()}]
+    out = api.open_netcdfs(rd.from_items(rows)).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["image_id"] == "modis/__xarray_dataarray_variable__"
+    assert (r["band_count"], r["h"], r["w"]) == (1, 200, 200)
+    assert r["dtype"] == "int16" and r["nodata"] == -28672.0
+    assert "+proj=sinu" in r["crs"]
+
+
 def test_open_geotiffs_rows_flow_through_engine(ray_session):
     """Real .tif bytes -> engine raster rows -> reproject + clip_box work
     unchanged (the open_rasterio-on-GeoTIFF parity path)."""
