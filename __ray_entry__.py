@@ -1058,6 +1058,70 @@ def q_geo_reproject_roundtrip(sf_dir: str):
     return warped.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_reproject_bilinear_fixed(sf_dir: str):
+    """SQL-exact twin for the smooth-kernel reproject (round-4 verdict
+    item #6: ``geo_reproject_roundtrip`` was the last rows-only gate).
+    The grid is designed so bilinear is exactly replayable: src is an
+    8x8 float64 raster of closed-form integers at res 1, dst the same
+    CRS at res 2 with aligned origin — every dst center falls exactly
+    midway between 4 src centers, so bilinear = the mean of a 2x2 block
+    (dyadic rational, exact in IEEE double and in DuckDB).  Runs through
+    the REAL actor-pool warp stage (stages/warp.py WarpActor ->
+    kernels/warp.py bilinear), so a weight, edge-clamp or grid-plan
+    defect breaks the value hash."""
+    from rioxarray_ray.stages import warp as wstage
+    from rioxarray_ray.stages.schema import RASTER_SCHEMA, pixels_to_bytes
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_rasters(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.arange(64, dtype=np.int64)
+        vals = (ids[:, None] * 7 + k[None, :] * k[None, :]) % 511
+        rows = []
+        for j, d in enumerate(ids):
+            px = vals[j].astype(np.float64).reshape(1, 8, 8)
+            rows.append({
+                "image_id": str(d),
+                "band_count": 1,
+                "h": 8,
+                "w": 8,
+                "dtype": "float64",
+                "nodata": float("nan"),
+                "crs": "EPSG:32615",
+                "transform": [1.0, 0.0, 0.0, 0.0, -1.0, 0.0],
+                "pixels": pixels_to_bytes(px),
+                "caption": None,
+                "phash": None,
+            })
+        return pa.Table.from_pylist(rows, schema=RASTER_SCHEMA)
+
+    rasters = ds.map_batches(to_rasters, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    grid = wstage.GridSpec(
+        "EPSG:32615", (2.0, 0.0, 0.0, 0.0, -2.0, 0.0), (4, 4))
+    warped = wstage.reproject_match_stage(
+        rasters, grid, resampling="bilinear", concurrency=2)
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.stages.schema import pixel_views
+
+        wts = (np.arange(16, dtype=np.float64) + 1.0).reshape(4, 4)
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        rows = []
+        for r, px in zip(meta, pixel_views(batch)):
+            rows.append({
+                "doc_id": int(r["image_id"]),
+                "dst_h": r["h"],
+                "dst_w": r["w"],
+                "wsum": float((px[0] * wts).sum()),
+            })
+        return pa.Table.from_pylist(rows)
+
+    return warped.map_batches(summarize, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_geo_tiled_halo_warp(sf_dir: str):
     """Halo-correct tiled warp onto a shared grid (the scale path of
     SURVEY §2.4): per-dst-window integer checksums.  Pixel-exactness vs
@@ -2148,6 +2212,87 @@ def q_geo_open_geotiff(sf_dir: str):
                     "epsg": int(r["crs"].split(":")[1]),
                     "origin_x": float(t[2]),
                     "origin_y": float(t[5]),
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    return opened.ds.map_batches(summarize, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+
+def q_geo_open_netcdf(sf_dir: str):
+    """REAL netCDF4/HDF5 container bytes through the open_rasterio
+    analogue, oracle-gated.  Each doc becomes a georeferenced int16
+    netCDF (closed-form pixels (doc_id*31 + i*i) % 3001 - 1500 over
+    2x9x11; coordinate variables carry the grid; _FillValue/crs attrs
+    ride on the variable), serialized by the from-scratch HDF5 WRITER
+    (kernels/hdf5.py write_netcdf: superblock v0, v1 object headers,
+    symbol-table group), opened via api.open_netcdfs (the from-scratch
+    HDF5 READER), and summarized FROM THE OPENED ENGINE ROWS — pixel
+    sum, dims, dtype, nodata, CRS and transform cells.  The oracle
+    recomputes everything from the formula, so any defect on either
+    side of the container round-trip (heap/btree/symbol-table layout,
+    attribute codec, dimension resolution, coord->transform) breaks
+    the value hash.  The reference opens these containers through
+    xarray/netCDF4 (its golden corpus IS this format:
+    test/integration/test_integration_rioxarray.py:53-69); spec
+    conformance against foreign files is pytest-gated on the
+    reference's own .nc goldens (tests/test_hdf5.py)."""
+    import numpy as np
+
+    import rioxarray_ray.api as api
+    from rioxarray_ray.kernels import hdf5
+
+    ds = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def to_netcdfs(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.arange(2 * 9 * 11, dtype=np.int64)
+        vals = (ids[:, None] * 31 + i[None, :] * i[None, :]) % 3001 - 1500
+        payloads = []
+        for k, d in enumerate(ids):
+            arr = vals[k].astype(np.int16).reshape(2, 9, 11)
+            x = float(d % 7) + (np.arange(11) + 0.5) * 0.5
+            y = float(d % 13) - (np.arange(9) + 0.5) * 0.25
+            payloads.append(hdf5.write_netcdf({
+                "x": (x, ("x",), {"axis": "X"}),
+                "y": (y, ("y",), {"axis": "Y"}),
+                "sst": (arr, ("band", "y", "x"),
+                        {"_FillValue": np.int16(-77),
+                         "crs": "EPSG:32615"}),
+            }))
+        return pa.Table.from_pydict(
+            {
+                "image_id": pa.array([str(d) for d in ids]),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    ncs = ds.map_batches(to_netcdfs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    opened = api.open_netcdfs(ncs, variable="sst")
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        from rioxarray_ray.stages.schema import pixel_views
+
+        meta = batch.drop_columns(["pixels"]).to_pylist()
+        rows = []
+        for r, px in zip(meta, pixel_views(batch)):
+            t = r["transform"]
+            rows.append(
+                {
+                    "doc_id": int(r["image_id"].split("/")[0]),
+                    "pixel_sum": int(px.astype(np.int64).sum()),
+                    "bands": r["band_count"],
+                    "h": r["h"],
+                    "w": r["w"],
+                    "dtype_ok": r["dtype"] == "int16",
+                    "nodata": float(r["nodata"]),
+                    "epsg": int(r["crs"].split(":")[1]),
+                    "origin_x": float(t[2]),
+                    "origin_y": float(t[5]),
+                    "res_x": float(t[0]),
+                    "res_y": float(t[4]),
                 }
             )
         return pa.Table.from_pylist(rows)
@@ -4555,6 +4700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_downsample_avg": q_geo_downsample_avg,
         "geo_pixel_checksum": q_geo_pixel_checksum,
         "geo_reproject_roundtrip": q_geo_reproject_roundtrip,
+        "geo_reproject_bilinear_fixed": q_geo_reproject_bilinear_fixed,
         "geo_reproject_identity": q_geo_reproject_identity,
         "geo_tiled_halo_warp": q_geo_tiled_halo_warp,
         "geo_tiled_halo_warp_nearest": q_geo_tiled_halo_warp_nearest,
@@ -4575,6 +4721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_augment": q_multimodal_augment,
         "multimodal_patchify": q_multimodal_patchify,
         "geo_open_geotiff": q_geo_open_geotiff,
+        "geo_open_netcdf": q_geo_open_netcdf,
         "multimodal_jpeg": q_multimodal_jpeg,
         "multimodal_bmp": q_multimodal_bmp,
         "multimodal_gif": q_multimodal_gif,
@@ -6777,6 +6924,39 @@ FROM documents d, LATERAL (
              ELSE c END) * 13) % 1000
   ) AS BIGINT) AS pixel_sum
   FROM generate_series(0, 31) tr(r) CROSS JOIN generate_series(0, 31) tc(c)
+) s
+""",
+        "geo_reproject_bilinear_fixed": """
+SELECT d.doc_id,
+       CAST(4 AS BIGINT) AS dst_h, CAST(4 AS BIGINT) AS dst_w,
+       s.wsum
+FROM documents d, LATERAL (
+  SELECT SUM(
+           ((  (d.doc_id * 7 + (2*R*8 + 2*C) * (2*R*8 + 2*C)) % 511
+             + (d.doc_id * 7 + (2*R*8 + 2*C + 1) * (2*R*8 + 2*C + 1)) % 511
+             + (d.doc_id * 7 + ((2*R+1)*8 + 2*C) * ((2*R+1)*8 + 2*C)) % 511
+             + (d.doc_id * 7 + ((2*R+1)*8 + 2*C + 1) * ((2*R+1)*8 + 2*C + 1)) % 511
+            ) / 4.0) * (R * 4 + C + 1)
+         ) AS wsum
+  FROM generate_series(0, 3) tr(R), generate_series(0, 3) tc(C)
+) s
+""",
+        "geo_open_netcdf": """
+SELECT d.doc_id,
+       s.pixel_sum,
+       CAST(2 AS BIGINT) AS bands, CAST(9 AS BIGINT) AS h,
+       CAST(11 AS BIGINT) AS w,
+       TRUE AS dtype_ok,
+       CAST(-77 AS DOUBLE) AS nodata,
+       CAST(32615 AS BIGINT) AS epsg,
+       CAST(d.doc_id % 7 AS DOUBLE) AS origin_x,
+       CAST(d.doc_id % 13 AS DOUBLE) AS origin_y,
+       CAST(0.5 AS DOUBLE) AS res_x,
+       CAST(-0.25 AS DOUBLE) AS res_y
+FROM documents d, LATERAL (
+  SELECT CAST(SUM((d.doc_id * 31 + i * i) % 3001 - 1500) AS BIGINT)
+         AS pixel_sum
+  FROM generate_series(0, 197) t(i)
 ) s
 """,
         "geo_open_geotiff": """

