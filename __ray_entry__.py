@@ -1895,9 +1895,14 @@ def q_multimodal_jpeg(sf_dir: str):
     (block value = (doc_id*23 + b*b) % 256 over 6 blocks): flat blocks at
     quality 100 are DC-only with Q0 = 1, the one case T.81 makes exact,
     so the full Huffman + DCT chain must return the input bit-for-bit and
-    DuckDB can recompute the sums from the formula.  Lossy-path quality
-    is bounded separately in tests/test_jpeg.py (PSNR), and the decoder
-    is pinned by a hand-built Annex-K entropy-stream golden there."""
+    DuckDB can recompute the sums from the formula.  ODD doc ids encode
+    PROGRESSIVE (SOF2 multi-scan: spectral selection + successive
+    approximation, kernels/jpeg.py encode_jpeg_progressive) and even ids
+    baseline, so BOTH entropy layouts must reconstruct the identical
+    exact pixels to hash-match one oracle.  Lossy-path quality is
+    bounded separately in tests/test_jpeg.py (PSNR + the
+    progressive==baseline bit-identity roundtrips), and the decoder is
+    pinned by a hand-built Annex-K entropy-stream golden there."""
     import numpy as np
 
     from rioxarray_ray.kernels import codecs, jpeg
@@ -1913,7 +1918,9 @@ def q_multimodal_jpeg(sf_dir: str):
             blocks = vals[k].reshape(2, 3)
             img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
             img = img.astype(np.uint8)[None]
-            payload = jpeg.encode_jpeg(img, quality=100)
+            enc = (jpeg.encode_jpeg_progressive if int(d) % 2
+                   else jpeg.encode_jpeg)
+            payload = enc(img, quality=100)
             back = codecs.decode(payload)  # sniff routes to the JPEG decoder
             sums.append(int(back.astype(np.int64).sum()))
             mins.append(int(back.min()))

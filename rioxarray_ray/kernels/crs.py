@@ -985,7 +985,10 @@ def from_user_input(value) -> CRS:
         return cand
     if "sinusoidal" in s.lower() or '"sinu' in s.lower():
         return SINUSOIDAL
-    # WKT1 conics without an EPSG id: parse PROJECTION + PARAMETERs
+    # WKT1/ESRI: PROJECTION + PARAMETERs.  ESRI WKT differs from OGC only
+    # in datum spelling (D_WGS_1984 / GCS_WGS_1984) and a few projection
+    # aliases (Lambert_Conformal_Conic without the _2SP suffix, bare
+    # Albers) — the lowercased parameter keys already coincide.
     mproj = re.search(r'PROJECTION\[\s*"([^"]+)"', s)
     if mproj:
         pname = mproj.group(1).lower()
@@ -995,69 +998,143 @@ def from_user_input(value) -> CRS:
                 r'PARAMETER\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)', s
             )
         }
-        # exact name only: "Universal_Polar_Stereographic" (UPS, k0=0.994,
-        # 2e6 false origin) is a DIFFERENT projection and must not parse
-        if pname == "polar_stereographic" and pars.get("scale_factor", 1.0) == 1.0:
-            return polar_stereographic(
-                pars.get("latitude_of_origin",
-                         pars.get("standard_parallel_1", 90.0)),
-                pars.get("central_meridian", 0.0),
-                pars.get("false_easting", 0.0),
-                pars.get("false_northing", 0.0),
+        return _dispatch_wkt_projection(pname, pars, s)
+    # WKT2 (ISO 19162): CONVERSION/METHOD with EPSG operation names and
+    # long parameter names (reference leniency: rioxarray/crs.py:12-45
+    # accepts anything pyproj parses, and pyproj emits WKT2 by default)
+    mmeth = re.search(r'METHOD\[\s*"([^"]+)"', s)
+    if mmeth:
+        method = mmeth.group(1).lower()
+        raw = {
+            k.lower(): float(v)
+            for k, v in re.findall(
+                r'PARAMETER\[\s*"([^"]+)"\s*,\s*([-0-9.eE+]+)', s
             )
-        if pname == "transverse_mercator":
-            # WGS84-only WKT reaches here (Airy/Bessel grids carry other
-            # datums — their GEOGCS won't match and stays rejected below)
-            if '"WGS 84"' not in s and '"WGS_1984"' not in s:
-                raise CRSError(
-                    "Transverse_Mercator WKT on a non-WGS84 datum is "
-                    "outside the whitelist"
-                )
-            t_lat0 = pars.get("latitude_of_origin", 0.0)
-            t_lon0 = pars.get("central_meridian", 0.0)
-            t_k = pars.get("scale_factor", 1.0)
-            t_x0 = pars.get("false_easting", 0.0)
-            t_y0 = pars.get("false_northing", 0.0)
-            zone = int(round((t_lon0 + 183.0) / 6.0))
-            if (
-                1 <= zone <= 60
-                and t_lon0 == (zone - 1) * 6.0 - 180.0 + 3.0
-                and t_k == _K0
-                and t_x0 == 500000.0
-                and t_lat0 == 0.0
-                and t_y0 in (0.0, 10000000.0)
-            ):
-                return utm(zone, south=t_y0 == 10000000.0)
-            return tmerc(t_lat0, t_lon0, t_k, t_x0, t_y0)
-        if pname == "mercator_1sp" and pars.get("scale_factor", 1.0) == 1.0:
-            # authority-less Mercator_1SP on the WGS84 DATUM is ellipsoidal
-            # world mercator (EPSG:3857's official WKT always carries its
-            # authority code and resolves above, never here); mirror the
-            # transverse_mercator datum guard — a Bessel/Airy Mercator_1SP
-            # must not silently run the WGS84 kernel
-            if '"WGS 84"' not in s and '"WGS_1984"' not in s:
-                raise CRSError(
-                    "Mercator_1SP WKT on a non-WGS84 datum is outside "
-                    "the whitelist"
-                )
-            return world_mercator(
-                pars.get("central_meridian", 0.0),
-                pars.get("false_easting", 0.0),
-                pars.get("false_northing", 0.0),
+        }
+        pars = {_WKT2_PARAM.get(k, k): v for k, v in raw.items()}
+        pname = _WKT2_METHOD.get(method)
+        if pname is None:
+            raise CRSError(
+                f"unsupported WKT2 operation method {method!r} — supported: "
+                f"{sorted(set(_WKT2_METHOD))}"
             )
-        if "lambert_conformal_conic" in pname or "albers" in pname:
-            maker = lcc if "lambert" in pname else aea
-            return maker(
-                pars.get("standard_parallel_1", 0.0),
-                pars.get("standard_parallel_2",
-                         pars.get("standard_parallel_1", 0.0)),
-                pars.get("latitude_of_origin",
-                         pars.get("latitude_of_center", 0.0)),
-                pars.get("central_meridian",
-                         pars.get("longitude_of_center", 0.0)),
-                pars.get("false_easting", 0.0),
-                pars.get("false_northing", 0.0),
+        if method == "polar stereographic (variant b)":
+            # variant B parameterizes by standard parallel (no scale)
+            pars.setdefault("standard_parallel_1",
+                            raw.get("latitude of standard parallel", 90.0))
+            pars.setdefault("scale_factor", 1.0)
+        return _dispatch_wkt_projection(pname, pars, s)
+    if not is_projected_wkt and re.match(r"^GEOGC(?:S|RS)\[", s) \
+            and _wkt_is_wgs84(s):
+        return GEOGRAPHIC
+    raise CRSError(f"cannot parse CRS: {s[:120]}")
+
+
+#: WKT2 EPSG operation-method names -> the WKT1 projection vocabulary the
+#: shared dispatch speaks
+_WKT2_METHOD = {
+    "transverse mercator": "transverse_mercator",
+    "lambert conic conformal (2sp)": "lambert_conformal_conic_2sp",
+    "albers equal area": "albers_conic_equal_area",
+    "polar stereographic (variant a)": "polar_stereographic",
+    "polar stereographic (variant b)": "polar_stereographic",
+    "mercator (variant a)": "mercator_1sp",
+    "sinusoidal": "sinusoidal",
+}
+
+#: WKT2 EPSG parameter names -> WKT1 keys (lowercased on both sides)
+_WKT2_PARAM = {
+    "latitude of natural origin": "latitude_of_origin",
+    "longitude of natural origin": "central_meridian",
+    "scale factor at natural origin": "scale_factor",
+    "false easting": "false_easting",
+    "false northing": "false_northing",
+    "latitude of 1st standard parallel": "standard_parallel_1",
+    "latitude of 2nd standard parallel": "standard_parallel_2",
+    "latitude of false origin": "latitude_of_origin",
+    "longitude of false origin": "central_meridian",
+    "easting at false origin": "false_easting",
+    "northing at false origin": "false_northing",
+    "latitude of standard parallel": "standard_parallel_1",
+    "longitude of origin": "central_meridian",
+}
+
+
+def _wkt_is_wgs84(s: str) -> bool:
+    """WGS84-family datum spellings across OGC WKT1, ESRI WKT and WKT2."""
+    return any(tok in s for tok in (
+        '"WGS 84"', '"WGS_1984"', '"D_WGS_1984"', '"GCS_WGS_1984"',
+        "World Geodetic System 1984", '"WGS84"',
+    ))
+
+
+def _dispatch_wkt_projection(pname: str, pars: dict, s: str) -> CRS:
+    """Shared projection dispatch for WKT1/ESRI/WKT2-normalized names."""
+    if pname == "sinusoidal":
+        return SINUSOIDAL
+    # exact name only: "Universal_Polar_Stereographic" (UPS, k0=0.994,
+    # 2e6 false origin) is a DIFFERENT projection and must not parse
+    if pname == "polar_stereographic" and pars.get("scale_factor", 1.0) == 1.0:
+        return polar_stereographic(
+            pars.get("latitude_of_origin",
+                     pars.get("standard_parallel_1", 90.0)),
+            pars.get("central_meridian", 0.0),
+            pars.get("false_easting", 0.0),
+            pars.get("false_northing", 0.0),
+        )
+    if pname == "transverse_mercator":
+        # WGS84-only WKT reaches here (Airy/Bessel grids carry other
+        # datums — their GEOGCS won't match and stays rejected below)
+        if not _wkt_is_wgs84(s):
+            raise CRSError(
+                "Transverse_Mercator WKT on a non-WGS84 datum is "
+                "outside the whitelist"
             )
+        t_lat0 = pars.get("latitude_of_origin", 0.0)
+        t_lon0 = pars.get("central_meridian", 0.0)
+        t_k = pars.get("scale_factor", 1.0)
+        t_x0 = pars.get("false_easting", 0.0)
+        t_y0 = pars.get("false_northing", 0.0)
+        zone = int(round((t_lon0 + 183.0) / 6.0))
+        if (
+            1 <= zone <= 60
+            and t_lon0 == (zone - 1) * 6.0 - 180.0 + 3.0
+            and t_k == _K0
+            and t_x0 == 500000.0
+            and t_lat0 == 0.0
+            and t_y0 in (0.0, 10000000.0)
+        ):
+            return utm(zone, south=t_y0 == 10000000.0)
+        return tmerc(t_lat0, t_lon0, t_k, t_x0, t_y0)
+    if pname == "mercator_1sp" and pars.get("scale_factor", 1.0) == 1.0:
+        # authority-less Mercator_1SP on the WGS84 DATUM is ellipsoidal
+        # world mercator (EPSG:3857's official WKT always carries its
+        # authority code and resolves above, never here); mirror the
+        # transverse_mercator datum guard — a Bessel/Airy Mercator_1SP
+        # must not silently run the WGS84 kernel
+        if not _wkt_is_wgs84(s):
+            raise CRSError(
+                "Mercator_1SP WKT on a non-WGS84 datum is outside "
+                "the whitelist"
+            )
+        return world_mercator(
+            pars.get("central_meridian", 0.0),
+            pars.get("false_easting", 0.0),
+            pars.get("false_northing", 0.0),
+        )
+    if "lambert_conformal_conic" in pname or "albers" in pname:
+        maker = lcc if "lambert" in pname else aea
+        return maker(
+            pars.get("standard_parallel_1", 0.0),
+            pars.get("standard_parallel_2",
+                     pars.get("standard_parallel_1", 0.0)),
+            pars.get("latitude_of_origin",
+                     pars.get("latitude_of_center", 0.0)),
+            pars.get("central_meridian",
+                     pars.get("longitude_of_center", 0.0)),
+            pars.get("false_easting", 0.0),
+            pars.get("false_northing", 0.0),
+        )
     raise CRSError(f"cannot parse CRS: {s[:120]}")
 
 

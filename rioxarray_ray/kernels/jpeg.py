@@ -4,11 +4,19 @@ anchor: rioxarray opens any GDAL-readable format, JPEG included, through
 /root/reference/rioxarray/_io.py; the corpus's lq8 codec was the
 documented JPEG stand-in until this).
 
-Public-spec implementation (ITU-T T.81 baseline sequential DCT + JFIF):
+Public-spec implementation (ITU-T T.81 baseline sequential DCT +
+progressive DCT + JFIF):
 
 - markers: SOI, APPn/COM (skipped), DQT (8/16-bit, multi-table), DHT,
-  SOF0/SOF1, DRI, SOS, EOI; entropy stream with 0xFF00 byte stuffing and
-  RSTn restart handling
+  SOF0/SOF1/SOF2, DRI, SOS, EOI; entropy stream with 0xFF00 byte stuffing
+  and RSTn restart handling
+- progressive (SOF2, T.81 G.2): multi-scan spectral selection +
+  successive approximation — interleaved/non-interleaved DC first &
+  refinement scans, single-component AC first & refinement scans with
+  EOBn run coalescing, ZRL-with-correction-bits, EOB-run correction
+  tails; coefficients accumulate across scans and reconstruct once at
+  EOI (encoder twin `encode_jpeg_progressive` makes the roundtrip
+  bit-identical to the baseline path at equal quality)
 - Huffman decode per Annex C (BITS/HUFFVAL -> canonical codes), DC
   prediction per component, AC run-length/EOB/ZRL
 - dequantize -> de-zigzag -> 2-D IDCT (vectorized 8x8 basis matmul over
@@ -198,6 +206,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     huff_dc = {}
     huff_ac = {}
     frame = None
+    progressive = False
+    coeffs = None
     restart_interval = 0
     while True:
         if data[pos] != 0xFF:
@@ -205,6 +215,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if coeffs is not None:  # progressive: all scans consumed
+                return _reconstruct(frame, coeffs, qt)
             raise ValueError("jpeg: EOI before SOS")
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2 : pos + seglen]
@@ -233,7 +245,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     bits, vals
                 )
                 off += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"jpeg: unsupported precision {prec}")
@@ -245,8 +257,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF,
                               "tq": tq})
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF and marker != 0xC8:
-            raise ValueError("jpeg: only baseline sequential DCT supported")
+            progressive = marker == 0xC2
+        elif marker == 0xC3 or 0xC5 <= marker <= 0xCF and marker != 0xC8:
+            raise ValueError(
+                "jpeg: only baseline and progressive DCT supported"
+            )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -257,10 +272,20 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             for s in range(ns):
                 cs, tt = body[1 + 2 * s], body[2 + 2 * s]
                 scan.append((cs, tt >> 4, tt & 0xF))
-            return _decode_scan(
-                data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, pos + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            ss_, se_ = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahl = body[3 + 2 * ns]
+            if coeffs is None:
+                coeffs = _alloc_coeffs(frame)
+            pos = _decode_progressive_scan(
+                data, pos + seglen, frame, scan, ss_, se_, ahl >> 4,
+                ahl & 0xF, coeffs, huff_dc, huff_ac, restart_interval,
             )
+            continue
         pos += seglen
 
 
@@ -315,7 +340,38 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                         coeffs[c["id"]][my * c["v"] + v,
                                         mx * c["h"] + hh] = blk
             mcu_count += 1
-    # dequant + IDCT, vectorized over all blocks per component
+    return _reconstruct(frame, coeffs, qt)
+
+
+def _alloc_coeffs(frame) -> dict:
+    """Per-component zigzag coefficient planes sized to MCU coverage."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+        for c in comps
+    }
+
+
+def _comp_block_grid(frame, c) -> tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.2.2: blocks
+    cover ceil(dim * sampling / max_sampling) samples)."""
+    h, w, comps = frame
+    hmax = max(cc["h"] for cc in comps)
+    vmax = max(cc["v"] for cc in comps)
+    cw = -(-w * c["h"] // hmax)
+    ch = -(-h * c["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _reconstruct(frame, coeffs, qt) -> np.ndarray:
+    """Dequant + IDCT + upsample + colorspace, vectorized per component."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for c in comps:
         q = qt[c["tq"]]
@@ -346,6 +402,155 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b])
     return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First byte offset at/after ``pos`` holding a non-RST marker."""
+    while True:
+        if data[pos] == 0xFF and data[pos + 1] not in (0x00,) \
+                and not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+
+
+def _decode_progressive_scan(data, pos, frame, scan, ss, se, ah, al,
+                             coeffs, huff_dc, huff_ac, dri) -> int:
+    """One SOF2 scan (T.81 G.2): spectral band [ss, se] at successive-
+    approximation depth (ah -> al) folded into ``coeffs``.  Returns the
+    byte offset of the marker following the scan's entropy data."""
+    h, w, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    order = [(by_id[cs], td, ta) for cs, td, ta in scan]
+    reader = _BitReader(data, pos)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: progressive DC scan must have Se=0")
+        _progressive_dc_scan(reader, frame, order, ah, al, coeffs,
+                             huff_dc, dri)
+    else:
+        if len(order) != 1:
+            raise ValueError("jpeg: progressive AC scan must be "
+                             "single-component")
+        c, _td, ta = order[0]
+        _progressive_ac_scan(reader, frame, c, ta, ss, se, ah, al,
+                             coeffs, huff_ac, dri)
+    return _next_marker(data, reader.pos)
+
+
+def _progressive_dc_scan(reader, frame, order, ah, al, coeffs, huff_dc,
+                         dri) -> None:
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    pred = {c["id"]: 0 for c, _t, _a in order}
+    if len(order) == 1:
+        c, td, _ta = order[0]
+        bh, bw = _comp_block_grid(frame, c)
+        units = [(c, td, r, cc) for r in range(bh) for cc in range(bw)]
+        per_mcu = 1
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c, td, _ta in order:
+                    for v in range(c["v"]):
+                        for hh in range(c["h"]):
+                            units.append((c, td, my * c["v"] + v,
+                                          mx * c["h"] + hh))
+        per_mcu = sum(c["v"] * c["h"] for c, _t, _a in order)
+    mcu = 0
+    for i, (c, td, br, bc) in enumerate(units):
+        if i % per_mcu == 0:  # MCU boundary
+            if dri and mcu and mcu % dri == 0:
+                reader.restart()
+                pred = {k: 0 for k in pred}
+            mcu += 1
+        blk = coeffs[c["id"]][br, bc]
+        if ah == 0:
+            t = reader.huff(huff_dc[td])
+            diff = _extend(reader.read(t), t)
+            pred[c["id"]] += diff
+            blk[0] = pred[c["id"]] << al
+        else:
+            if reader.read(1):
+                blk[0] |= 1 << al
+
+
+def _progressive_ac_scan(reader, frame, c, ta, ss, se, ah, al, coeffs,
+                         huff_ac, dri) -> None:
+    bh, bw = _comp_block_grid(frame, c)
+    plane = coeffs[c["id"]]
+    eobrun = 0
+    table = huff_ac[ta]
+    p1 = 1 << al
+    m1 = -1 << al
+    nblk = 0
+    for br in range(bh):
+        for bc in range(bw):
+            if dri and nblk and nblk % dri == 0:
+                reader.restart()
+                eobrun = 0
+            nblk += 1
+            blk = plane[br, bc]
+            if ah == 0:  # "first" scan for this band
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.huff(table)
+                    r, s = rs >> 4, rs & 0xF
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: AC index overflow")
+                        blk[k] = _extend(reader.read(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        k += 16
+            else:  # refinement scan (T.81 G.2 / libjpeg AC_refine logic)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.huff(table)
+                        r, s = rs >> 4, rs & 0xF
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "jpeg: refine scan magnitude != 1")
+                            newval = p1 if reader.read(1) else m1
+                        elif r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read(r)
+                            break
+                        while k <= se:
+                            if blk[k] != 0:
+                                if reader.read(1) and not (blk[k] & p1):
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval:
+                            blk[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0 and reader.read(1) \
+                                and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                        k += 1
+                    eobrun -= 1
 
 
 # ---------------------------------------------------------------------------
@@ -419,9 +624,11 @@ def _mag(v: int):
     return t, code
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                subsample: bool = False) -> bytes:
-    """(bands, h, w) uint8 (1 or 3 bands) -> baseline JFIF bytes."""
+def _prep_components(pixels: np.ndarray, quality: int, subsample: bool):
+    """Shared encoder front half: colorspace, pad, subsample, DCT+quant.
+
+    Returns (h, w, zigzag coeff blocks per comp, padded plane shapes,
+    ql, qc, sub)."""
     if pixels.ndim == 2:
         pixels = pixels[None]
     bands, h, w = pixels.shape
@@ -457,14 +664,25 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         _encode_blocks(p, ql if i == 0 else qc)
         for i, p in enumerate(comp_planes)
     ]
+    return h, w, zz, comp_planes, ql, qc, sub
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsample: bool = False) -> bytes:
+    """(bands, h, w) uint8 (1 or 3 bands) -> baseline JFIF bytes."""
+    h, w, zz, comp_planes, ql, qc, sub = _prep_components(
+        pixels, quality, subsample)
+    bands = len(comp_planes)
     dc_l = _build_encode_table(*DC_LUM)
     ac_l = _build_encode_table(*AC_LUM)
     dc_c = _build_encode_table(*DC_CHR)
     ac_c = _build_encode_table(*AC_CHR)
 
     wtr = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * bands
     bx = [p.shape[1] // 8 for p in comp_planes]
+    mcu = 8 * sub
+    ph, pw = comp_planes[0].shape
     mcux, mcuy = pw // mcu, ph // mcu
 
     def emit_block(ci, bi):
@@ -497,7 +715,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
 
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci in range(len(planes)):
+            for ci in range(bands):
                 reps = sub if (ci == 0 and sub == 2) else 1
                 for v in range(reps):
                     for hh in range(reps):
@@ -519,7 +737,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     out += dqt(0, ql)
     if bands == 3:
         out += dqt(1, qc)
-    ncomp = len(planes)
+    ncomp = bands
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         hv = ((sub if ci == 0 else 1) << 4) | (sub if ci == 0 else 1)
@@ -541,4 +759,242 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += wtr.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (SOF2) — roundtrip oracle for the progressive decoder
+# ---------------------------------------------------------------------------
+
+# a universal Huffman table valid for EVERY rs symbol (254 8-bit codes +
+# 2 9-bit) — progressive scans emit EOBn (r>0, s=0) symbols that Annex K's
+# baseline tables cannot express, and a spec-legal fixed table keeps the
+# encoder deterministic without a histogram pass
+_UNIV = ([0, 0, 0, 0, 0, 0, 0, 254, 2, 0, 0, 0, 0, 0, 0, 0],
+         list(range(256)))
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 90,
+                            subsample: bool = False) -> bytes:
+    """(bands, h, w) uint8 -> PROGRESSIVE (SOF2) JFIF bytes.
+
+    Scan script exercises every T.81 G.2 decode path: interleaved DC
+    first at Al=1, split spectral AC first scans at Al=1 (with EOBn run
+    coalescing), AC refinement at Ah=1/Al=0 (new-coefficient insertion,
+    ZRL-with-corrections, EOB-run correction tails), DC refinement.
+    Quantized coefficients are IDENTICAL to `encode_jpeg` at the same
+    quality, so decode(progressive) must equal decode(baseline) exactly
+    — the roundtrip oracle in tests/test_jpeg.py."""
+    h, w, zz, comp_planes, ql, qc, sub = _prep_components(
+        pixels, quality, subsample)
+    bands = len(comp_planes)
+    univ = _build_encode_table(*_UNIV)
+    bx = [p.shape[1] // 8 for p in comp_planes]
+    by = [p.shape[0] // 8 for p in comp_planes]
+    mcu = 8 * sub
+    ph, pw = comp_planes[0].shape
+    mcux, mcuy = pw // mcu, ph // mcu
+
+    scans = []  # (header bytes, entropy bytes)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            body += bytes([ci + 1, 0x00])  # DC/AC table 0 for all comps
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # --- scan 1: DC first, interleaved, Al=1 ---------------------------
+    wtr = _BitWriter()
+    pred = [0] * bands
+
+    def dc_first_block(ci, bi):
+        v = int(zz[ci][bi][0]) >> 1  # arithmetic shift = DC point transform
+        diff = v - pred[ci]
+        pred[ci] = v
+        t, code = _mag(diff)
+        ln, cd = univ[t]
+        wtr.write(cd, ln)
+        wtr.write(code & ((1 << t) - 1), t)
+
+    if bands == 1:
+        for bi in range(by[0] * bx[0]):
+            dc_first_block(0, bi)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(bands):
+                    reps = sub if (ci == 0 and sub == 2) else 1
+                    for v in range(reps):
+                        for hh in range(reps):
+                            dc_first_block(
+                                ci, (my * reps + v) * bx[ci] + mx * reps + hh)
+    wtr.flush()
+    scans.append((sos_header(list(range(bands)), 0, 0, 0, 1), bytes(wtr.out)))
+
+    # --- AC first scans per component, split bands, Al=1 ----------------
+    for ci in range(bands):
+        for ss, se in ((1, 5), (6, 63)):
+            wtr = _BitWriter()
+            eob_run = 0
+
+            def flush_eob():
+                nonlocal eob_run
+                while eob_run > 0:
+                    r = min(eob_run.bit_length() - 1, 14)
+                    ln, cd = univ[r << 4]
+                    wtr.write(cd, ln)
+                    extra = min(eob_run, (1 << (r + 1)) - 1) - (1 << r)
+                    wtr.write(extra, r)
+                    eob_run -= (1 << r) + extra
+
+            for bi in range(by[ci] * bx[ci]):
+                blk = zz[ci][bi]
+                vals = [int(v) for v in blk[ss:se + 1]]
+                pt = [(1 if v >= 0 else -1) * (abs(v) >> 1) for v in vals]
+                if not any(pt):
+                    eob_run += 1
+                    if eob_run == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                last_nz = max(k for k, v in enumerate(pt) if v)
+                run = 0
+                for v in pt[:last_nz + 1]:
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ln, cd = univ[0xF0]
+                        wtr.write(cd, ln)
+                        run -= 16
+                    t, code = _mag(v)
+                    ln, cd = univ[(run << 4) | t]
+                    wtr.write(cd, ln)
+                    wtr.write(code & ((1 << t) - 1), t)
+                    run = 0
+                if last_nz < se - ss:
+                    eob_run += 1
+            flush_eob()
+            wtr.flush()
+            scans.append((sos_header([ci], ss, se, 0, 1), bytes(wtr.out)))
+
+    # --- AC refinement per component, Ah=1 Al=0 --------------------------
+    for ci in range(bands):
+        wtr = _BitWriter()
+        eob_run = 0
+        held_bits: list[int] = []  # correction bits inside a pending EOB run
+
+        def flush_eob_refine():
+            nonlocal eob_run
+            while eob_run > 0:
+                r = min(eob_run.bit_length() - 1, 14)
+                ln, cd = univ[r << 4]
+                wtr.write(cd, ln)
+                extra = min(eob_run, (1 << (r + 1)) - 1) - (1 << r)
+                wtr.write(extra, r)
+                eob_run -= (1 << r) + extra
+            for b in held_bits:
+                wtr.write(b, 1)
+            held_bits.clear()
+
+        for bi in range(by[ci] * bx[ci]):
+            blk = zz[ci][bi]
+            absv = [abs(int(v)) for v in blk[1:64]]
+            sgn = [1 if int(v) >= 0 else 0 for v in blk[1:64]]
+            eob_k = 0  # last newly-significant position (1-based band idx)
+            for k, a in enumerate(absv):
+                if a == 1:
+                    eob_k = k + 1
+            r = 0
+            br: list[int] = []  # correction bits since last symbol
+            emitted = False
+            for k, a in enumerate(absv):
+                kk = k + 1
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and kk <= eob_k:
+                    flush_eob_refine()
+                    ln, cd = univ[0xF0]
+                    wtr.write(cd, ln)
+                    r -= 16
+                    for b in br:
+                        wtr.write(b, 1)
+                    br.clear()
+                    emitted = True
+                if a > 1:
+                    br.append(a & 1)
+                    continue
+                flush_eob_refine()
+                ln, cd = univ[(r << 4) | 1]
+                wtr.write(cd, ln)
+                wtr.write(sgn[k], 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br.clear()
+                r = 0
+                emitted = True
+            if r > 0 or br:
+                eob_run += 1
+                held_bits.extend(br)
+                if eob_run == 0x7FFF:
+                    flush_eob_refine()
+            elif not emitted:
+                # completely empty band with nothing to correct: still a
+                # member of the EOB run
+                eob_run += 1
+        flush_eob_refine()
+        wtr.flush()
+        scans.append((sos_header([ci], 1, 63, 1, 0), bytes(wtr.out)))
+
+    # --- DC refinement, interleaved, Ah=1 Al=0 ---------------------------
+    wtr = _BitWriter()
+
+    def dc_refine_block(ci, bi):
+        wtr.write(int(zz[ci][bi][0]) & 1, 1)
+
+    if bands == 1:
+        for bi in range(by[0] * bx[0]):
+            dc_refine_block(0, bi)
+    else:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci in range(bands):
+                    reps = sub if (ci == 0 and sub == 2) else 1
+                    for v in range(reps):
+                        for hh in range(reps):
+                            dc_refine_block(
+                                ci, (my * reps + v) * bx[ci] + mx * reps + hh)
+    wtr.flush()
+    scans.append((sos_header(list(range(bands)), 0, 0, 1, 0), bytes(wtr.out)))
+
+    # --- container -------------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+
+    def dqt(tq, q):
+        zzq = q[ZIGZAG]
+        body = bytes([tq]) + bytes(int(x) for x in zzq)
+        return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
+
+    out += dqt(0, ql)
+    if bands == 3:
+        out += dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([bands])
+    for ci in range(bands):
+        hv = ((sub if ci == 0 else 1) << 4) | (sub if ci == 0 else 1)
+        sof += bytes([ci + 1, hv, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+    out += dht(0, 0, _UNIV) + dht(1, 0, _UNIV)
+    for header, entropy in scans:
+        out += header + entropy
+    out += b"\xff\xd9"
     return bytes(out)

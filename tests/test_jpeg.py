@@ -139,11 +139,58 @@ def test_error_contracts():
     with pytest.raises(ValueError, match="SOI"):
         jpeg.decode_jpeg(b"nope")
     good = jpeg.encode_jpeg(np.zeros((1, 8, 8), np.uint8))
+    bad = bytearray(good)
+    i = bad.index(b"\xff\xc0")
+    bad[i + 1] = 0xC3  # lossless SOF: still outside the supported set
+    with pytest.raises(ValueError, match="baseline and progressive"):
+        jpeg.decode_jpeg(bytes(bad))
+    # a baseline scan header is malformed under SOF2 rules (DC scan Se=63)
     prog = bytearray(good)
-    i = prog.index(b"\xff\xc0")
-    prog[i + 1] = 0xC2  # progressive SOF
-    with pytest.raises(ValueError, match="baseline"):
+    prog[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se=0"):
         jpeg.decode_jpeg(bytes(prog))
+
+
+@pytest.mark.parametrize(
+    "shape,subsample,quality",
+    [((1, 16, 16), False, 90), ((3, 37, 29), False, 85),
+     ((3, 40, 48), True, 75), ((1, 8, 8), False, 50),
+     ((3, 13, 11), False, 95)],
+)
+def test_progressive_roundtrip_bit_identical_to_baseline(
+        shape, subsample, quality):
+    """SOF2 multi-scan decode must reassemble EXACTLY the coefficients the
+    baseline stream carries: decode(progressive) == decode(baseline)
+    byte-for-byte at equal quality (both encoders share quantization)."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, shape, dtype=np.uint8)
+    base = jpeg.decode_jpeg(
+        jpeg.encode_jpeg(px, quality=quality, subsample=subsample))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(
+        px, quality=quality, subsample=subsample))
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_smooth_image_exercises_eob_runs():
+    """A flat image makes every AC band empty -> long EOBn runs across
+    blocks (the run-coalescing decode path), still bit-identical."""
+    px = np.full((3, 64, 64), 128, np.uint8)
+    px[:, 20:30, 20:30] = 200  # one feature so not all scans degenerate
+    base = jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=90))
+    prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(px, quality=90))
+    np.testing.assert_array_equal(base, prog)
+
+
+def test_progressive_sniffs_and_routes_like_baseline():
+    from rioxarray_ray.kernels import codecs
+
+    px = (np.arange(3 * 24 * 24) % 251).astype(np.uint8).reshape(3, 24, 24)
+    payload = jpeg.encode_jpeg_progressive(px, quality=92)
+    assert jpeg.is_jpeg(payload)
+    assert codecs.sniff(payload) == "jpeg"
+    np.testing.assert_array_equal(
+        codecs.decode(payload),
+        jpeg.decode_jpeg(jpeg.encode_jpeg(px, quality=92)))
 
 
 def test_multimodal_image_decoder_routes_jpeg():

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from rioxarray_ray.kernels import affine as aff
 from rioxarray_ray.kernels import cellindex, codecs, crs
@@ -88,6 +90,122 @@ def test_crs_parsing():
     assert crs.from_user_input(crs.utm(15).to_wkt()) == crs.utm(15)
     with pytest.raises(crs.CRSError):
         crs.from_user_input("EPSG:27700")  # non-UTM tmerc: outside whitelist
+
+
+def _wkt2_projcrs(method: str, params: list[tuple[str, float]]) -> str:
+    body = ",".join(f'PARAMETER["{k}",{v}]' for k, v in params)
+    return (
+        'PROJCRS["unknown",BASEGEOGCRS["WGS 84",DATUM['
+        '"World Geodetic System 1984",ELLIPSOID["WGS 84",6378137,'
+        '298.257223563,LENGTHUNIT["metre",1]]],PRIMEM["Greenwich",0]],'
+        f'CONVERSION["unknown",METHOD["{method}"],{body}],'
+        'CS[Cartesian,2],LENGTHUNIT["metre",1]]'
+    )
+
+
+def _esri_projcs(projection: str, params: list[tuple[str, float]]) -> str:
+    body = ",".join(f'PARAMETER["{k}",{v}]' for k, v in params)
+    return (
+        f'PROJCS["custom",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",'
+        'SPHEROID["WGS_1984",6378137.0,298.257223563]],'
+        'PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],'
+        f'PROJECTION["{projection}"],{body},UNIT["Meter",1.0]]'
+    )
+
+
+def test_crs_parsing_wkt2():
+    """WKT2 (the serialization pyproj emits by default — reference
+    leniency rioxarray/crs.py:12-45) parses for every whitelisted
+    family via METHOD + EPSG parameter names."""
+    c = crs.from_user_input(_wkt2_projcrs("Transverse Mercator", [
+        ("Latitude of natural origin", 0),
+        ("Longitude of natural origin", -93),
+        ("Scale factor at natural origin", 0.9996),
+        ("False easting", 500000), ("False northing", 0)]))
+    assert c == crs.utm(15)
+    c = crs.from_user_input(_wkt2_projcrs("Lambert Conic Conformal (2SP)", [
+        ("Latitude of false origin", 46.5),
+        ("Longitude of false origin", 3),
+        ("Latitude of 1st standard parallel", 49),
+        ("Latitude of 2nd standard parallel", 44),
+        ("Easting at false origin", 700000),
+        ("Northing at false origin", 6600000)]))
+    assert c == crs.lcc(49, 44, 46.5, 3, 700000, 6600000)
+    c = crs.from_user_input(_wkt2_projcrs("Albers Equal Area", [
+        ("Latitude of false origin", 23),
+        ("Longitude of false origin", -96),
+        ("Latitude of 1st standard parallel", 29.5),
+        ("Latitude of 2nd standard parallel", 45.5),
+        ("Easting at false origin", 0),
+        ("Northing at false origin", 0)]))
+    assert c == crs.aea(29.5, 45.5, 23, -96, 0, 0)
+    c = crs.from_user_input(_wkt2_projcrs("Polar Stereographic (variant B)", [
+        ("Latitude of standard parallel", -71),
+        ("Longitude of origin", 0),
+        ("False easting", 0), ("False northing", 0)]))
+    assert c == crs.polar_stereographic(-71.0)
+    # geographic WKT2 without an ID block
+    c = crs.from_user_input(
+        'GEOGCRS["WGS 84",DATUM["World Geodetic System 1984",'
+        'ELLIPSOID["WGS 84",6378137,298.257223563]],PRIMEM["Greenwich",0],'
+        'CS[ellipsoidal,2]]')
+    assert c == crs.GEOGRAPHIC
+    # unknown method must raise, not silently misproject
+    with pytest.raises(crs.CRSError, match="operation method"):
+        crs.from_user_input(_wkt2_projcrs("Krovak", [("False easting", 0)]))
+
+
+def test_crs_parsing_esri_wkt():
+    """ESRI WKT (D_WGS_1984 datum spelling, alias projection names)."""
+    c = crs.from_user_input(_esri_projcs("Transverse_Mercator", [
+        ("False_Easting", 500000.0), ("False_Northing", 0.0),
+        ("Central_Meridian", -93.0), ("Scale_Factor", 0.9996),
+        ("Latitude_Of_Origin", 0.0)]))
+    assert c == crs.utm(15)
+    c = crs.from_user_input(_esri_projcs("Lambert_Conformal_Conic", [
+        ("False_Easting", 700000.0), ("False_Northing", 6600000.0),
+        ("Central_Meridian", 3.0), ("Standard_Parallel_1", 49.0),
+        ("Standard_Parallel_2", 44.0), ("Latitude_Of_Origin", 46.5)]))
+    assert c == crs.lcc(49, 44, 46.5, 3, 700000, 6600000)
+    c = crs.from_user_input(_esri_projcs("Albers", [
+        ("False_Easting", 0.0), ("False_Northing", 0.0),
+        ("Central_Meridian", -96.0), ("Standard_Parallel_1", 29.5),
+        ("Standard_Parallel_2", 45.5), ("Latitude_Of_Origin", 23.0)]))
+    assert c == crs.aea(29.5, 45.5, 23, -96, 0, 0)
+    # a non-WGS84 ESRI datum must reject (would run the WGS84 kernel wrong)
+    with pytest.raises(crs.CRSError, match="non-WGS84"):
+        crs.from_user_input(_esri_projcs("Transverse_Mercator", [
+            ("Central_Meridian", -2.0), ("Scale_Factor", 0.9996012717),
+            ("Latitude_Of_Origin", 49.0)]).replace("WGS_1984", "OSGB_1936"))
+
+
+@given(
+    zone=st.integers(1, 60),
+    south=st.booleans(),
+)
+@settings(deadline=None, max_examples=30)
+def test_crs_wkt2_esri_utm_roundtrip_property(zone, south):
+    """Every UTM zone parses identically from WKT2 and ESRI WKT and
+    agrees with the canonical constructor at a sample point."""
+    lon0 = (zone - 1) * 6.0 - 180.0 + 3.0
+    y0 = 10000000.0 if south else 0.0
+    wkt2 = _wkt2_projcrs("Transverse Mercator", [
+        ("Latitude of natural origin", 0),
+        ("Longitude of natural origin", lon0),
+        ("Scale factor at natural origin", 0.9996),
+        ("False easting", 500000), ("False northing", y0)])
+    esri = _esri_projcs("Transverse_Mercator", [
+        ("False_Easting", 500000.0), ("False_Northing", y0),
+        ("Central_Meridian", lon0), ("Scale_Factor", 0.9996),
+        ("Latitude_Of_Origin", 0.0)])
+    want = crs.utm(zone, south=south)
+    a = crs.from_user_input(wkt2)
+    b = crs.from_user_input(esri)
+    assert a == want and b == want
+    lat = -40.0 if south else 40.0
+    xa, ya = a.forward(lon0 + 1.5, lat)
+    xw, yw = want.forward(lon0 + 1.5, lat)
+    assert xa == xw and ya == yw
 
 
 def test_estimate_utm_crs():
