@@ -271,6 +271,7 @@ class FusedPIPWarpActor:
         from ..stages.warp import WarpActor
         from ..kernels import crs as crs_mod
 
+        self.cell_res = cell_res
         self.pip = PIPJoinActor(geom_rows, cell_res=cell_res)
         self.warp = WarpActor(
             dst_crs=crs_mod.from_user_input(dst_crs).to_string(),
@@ -283,13 +284,163 @@ class FusedPIPWarpActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.tile_size is not None:
-            from ..stages import decode as decode_mod
-            from ..stages import tile as tile_mod_
-
-            batch = tile_mod_.tile_batch(
-                decode_mod.decode_batch(batch), tile_size=self.tile_size
-            )
+            return self._deep_call(batch)
         return self._join_and_warp(batch)
+
+    def _deep_call(self, batch: pa.Table) -> pa.Table:
+        """Zero-copy deep path: decode each image ONCE into its own numpy
+        buffer and run tiling as pure window arithmetic — every tile is a
+        strided VIEW of the decoded array, PIP-joined and warped in place.
+        The raster and tile row sets are never materialized as Arrow
+        batches, which removes two full pixel passes per image (the decode
+        builder write + re-read and the tile builder write + re-read) vs
+        the staged decode_stage -> tile_stage chain; the only pixel bytes
+        written are the warped payloads.  Output is row-identical to the
+        staged path (test_flagship_fused_equals_two_branch)."""
+        from ..kernels import affine as aff
+        from ..kernels import cellindex, codecs
+        from ..kernels import crs as crs_mod
+        from ..sources import corpus as corpus_mod
+        from ..stages.decode import PhashMismatch
+        from ..stages.join import PIP_SCHEMA, _refine_tile
+        from ..stages.schema import (
+            TILE_SCHEMA,
+            BinaryBuilder,
+            binary_views,
+            decode_nodata,
+        )
+
+        ids = batch["image_id"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        phashes = batch["phash"].to_numpy(zero_copy_only=False)
+        ts = int(self.tile_size)
+        # accumulate the "t" (warped tile) side columnarly; presize the
+        # pixel buffer near the decoded payload size (warp roughly
+        # preserves pixel counts; the builder grows transparently)
+        wv = batch["w"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = batch["h"].to_numpy(zero_copy_only=False).astype(np.int64)
+        itemsize = np.array(
+            [1 if f == "rawu8" else 2 for f in fmts], dtype=np.int64
+        )
+        idxs = [int(s[3:]) for s in ids]
+        bandv = np.where(
+            np.asarray(idxs, dtype=np.int64) % 5 == 0, 3, 1
+        )
+        builder = BinaryBuilder(
+            reserve=int((wv * hv * itemsize * bandv).sum() * 5 // 4)
+        )
+        tcols: dict[str, list] = {
+            name: [] for name in TILE_SCHEMA.names if name != "pixels"
+        }
+        jrows: list[dict] = []
+        for i, payload in enumerate(binary_views(batch, "bytes")):
+            idx = idxs[i]
+            meta = corpus_mod.geo_meta_for(idx)
+            decoded = codecs.decode(payload, fmts[i])
+            if corpus_mod.phash_of(decoded) != int(phashes[i]):
+                raise PhashMismatch(f"phash mismatch for {ids[i]}")
+            transform = tuple(float(v) for v in meta["transform"])
+            crs_str = meta["crs"]
+            crs_obj = crs_mod.from_user_input(crs_str)
+            projected = crs_obj.is_projected
+            nodata = float(meta["nodata"])
+            dtype_name = decoded.dtype.name
+            src_nodata = decode_nodata(nodata, dtype_name)
+            bands, h, w = decoded.shape
+            n_tr = (h + ts - 1) // ts
+            n_tc = (w + ts - 1) // ts
+            for tr in range(n_tr):
+                r0 = tr * ts
+                th = min(ts, h - r0)
+                for tc in range(n_tc):
+                    c0 = tc * ts
+                    tw = min(ts, w - c0)
+                    sub = decoded[:, r0 : r0 + th, c0 : c0 + tw]
+                    sub_t = aff.window_transform(transform, c0, r0)
+                    cx, cy = aff.apply(sub_t, tw / 2.0, th / 2.0)
+                    if projected:
+                        lon, lat = crs_obj.inverse(cx, cy)
+                    else:
+                        lon, lat = cx, cy
+                    cell = int(
+                        cellindex.cell(float(lon), float(lat), self.cell_res)
+                    )
+                    cand = self.pip.by_cell.get(cell)
+                    if cand:
+                        row = {
+                            "image_id": ids[i],
+                            "tile_row": tr,
+                            "tile_col": tc,
+                            "cell": cell,
+                            "nodata": nodata,
+                            "dtype": dtype_name,
+                            "transform": list(sub_t),
+                            "crs": crs_str,
+                            "h": th,
+                            "w": tw,
+                        }
+                        jrows.extend(
+                            _refine_tile(
+                                row,
+                                [self.pip.ids[k] for k in cand],
+                                [self.pip.geoms[k] for k in cand],
+                                pixels=sub,
+                            )
+                        )
+                    out, dst_t, dcrs, dst_nod = self.warp._warp_pixels(
+                        sub, sub_t, crs_obj, src_nodata
+                    )
+                    builder.append(out)
+                    tcols["image_id"].append(ids[i])
+                    tcols["band_count"].append(bands)
+                    tcols["h"].append(out.shape[1])
+                    tcols["w"].append(out.shape[2])
+                    tcols["dtype"].append(out.dtype.name)
+                    tcols["nodata"].append(float(dst_nod))
+                    tcols["crs"].append(dcrs.to_string())
+                    tcols["transform"].append([float(v) for v in dst_t])
+                    tcols["caption"].append(caps[i])
+                    tcols["phash"].append(int(phashes[i]))
+                    tcols["tile_row"].append(tr)
+                    tcols["tile_col"].append(tc)
+                    tcols["cell"].append(cell)
+                    tcols["win_row_off"].append(r0)
+                    tcols["win_col_off"].append(c0)
+                    tcols["core_roff"].append(0)
+                    tcols["core_coff"].append(0)
+                    tcols["core_h"].append(th)
+                    tcols["core_w"].append(tw)
+        stat_fields = [
+            f for f in PIP_SCHEMA if f.name not in TILE_SCHEMA.names
+        ]
+        out_schema = pa.schema(
+            list(TILE_SCHEMA) + stat_fields + [pa.field("side", pa.string())]
+        )
+        n_t = len(tcols["image_id"])
+        t_arrays = []
+        for f in TILE_SCHEMA:
+            if f.name == "pixels":
+                t_arrays.append(builder.finish())
+            else:
+                t_arrays.append(pa.array(tcols[f.name], f.type))
+        t_arrays += [pa.nulls(n_t, f.type) for f in stat_fields]
+        t_arrays.append(pa.array(["t"] * n_t, pa.string()))
+        t_tab = pa.Table.from_arrays(t_arrays, schema=out_schema)
+        n_j = len(jrows)
+        j_arrays = []
+        join_names = set(PIP_SCHEMA.names)
+        for f in TILE_SCHEMA:
+            if f.name in join_names:
+                j_arrays.append(pa.array([r[f.name] for r in jrows], f.type))
+            else:
+                j_arrays.append(pa.nulls(n_j, f.type))
+        j_arrays += [
+            pa.array([r[f.name] for r in jrows], f.type) for f in stat_fields
+        ]
+        j_arrays.append(pa.array(["j"] * n_j, pa.string()))
+        j_tab = pa.Table.from_arrays(j_arrays, schema=out_schema)
+        return pa.concat_tables([t_tab, j_tab])
 
     def _join_and_warp(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
