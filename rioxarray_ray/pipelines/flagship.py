@@ -473,6 +473,39 @@ class FusedPIPWarpActor:
         return pa.concat_tables([w_tab, j_tab])
 
 
+# per-worker-process state cache for the tasks-mode fused stage: worker
+# processes persist across Dataset executions (actors do not), so the
+# geometry index + CRS parse + module imports are paid once per WORKER,
+# not once per actor per run — fixed startup cost leaves the timed region
+# after the first (warmup) execution touches each worker
+_FUSED_STATE: dict = {}
+
+
+def _make_fused_fn(geom_ref, ctor_kwargs: dict):
+    key = (
+        geom_ref.hex() if hasattr(geom_ref, "hex") else id(geom_ref),
+        tuple(sorted((k, str(v)) for k, v in ctor_kwargs.items())),
+    )
+
+    def fused_fn(batch: pa.Table) -> pa.Table:
+        st = _FUSED_STATE.get(key)
+        if st is None:
+            import ray
+
+            geoms = (
+                ray.get(geom_ref)
+                if isinstance(geom_ref, ray.ObjectRef)
+                else geom_ref
+            )
+            st = FusedPIPWarpActor(geom_rows=geoms, **ctor_kwargs)
+            if len(_FUSED_STATE) > 8:  # bound worker memory
+                _FUSED_STATE.clear()
+            _FUSED_STATE[key] = st
+        return st(batch)
+
+    return fused_fn
+
+
 def flagship_fused(
     n_images: int = 2048,
     n_geoms: int = 200,
@@ -482,6 +515,7 @@ def flagship_fused(
     concurrency: int = 4,
     deep: bool = True,
     override_num_blocks: int | None = None,
+    pool: str = "actors",
 ):
     """Single-pass flagship: (decode -> tile -> PIP join -> warp) in ONE
     actor pool over one read pass -> one union-schema stream.  Identical
@@ -503,16 +537,35 @@ def flagship_fused(
     geoms = [
         g for g in corpus.geometry_table(n_geoms) if g["kind"] != "point"
     ]
-    ctor = dict(geom_rows=geoms, dst_crs=dst_crs, resampling=resampling)
+    ctor = dict(dst_crs=dst_crs, resampling=resampling)
     if deep:
         upstream = ds
         ctor["tile_size"] = tile_size
     else:
         decoded = decode_stage_mod.decode_stage(ds)
         upstream = tile_mod.tile_stage(decoded, tile_size=tile_size)
+    if pool == "tasks":
+        # tasks mode: stateless map tasks + per-worker state cache
+        # (_FUSED_STATE).  Worker processes outlive executions, so
+        # repeated runs skip actor-spawn/import/index-build entirely, and
+        # the scheduler splits CPUs between read and fused work
+        # elastically instead of a static actor-pool/producer split.
+        # A/B on this box (80k images, 32 cpus, best-of-3): tasks 13.8 s
+        # vs actors 11.0 s — the pool's pipelining wins despite its spawn
+        # cost, so "actors" is the default; tasks mode is kept for
+        # environments where actor startup dominates (many short runs).
+        import ray
+
+        geom_ref = ray.put(geoms) if ray.is_initialized() else geoms
+        return upstream.map_batches(
+            _make_fused_fn(geom_ref, ctor),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,  # whole blocks, same as the warp-all branch
+        )
     return upstream.map_batches(
         FusedPIPWarpActor,
-        fn_constructor_kwargs=ctor,
+        fn_constructor_kwargs=dict(geom_rows=geoms, **ctor),
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
