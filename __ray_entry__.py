@@ -1385,6 +1385,57 @@ def q_geo_merge(sf_dir: str):
     return mosaic.map_batches(summarize, batch_format="pyarrow")
 
 
+def q_geo_mosaic_tiff(sf_dir: str):
+    """Single-file GeoTIFF mosaic sink round trip: the SAME 16 sources and
+    merge semantics as geo_merge, but written through
+    stages/geotiff_sink.write_mosaic_geotiff (distributed compositing +
+    per-tile deflate, ONE sparse tiled file) and then re-decoded with the
+    from-scratch TIFF reader — per-dst-tile checksums over the FULL grid.
+    EXACT SQL oracle: geo_merge's CTE chain with the tile enumeration
+    widened to every grid tile (sparse tiles checksum 0).  Pixel oracles
+    in pytest: tests/test_geotiff_sink.py (bit-exact round trip, sparse
+    fill, overview IFDs, 4 GiB guard)."""
+    import os
+
+    from rioxarray_ray.kernels import tiff as tiff_mod
+    from rioxarray_ray.stages import geotiff_sink
+
+    tiles = _tiles_4326(sf_dir)
+    idx_keep = pa.array(
+        [
+            f"img{i:08d}"
+            for i in range(0, 200, 4)
+            if i % 7 != 6 and i % 5 != 0
+        ][:16]
+    )
+    subset = tiles.map_batches(
+        lambda b: b.filter(pc.is_in(b["image_id"], value_set=idx_keep)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    path = f"/tmp/rioxarray_ray/mosaic_gate_{os.path.basename(sf_dir)}.tif"
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    _, grid = geotiff_sink.write_mosaic_geotiff(subset, path, method="first")
+    _transform, width, height, _crs, nodata, dtype = grid
+    px, _t, _c = tiff_mod.decode_geotiff(open(path, "rb").read())
+    nod = np.asarray(nodata, dtype=px.dtype)
+    rows = []
+    for tr in range(-(-height // 256)):
+        for tc in range(-(-width // 256)):
+            block = px[:, tr * 256 : (tr + 1) * 256, tc * 256 : (tc + 1) * 256]
+            rows.append(
+                {
+                    "tile_id": f"mosaic/{tr}/{tc}",
+                    "h": block.shape[1],
+                    "w": block.shape[2],
+                    "checksum": int(
+                        block.astype(np.int64)[block != nod].sum()
+                    ),
+                }
+            )
+    return pa.Table.from_pylist(rows)
+
+
 def q_geo_interpolate_na(sf_dir: str):
     """interpolate_na on a tile subset (nearest + cubic side by side):
     all-valid outputs with deterministic integer checksums.  Pixel oracles:
@@ -4715,6 +4766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_reclassify": q_geo_reclassify,
         "geo_rasterize": q_geo_rasterize,
         "geo_merge": q_geo_merge,
+        "geo_mosaic_tiff": q_geo_mosaic_tiff,
         "geo_interpolate_na": q_geo_interpolate_na,
         "geo_interpolate_na_plane": q_geo_interpolate_na_plane,
         "geo_interpolate_na_nearest": q_geo_interpolate_na_nearest,
@@ -8251,4 +8303,28 @@ SELECT CAST(cluster_id AS BIGINT) AS cluster_id, doc_id,
        CAST(n_chars AS BIGINT) AS n_chars
 FROM scored WHERE rk = 1
 """
+    # geo_mosaic_tiff: the single-file GeoTIFF sink round trip carries the
+    # SAME merge semantics as geo_merge (same 16 sources, same union grid,
+    # same first-winner rule) but the file covers the FULL tile grid —
+    # sparse (uncovered) tiles decode to nodata and contribute checksum 0.
+    # Derive the oracle from geo_merge's by swapping the non-empty-tile
+    # enumeration for the full grid, so the two mirrored CTE chains can
+    # never drift apart.
+    _dtiles_nonempty = (
+        "dtiles AS (\n"
+        "  SELECT DISTINCT (gr // 256) AS d_tr, (gc // 256) AS d_tc "
+        "FROM placed\n"
+        "),"
+    )
+    _dtiles_full = (
+        "dtiles AS (\n"
+        "  SELECT tr.d_tr, tc.d_tc FROM g2,\n"
+        "   LATERAL (SELECT unnest(range(0, g2.n_tr)) AS d_tr) tr,\n"
+        "   LATERAL (SELECT unnest(range(0, g2.n_tc)) AS d_tc) tc\n"
+        "),"
+    )
+    assert _dtiles_nonempty in sql["geo_merge"]
+    sql["geo_mosaic_tiff"] = sql["geo_merge"].replace(
+        _dtiles_nonempty, _dtiles_full
+    )
     return sql

@@ -938,6 +938,27 @@ class RasterDataset:
             json.dump({"written": sorted(ids)}, f)
         return manifest
 
+    def to_raster(self, path: str, method: str = "first",
+                  dst_tile_size: int = 256, compression: str = "deflate",
+                  overview_levels=(), resolution=None, grid=None,
+                  sort_tiles: bool = True):
+        """The reference's single-file ``to_raster``
+        (raster_writer.py:224-341 windowed writes under a lock): mosaic
+        every row of this dataset onto one union grid and write ONE
+        tiled, sparse-capable GeoTIFF (optionally with multi-IFD
+        overviews).  Compositing and compression stay distributed; only
+        finished compressed tiles stream to the single writer.  Returns
+        ``(path, grid)``.  Capped at 4 GiB (classic-TIFF offsets) — use
+        ``to_geotiffs`` / ``write_parquet`` for the partitioned layout
+        past that."""
+        from .stages.geotiff_sink import write_mosaic_geotiff
+
+        return write_mosaic_geotiff(
+            self.ds, path, method=method, dst_tile_size=dst_tile_size,
+            compression=compression, overview_levels=overview_levels,
+            resolution=resolution, grid=grid, sort_tiles=sort_tiles,
+        )
+
     def count(self) -> int:
         return self.ds.count()
 

@@ -50,6 +50,7 @@ _TAG_TILE_OFFSETS = 324
 _TAG_TILE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
 _TAG_PIXEL_SCALE = 33550
+_TAG_GDAL_NODATA = 42113
 _TAG_TIEPOINT = 33922
 _TAG_TRANSFORM = 34264
 _TAG_GEO_KEYS = 34735
@@ -67,9 +68,19 @@ def is_tiff(data: bytes) -> bool:
     return len(data) >= 8 and data[:4] in (b"II*\x00", b"MM\x00*")
 
 
-def _read_ifd(data: bytes, bo: str):
+def _read_ifd(data: bytes, bo: str, ifd_index: int = 0):
+    """Read the ``ifd_index``-th IFD of the chain (0 = primary image;
+    1.. = reduced-resolution overviews in a COG-style multi-IFD file)."""
     (off,) = struct.unpack_from(bo + "I", data, 4)
-    if off + 2 > len(data):
+    for _hop in range(int(ifd_index)):
+        if off == 0 or off + 2 > len(data):
+            raise ValueError(f"tiff: no IFD at chain index {ifd_index}")
+        (n,) = struct.unpack_from(bo + "H", data, off)
+        next_at = off + 2 + 12 * n
+        if next_at + 4 > len(data):
+            raise ValueError("tiff: IFD chain pointer past end of file")
+        (off,) = struct.unpack_from(bo + "I", data, next_at)
+    if off == 0 or off + 2 > len(data):
         raise ValueError("tiff: IFD offset past end of file")
     (n,) = struct.unpack_from(bo + "H", data, off)
     tags = {}
@@ -154,11 +165,13 @@ def _dtype(bits: int, fmt: int, bo: str) -> np.dtype:
     return np.dtype(f"{'<' if bo == '<' else '>'}{kind}{bits // 8}")
 
 
-def _decode_tiled(tags, w, h, samples, dt, planar, predictor, decompress):
+def _decode_tiled(tags, w, h, samples, dt, planar, predictor, decompress,
+                  fill=0):
     """Tiled layout (TIFF 6.0 §15): fixed-size tiles left-to-right,
     top-to-bottom, edge tiles padded to full size (cropped here); planar
     files repeat the whole tile grid per sample plane.  The horizontal
-    predictor restarts on every tile row."""
+    predictor restarts on every tile row.  Offset/count 0 marks a sparse
+    (absent) tile — GDAL convention — filled with ``fill``."""
     tw = int(tags[_TAG_TILE_WIDTH][0])
     tl = int(tags[_TAG_TILE_LENGTH][0])
     if tw <= 0 or tl <= 0:
@@ -181,6 +194,15 @@ def _decode_tiled(tags, w, h, samples, dt, planar, predictor, decompress):
     for p in range(planes):
         for ty in range(down):
             for tx in range(across):
+                if offsets[idx] == 0 or counts[idx] == 0:
+                    ys, xs = ty * tl, tx * tw
+                    ye, xe = min(ys + tl, h), min(xs + tw, w)
+                    if planar == 1:
+                        out[:, ys:ye, xs:xe] = fill
+                    else:
+                        out[p, ys:ye, xs:xe] = fill
+                    idx += 1
+                    continue
                 raw = decompress(offsets[idx], counts[idx], "tile")
                 idx += 1
                 flat = np.frombuffer(raw, dtype=dt, count=-1)
@@ -203,12 +225,17 @@ def _decode_tiled(tags, w, h, samples, dt, planar, predictor, decompress):
     return np.ascontiguousarray(out)
 
 
-def decode_geotiff(data: bytes):
-    """TIFF bytes -> ((bands, h, w) native-dtype array, transform, crs)."""
+def decode_geotiff(data: bytes, ifd_index: int = 0):
+    """TIFF bytes -> ((bands, h, w) native-dtype array, transform, crs).
+
+    ``ifd_index`` selects an IFD along the chain (0 = full-resolution
+    image, 1.. = overviews in a multi-IFD/COG file).  Sparse tiles
+    (TileOffsets/ByteCounts of 0, the GDAL sparse-file convention) fill
+    with the ``GDAL_NODATA`` (tag 42113) value, or 0 when absent."""
     if not is_tiff(data):
         raise ValueError("tiff: missing TIFF signature")
     bo = "<" if data[:2] == b"II" else ">"
-    tags = _read_ifd(data, bo)
+    tags = _read_ifd(data, bo, ifd_index)
     w = int(tags[_TAG_WIDTH][0])
     h = int(tags[_TAG_LENGTH][0])
     samples = int(tags.get(_TAG_SAMPLES, [1])[0])
@@ -244,8 +271,19 @@ def decode_geotiff(data: bytes):
         raise ValueError(f"tiff: unsupported PlanarConfiguration {planar}")
 
     if _TAG_TILE_WIDTH in tags:
+        fill = 0
+        nod_raw = tags.get(_TAG_GDAL_NODATA)
+        if nod_raw is not None:
+            try:
+                nod_val = float(
+                    bytes(nod_raw).split(b"\x00")[0].decode("ascii").strip()
+                )
+                if nod_val == nod_val or dt.kind == "f":
+                    fill = np.asarray(nod_val).astype(dt.newbyteorder("="))
+            except (ValueError, UnicodeDecodeError):
+                pass
         pixels = _decode_tiled(tags, w, h, samples, dt, planar, predictor,
-                               _decompress)
+                               _decompress, fill=fill)
     else:
         offsets = tags[_TAG_STRIP_OFFSETS]
         counts = tags[_TAG_STRIP_COUNTS]
