@@ -3106,6 +3106,19 @@ def q_dedup_chunks(sf_dir: str):
     return dedup.chunk_dedup(docs, size=32, overlap=8)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Exact duplicated-substring spans (functions/dedup.duplicate_spans
+    — the Lee et al. 2022 suffix-array exact-substring dedup recast as
+    three slim exchanges): per-doc maximal token spans covered by
+    8-grams occurring >= 2 times anywhere in the corpus.  EXACT SQL
+    oracle: the same [a-z']+ tokenize, LATERAL k-gram enumeration,
+    HAVING-count repeat set, and gaps-and-islands merge in DuckDB."""
+    from rioxarray_ray.functions import dedup
+
+    docs = _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup.duplicate_spans(docs, k=8, min_count=2)
+
+
 def q_dedup_simhash_md5(sf_dir: str):
     """Oracle-gated twin of ``dedup_simhash``: md5 gram hashes make the
     64-bit Charikar signature SQL-replicable (per-bit vote = signed sum
@@ -4824,6 +4837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_decontaminate_bloom": q_text_decontaminate_bloom,
         "text_chunk": q_text_chunk,
         "dedup_chunks": q_dedup_chunks,
+        "dedup_spans": q_dedup_spans,
         "text_doc_freq": q_text_doc_freq,
         "text_rarest_term": q_text_rarest_term,
         "text_tfidf_search": q_text_tfidf_search,
@@ -6751,6 +6765,40 @@ FROM dtiles t CROSS JOIN g2 g LEFT JOIN sums s ON t.d_tr = s.d_tr AND t.d_tc = s
         "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id) AS doc_id
 FROM documents GROUP BY 1
+""",
+        # dedup_spans: the engine hashes gram TEXT to md5 and groups on
+        # the hash; the oracle groups on the gram text itself — identical
+        # sets barring md5 collisions.  Island rule: positions p, p' merge
+        # while p' - p <= k (contiguous token coverage).
+        "dedup_spans": r"""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(COALESCE(text, '')), '[a-z'']+') AS ts
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(ts[i:i+7], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 8 + 2)) AS i) r
+  WHERE len(ts) >= 8
+),
+dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+dp AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= 8 THEN 0 ELSE 1 END AS brk
+  FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM marked
+)
+SELECT doc_id,
+       MIN(pos) AS span_start,
+       MAX(pos) + 8 - MIN(pos) AS span_len,
+       COUNT(*) AS n_grams
+FROM isl GROUP BY doc_id, island
 """,
         "multimodal_png": """
 SELECT d.doc_id,

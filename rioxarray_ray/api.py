@@ -978,6 +978,35 @@ class RasterDataset:
         return self.ds.stats()
 
 
+def read_cog_window(src, col_off: int, row_off: int, win_w: int,
+                    win_h: int, ifd_index: int = 0):
+    """Windowed COG read through ranged requests: fetch the TIFF header
+    plus ONLY the tile ranges intersecting the window (the reference's
+    /vsicurl/ remote-COG path, test_integration__io.py http cases,
+    against a two-call RangeReader protocol — swap LocalRangeReader for
+    an S3/HTTP range-GET reader in a real deployment).  ``src`` is a path
+    or any object with ``read_range(offset, size)``.  Returns a
+    kernels.raster.Raster over the window (isel_window semantics)."""
+    from .kernels import crs as crs_mod
+    from .kernels import tiff as tiff_mod
+    from .kernels.raster import Raster
+
+    reader = tiff_mod.LocalRangeReader(src) if isinstance(src, str) else src
+    try:
+        px, transform, crs_str, nodata = tiff_mod.decode_geotiff_window(
+            reader, col_off, row_off, win_w, win_h, ifd_index=ifd_index
+        )
+    finally:
+        if isinstance(src, str):
+            reader.close()
+    return Raster(
+        px,
+        transform,
+        crs_mod.from_user_input(crs_str) if crs_str else None,
+        nodata,
+    )
+
+
 def open_parquet(path: str, **read_kwargs) -> "RasterDataset":
     """Read a written RasterDataset back, restoring the attrs sidecar."""
     import json

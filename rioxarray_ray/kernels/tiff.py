@@ -466,3 +466,201 @@ def encode_geotiff(pixels: np.ndarray, transform=None, crs: str | None = None,
     for p in payloads:
         out += p
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Range-request (COG) reading: header + only the tile ranges a window needs
+# --------------------------------------------------------------------------
+
+
+class LocalRangeReader:
+    """RangeReader over a local file: the protocol is two calls —
+    ``read_range(offset, size) -> bytes`` and ``size() -> int`` — exactly
+    the surface an S3/HTTP range GET exposes, so a remote deployment
+    swaps this class without touching the decode path.  (The reference
+    reads COGs over /vsicurl/ the same way, test_integration__io.py http
+    cases; no network exists in this sandbox.)"""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        self._f.seek(0, 2)
+        self._size = self._f.tell()
+        self.ranges_read = 0
+        self.bytes_read = 0
+
+    def read_range(self, offset: int, size: int) -> bytes:
+        self._f.seek(offset)
+        out = self._f.read(size)
+        self.ranges_read += 1
+        self.bytes_read += len(out)
+        return out
+
+    def size(self) -> int:
+        return self._size
+
+    def close(self):
+        self._f.close()
+
+
+def _read_ifd_ranged(reader, ifd_index: int = 0):
+    """Parse one IFD through ranged reads only: header (8 B), the entry
+    table, and each oversize tag payload as its own range."""
+    head = reader.read_range(0, 8)
+    if len(head) < 8 or head[:2] not in (b"II", b"MM"):
+        raise ValueError("tiff: missing TIFF signature")
+    bo = "<" if head[:2] == b"II" else ">"
+    if struct.unpack_from(bo + "H", head, 2)[0] != 42:
+        raise ValueError("tiff: bad magic")
+    (off,) = struct.unpack_from(bo + "I", head, 4)
+    for _hop in range(int(ifd_index)):
+        if off == 0:
+            raise ValueError(f"tiff: no IFD at chain index {ifd_index}")
+        (n,) = struct.unpack_from(bo + "H", reader.read_range(off, 2), 0)
+        nxt = reader.read_range(off + 2 + 12 * n, 4)
+        (off,) = struct.unpack_from(bo + "I", nxt, 0)
+    if off == 0:
+        raise ValueError("tiff: zero IFD offset")
+    (n,) = struct.unpack_from(bo + "H", reader.read_range(off, 2), 0)
+    table = reader.read_range(off + 2, 12 * n)
+    tags = {}
+    for k in range(n):
+        tag, typ, count = struct.unpack_from(bo + "HHI", table, 12 * k)
+        size = _TYPE_SIZE.get(typ, 1) * count
+        if size <= 4:
+            payload = table[12 * k + 8 : 12 * k + 8 + size]
+        else:
+            (ptr,) = struct.unpack_from(bo + "I", table, 12 * k + 8)
+            payload = reader.read_range(ptr, size)
+            if len(payload) < size:
+                raise ValueError(f"tiff: truncated tag {tag}")
+        if typ == 5:
+            vals = struct.unpack(bo + "I" * (2 * count), payload)
+            tags[tag] = [vals[2 * i] / (vals[2 * i + 1] or 1)
+                         for i in range(count)]
+        elif typ in _TYPE_FMT:
+            tags[tag] = list(
+                struct.unpack(bo + _TYPE_FMT[typ] * count, payload)
+            )
+        else:
+            tags[tag] = payload
+    return tags, bo
+
+
+def _tag_nodata(tags, dt: np.dtype):
+    nod_raw = tags.get(_TAG_GDAL_NODATA)
+    if nod_raw is None:
+        return None
+    try:
+        val = float(bytes(nod_raw).split(b"\x00")[0].decode("ascii").strip())
+    except (ValueError, UnicodeDecodeError):
+        return None
+    if val != val and dt.kind != "f":
+        return None
+    return val
+
+
+def decode_geotiff_window(reader, col_off: int, row_off: int,
+                          win_w: int, win_h: int, ifd_index: int = 0):
+    """Windowed COG read: fetch the header plus ONLY the tile ranges the
+    window intersects.  Returns ((bands, win_h, win_w) pixels, the
+    window-shifted transform, crs, nodata) — isel_window semantics
+    (/root/reference/rioxarray/rioxarray.py:854-904) without ever reading
+    the rest of the file.  Requires a tiled layout (strips would force a
+    full-width read; the engine's own sink always writes tiles)."""
+    tags, bo = _read_ifd_ranged(reader, ifd_index)
+    if _TAG_TILE_WIDTH not in tags:
+        raise ValueError("tiff: ranged window reads need a tiled layout")
+    w = int(tags[_TAG_WIDTH][0])
+    h = int(tags[_TAG_LENGTH][0])
+    samples = int(tags.get(_TAG_SAMPLES, [1])[0])
+    bits = int(tags.get(_TAG_BITS, [8])[0])
+    fmts = tags.get(_TAG_SAMPLE_FORMAT, [1] * samples)
+    dt = _dtype(bits, int(fmts[0]), bo)
+    compression = int(tags.get(_TAG_COMPRESSION, [1])[0])
+    planar = int(tags.get(_TAG_PLANAR, [1])[0])
+    predictor = int(tags.get(_TAG_PREDICTOR, [1])[0])
+    if planar != 1:
+        raise ValueError("tiff: ranged reads support chunky layout only")
+    if predictor not in (1, 2):
+        raise ValueError(f"tiff: unsupported Predictor {predictor}")
+    if col_off < 0 or row_off < 0 or win_w <= 0 or win_h <= 0 \
+            or col_off + win_w > w or row_off + win_h > h:
+        raise ValueError("tiff: window outside the raster extent")
+    tw = int(tags[_TAG_TILE_WIDTH][0])
+    tl = int(tags[_TAG_TILE_LENGTH][0])
+    offsets = tags[_TAG_TILE_OFFSETS]
+    counts = tags[_TAG_TILE_COUNTS]
+    across = -(-w // tw)
+    nod = _tag_nodata(tags, dt)
+    native = dt.newbyteorder("=")
+    fill = 0
+    if nod is not None:
+        fill = np.asarray(nod).astype(native)
+    out = np.empty((samples, win_h, win_w), dtype=native)
+    ty0, ty1 = row_off // tl, (row_off + win_h - 1) // tl
+    tx0, tx1 = col_off // tw, (col_off + win_w - 1) // tw
+    n_px_tile = tl * tw * samples
+    for ty in range(ty0, ty1 + 1):
+        for tx in range(tx0, tx1 + 1):
+            # overlap of this tile with the window, absolute pixel coords
+            ys, ye = max(ty * tl, row_off), min((ty + 1) * tl,
+                                                row_off + win_h)
+            xs, xe = max(tx * tw, col_off), min((tx + 1) * tw,
+                                                col_off + win_w)
+            idx = ty * across + tx
+            if offsets[idx] == 0 or counts[idx] == 0:
+                out[:, ys - row_off : ye - row_off,
+                    xs - col_off : xe - col_off] = fill
+                continue
+            chunk = reader.read_range(int(offsets[idx]), int(counts[idx]))
+            if len(chunk) < int(counts[idx]):
+                raise ValueError("tiff: truncated tile range")
+            if compression in (8, 32946):
+                raw = zlib.decompress(chunk)
+            elif compression == 5:
+                raw = _lzw_decode(chunk)
+            elif compression == 1:
+                raw = chunk
+            else:
+                raise ValueError(
+                    f"tiff: unsupported Compression {compression}"
+                )
+            flat = np.frombuffer(raw, dtype=dt, count=-1)
+            if flat.size < n_px_tile:
+                raise ValueError("tiff: tile data shorter than the tile")
+            tile = flat[:n_px_tile].reshape(tl, tw, samples)
+            if predictor == 2:
+                tile = np.cumsum(
+                    tile.astype(np.int64), axis=1, dtype=np.int64
+                ).astype(native)
+            part = tile[ys - ty * tl : ye - ty * tl,
+                        xs - tx * tw : xe - tx * tw].astype(native)
+            out[:, ys - row_off : ye - row_off,
+                xs - col_off : xe - col_off] = part.transpose(2, 0, 1)
+    transform = None
+    if _TAG_TRANSFORM in tags:
+        m = tags[_TAG_TRANSFORM]
+        transform = (m[0], m[1], m[3], m[4], m[5], m[7])
+    elif _TAG_PIXEL_SCALE in tags and _TAG_TIEPOINT in tags:
+        sx, sy = tags[_TAG_PIXEL_SCALE][0], tags[_TAG_PIXEL_SCALE][1]
+        i, j, _k, x, y, _z = tags[_TAG_TIEPOINT][:6]
+        transform = (sx, 0.0, x - i * sx, 0.0, -sy, y + j * sy)
+    if transform is not None:
+        a, b, c, d, e, f = transform
+        transform = (a, b, c + a * col_off + b * row_off,
+                     d, e, f + d * col_off + e * row_off)
+    crs = None
+    if _TAG_GEO_KEYS in tags:
+        keys = tags[_TAG_GEO_KEYS]
+        n_keys = int(keys[3])
+        found = {}
+        for k in range(n_keys):
+            key_id, loc, cnt, val = keys[4 + 4 * k : 8 + 4 * k]
+            if loc == 0 and cnt == 1:
+                found[int(key_id)] = int(val)
+        code = found.get(_GEOKEY_PROJECTED_CS) or found.get(
+            _GEOKEY_GEOGRAPHIC_TYPE
+        )
+        if code and code not in (32767, 0):
+            crs = f"EPSG:{code}"
+    return np.ascontiguousarray(out), transform, crs, nod
